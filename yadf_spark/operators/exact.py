@@ -1,0 +1,207 @@
+"""Exact duplicate groups via the staged group-by-refinement ladder.
+
+Logical query (the reference's whole engine is physical optimization of
+this one statement — reference: scripts/yadf.py:19-69):
+
+    SELECT collect_list(id) FROM corpus
+    WHERE size BETWEEN :min AND :max
+    GROUP BY content_hash(payload)
+    HAVING count(*) > 1
+    ORDER BY content_hash(payload)
+
+The ladder refines cheap keys into expensive ones, doing expensive work
+only inside multi-member buckets (reference: src/fs.rs:42-262, README
+"a file with a unique size can never be a duplicate"):
+
+  stage 0  scan        -> (id, size, p_hash, s_hash)  narrow projection;
+                          the payload column NEVER crosses a shuffle
+  stage 1  size        -> singletons exit with synthetic key sz:<size>
+  stage 2  prefix hash -> singletons exit; small payloads (< 4 KiB)
+                          resolve here (prefix covered content+size)
+  stage 3  suffix hash -> only payloads >= 64 KiB; sub-singletons exit
+  stage 4  full hash   -> survivors only, via a second scan semi-joined
+                          on the (small) candidate id set — broadcast
+                          when possible so payload bytes never shuffle
+
+Scale notes (100 TB / 10^12 rows):
+* Stages 1-3 shuffle only (id, size, 2 hashes) ~ 60 bytes/row.
+* Consecutive windows partition by ``size``, then ``p_hash`` (which
+  mixes size), then ``(p_hash, s_hash)`` — Spark reuses the p_hash
+  exchange for the (p_hash, s_hash) window (subset clustering), so the
+  ladder costs two narrow shuffles, not three.
+* Stage 4 re-reads only candidate rows from the columnar source; with a
+  dup-ratio of ~15% the semi-join key set is small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from yadf_spark.config import DEFAULT_FACTOR, Factor, LadderConfig, ScanFilter
+from yadf_spark.functions import hashes
+
+
+def apply_scan_filters(
+    df: DataFrame,
+    flt: ScanFilter | None,
+    id_col: str = "image_id",
+    size: Column | None = None,
+) -> DataFrame:
+    """Row predicates pushed toward the scan (reference:
+    src/fs/filter.rs:47-65). The name regex/glob match the final
+    ``/``-separated component of the id, like the reference matches the
+    file name, not the full path (src/fs/filter.rs:68-88)."""
+    if flt is None:
+        return df
+    if size is None:
+        size = F.length("bytes")
+    if flt.min_size is not None:
+        df = df.filter(size >= flt.min_size)
+    if flt.max_size is not None:
+        df = df.filter(size <= flt.max_size)
+    basename = F.element_at(F.split(F.col(id_col), "/"), -1)
+    if flt.regex is not None:
+        df = df.filter(basename.rlike(flt.regex))
+    glob_re = flt.glob_as_regex()
+    if glob_re is not None:
+        df = df.filter(basename.rlike(glob_re))
+    return df
+
+
+def exact_assignments(
+    df: DataFrame,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+    cfg: LadderConfig | None = None,
+    scan_filter: ScanFilter | None = None,
+) -> DataFrame:
+    """Run the ladder; return one row per input row:
+    ``(id, size, group_key, stage)`` where rows sharing ``group_key``
+    are exact duplicates. ``stage`` records which rung resolved the row
+    (the per-stage metrics surface, reference: src/lib.rs:120-139)."""
+    cfg = cfg or LadderConfig()
+    df = apply_scan_filters(df, scan_filter, id_col=id_col, size=F.length(payload_col))
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    size = F.coalesce(F.length("payload"), F.lit(0)).cast("long")
+    narrow = src.select(
+        "id",
+        size.alias("size"),
+        hashes.prefix_hash(F.col("payload"), size, cfg.prefix_len, cfg.algo).alias("p_hash"),
+        F.when(
+            size >= cfg.suffix_threshold,
+            hashes.suffix_hash(F.col("payload"), cfg.suffix_len, cfg.algo),
+        ).alias("s_hash"),
+    )
+
+    # stage 1: size grouping — the zero-cost prefilter (G1/G2).
+    n_size = F.count("*").over(Window.partitionBy("size"))
+    t1 = narrow.withColumn("n_size", n_size)
+    out_size = t1.filter(F.col("n_size") == 1).select(
+        "id", "size", hashes.size_key(F.col("size")).alias("group_key"), F.lit("size").alias("stage")
+    )
+
+    # stage 2: prefix-hash grouping (G3). p_hash mixes size, so grouping
+    # by p_hash alone preserves the size partition refinement.
+    t2 = t1.filter(F.col("n_size") > 1).withColumn(
+        "n_p", F.count("*").over(Window.partitionBy("p_hash"))
+    )
+    resolves_at_prefix = (F.col("n_p") == 1) | (F.col("size") < cfg.full_hash_min_size)
+    out_prefix = t2.filter(resolves_at_prefix).select(
+        "id", "size", F.col("p_hash").alias("group_key"), F.lit("prefix").alias("stage")
+    )
+
+    survivors = t2.filter(~resolves_at_prefix)
+
+    # stage 3: suffix-hash sub-grouping for large payloads (G4/G5).
+    large = survivors.filter(F.col("size") >= cfg.suffix_threshold).withColumn(
+        "n_s", F.count("*").over(Window.partitionBy("p_hash", "s_hash"))
+    )
+    out_suffix = large.filter(F.col("n_s") == 1).select(
+        "id",
+        "size",
+        F.concat(F.col("p_hash"), F.lit("|s:"), F.col("s_hash")).alias("group_key"),
+        F.lit("suffix").alias("stage"),
+    )
+
+    # stage 4: full-content hash for surviving colliders only (G6).
+    mid = survivors.filter(F.col("size") < cfg.suffix_threshold).select("id")
+    full_candidates = mid.unionByName(large.filter(F.col("n_s") > 1).select("id"))
+    # The candidate id set is tiny relative to the corpus — broadcast the
+    # semi-join so the payload column never crosses an exchange.
+    full_candidates = F.broadcast(full_candidates)
+    out_full = (
+        src.join(full_candidates, "id", "left_semi")
+        .select(
+            "id",
+            F.coalesce(F.length("payload"), F.lit(0)).cast("long").alias("size"),
+            hashes.full_hash(F.col("payload"), cfg.algo).alias("group_key"),
+            F.lit("full").alias("stage"),
+        )
+    )
+
+    return out_size.unionByName(out_prefix).unionByName(out_suffix).unionByName(out_full)
+
+
+def factor_predicate(count_col: Column, factor: Factor) -> Column:
+    """HAVING predicate for the replication factor (reference:
+    src/bag/replicates.rs:55-63)."""
+    if factor.op == "under":
+        return count_col < factor.n
+    if factor.op == "equal":
+        return count_col == factor.n
+    if factor.op == "over":
+        return count_col > factor.n
+    raise ValueError(f"unknown factor op {factor.op!r}")
+
+
+def groups_from_assignments(
+    assignments: DataFrame,
+    factor: Factor = DEFAULT_FACTOR,
+    ordered: bool = True,
+) -> DataFrame:
+    """Materialize groups: ``(group_key, members array<id>, n)``, filtered
+    by the replication factor (reference: src/bag.rs:66-78) and sorted by
+    key for deterministic output (the BTreeMap property, src/bag.rs:30)."""
+    grouped = (
+        assignments.groupBy("group_key")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .filter(factor_predicate(F.col("n"), factor))
+    )
+    return grouped.orderBy("group_key") if ordered else grouped
+
+
+def exact_dup_groups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+    cfg: LadderConfig | None = None,
+    scan_filter: ScanFilter | None = None,
+    factor: Factor = DEFAULT_FACTOR,
+) -> DataFrame:
+    """End-to-end: ladder -> groups (the flagship exact-dedup query)."""
+    assignments = exact_assignments(df, id_col, payload_col, cfg, scan_filter)
+    return groups_from_assignments(assignments, factor)
+
+
+def scan_stats(assignments: DataFrame) -> DataFrame:
+    """Per-stage metrics (reference: src/lib.rs:120-139 — "found N
+    possible duplicates after initial scan / N duplicates in M groups").
+    One row: scanned, resolved-by-stage counts, dup rows, dup groups."""
+    groups = assignments.groupBy("group_key").agg(F.count("*").alias("n"))
+    dup = groups.filter(F.col("n") > 1).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("duplicates"),
+        F.count("*").alias("dup_groups"),
+    )
+    per_stage = (
+        assignments.groupBy()
+        .pivot("stage", ["size", "prefix", "suffix", "full"])
+        .count()
+        .na.fill(0)
+    )
+    total = assignments.agg(F.count("*").alias("scanned"))
+    return total.crossJoin(per_stage).crossJoin(dup)
