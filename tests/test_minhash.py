@@ -1,0 +1,122 @@
+"""MinHash / LSH semantics on planted captions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yadf_spark.config import LshConfig
+from yadf_spark.functions import text as T
+from yadf_spark.operators import minhash
+
+CFG = LshConfig(num_perm=64, bands=16, shingle_k=3, seed=42)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        ("a", base),
+        ("b", base),  # identical -> jaccard 1.0
+        ("c", base + " again"),  # near dup
+        ("d", "completely different words about spark shuffles and parquet files"),
+        ("e", "short text"),  # < k words -> whole-text shingle
+        ("f", "short text"),
+    ]
+    return spark.createDataFrame(rows, "image_id string, caption string")
+
+
+def test_shingles_and_edge_cases(spark):
+    df = _docs(spark)
+    sh = df.select("image_id", T.word_shingles(F.col("caption"), 3).alias("s")).collect()
+    by_id = {r["image_id"]: r["s"] for r in sh}
+    assert "the quick brown" in by_id["a"]
+    assert by_id["e"] == ["short text"]  # shorter than k -> single shingle
+    # distinctness: repeated shingles collapse
+    assert len(by_id["a"]) == len(set(by_id["a"]))
+
+
+def test_signature_deterministic_and_identical_docs_match(spark):
+    df = _docs(spark)
+    sig = minhash.add_signature(df, CFG)
+    rows = {r["image_id"]: tuple(r["sig"]) for r in sig.collect()}
+    assert rows["a"] == rows["b"]
+    assert rows["e"] == rows["f"]
+    assert rows["a"] != rows["d"]
+    assert len(rows["a"]) == CFG.num_perm
+    # deterministic across runs
+    rows2 = {r["image_id"]: tuple(r["sig"]) for r in minhash.add_signature(df, CFG).collect()}
+    assert rows == rows2
+
+
+def test_lsh_candidates_find_near_dups_not_distinct_docs(spark):
+    df = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.minhash_candidates(df, CFG).collect()
+    }
+    assert ("a", "b") in pairs
+    assert ("e", "f") in pairs
+    assert ("a", "c") in pairs  # high-jaccard near dup caught by some band
+    assert not any("d" in p for p in pairs)
+
+
+def test_exact_jaccard_verification(spark):
+    df = _docs(spark)
+    pairs = minhash.minhash_candidates(df, CFG)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash.exact_jaccard(pairs, df, "image_id", "caption").collect()
+    }
+    assert jac[("a", "b")] == 1.0
+    assert 0.5 < jac[("a", "c")] < 1.0
+
+
+def test_salted_pair_generation_equals_plain_join(spark):
+    """Salting must not change the result set — only its distribution.
+    Force aggressive salting (salt_bucket_above=2) and compare with the
+    unsalted output."""
+    df = _docs(spark)
+    sig = minhash.add_signature(df, CFG)
+    buckets = minhash.explode_bands(sig, CFG, id_col="image_id")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.candidate_pairs_from_buckets(buckets, 10**6).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.candidate_pairs_from_buckets(buckets, 2).collect()
+    }
+    assert plain == salted and plain
+
+
+def test_bucket_cap_drops_mega_buckets(spark):
+    # 30 identical docs -> one mega bucket per band; cap at 10 drops them
+    rows = [(f"x{i:02d}", "same caption every time for all rows") for i in range(30)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    sig = minhash.add_signature(df, CFG)
+    buckets = minhash.explode_bands(sig, CFG, id_col="image_id")
+    logged = []
+    out = minhash.candidate_pairs_from_buckets(
+        buckets, salt_bucket_above=256, max_bucket=10, log=logged.append
+    )
+    assert out.count() == 0
+    assert logged and "dropped" in logged[0]
+
+
+def test_recall_on_fixture_corpus(spark):
+    """Caption-identical planted groups (exact + near-dup pairs share
+    captions) must all surface as LSH candidates — recall 1.0 on
+    caption-equal pairs at this config."""
+    from yadf_spark.fixtures import images
+
+    n = 400
+    df = spark.createDataFrame(images.images_pdf(n))
+    cfg = LshConfig()
+    pairs = {
+        tuple(sorted(p))
+        for p in (
+            (r["id_a"], r["id_b"]) for r in minhash.minhash_candidates(df, cfg).collect()
+        )
+    }
+    truth = images.truth_dup_pairs(n)
+    missing = truth - pairs
+    assert not missing, f"LSH missed {len(missing)}/{len(truth)} planted pairs"

@@ -1,0 +1,124 @@
+"""End-to-end near-dup pipeline on the planted fixture corpus: the
+recall/precision gate (reference model: the differential golden-output
+gate, scripts/bench-versions.sh:157-188 — normalized cluster assignments
+diffed against planted truth)."""
+
+from __future__ import annotations
+
+import pytest
+
+from yadf_spark.fixtures import images
+from yadf_spark.operators import pipeline
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(images.images_pdf(N)).cache()
+    out = pipeline.near_dup_pipeline(df)
+    out["clusters_rows"] = out["clusters"].collect()
+    return out
+
+
+def test_recall_on_planted_truth(result):
+    truth = images.truth_dup_pairs(N)
+    assign = {r["image_id"]: r["cluster_id"] for r in result["clusters_rows"]}
+    hit = sum(1 for a, b in truth if assign[a] == assign[b])
+    recall = hit / len(truth)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+
+def test_precision_no_false_merges(result):
+    """Planted decoys / containment pairs / uniques must never co-cluster:
+    every produced cluster must be a subset of a truth cluster."""
+    truth = images.truth_pdf(N).set_index("image_id")["true_cluster"]
+    by_cluster: dict[str, set[str]] = {}
+    for r in result["clusters_rows"]:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["image_id"])
+    for cid, members in by_cluster.items():
+        truths = {truth[m] for m in members}
+        assert len(truths) == 1, f"cluster {cid} merges truth clusters {truths}"
+
+
+def test_every_row_assigned_exactly_once(result):
+    ids = [r["image_id"] for r in result["clusters_rows"]]
+    assert len(ids) == N and len(set(ids)) == N
+
+
+def test_decoys_generated_then_rejected(result, spark):
+    """Band-collision decoys must collide at the LSH-bucket level (the
+    prefilter is recall-oriented) but be rejected by the exact Hamming
+    check and never reach verified pairs — the fixture analog of the
+    reference's collide-prefix corpus pairs (gen-corpus.py:199-217),
+    which collide at the prefix-hash stage and are killed by the full
+    hash."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.functions import hashes as H
+    from yadf_spark.operators.minhash import candidate_pairs_from_buckets
+
+    decoy_pairs = set()
+    for i in range(N):
+        if images.plan_row(i).kind == "decoy_b":
+            decoy_pairs.add((f"img-{i - 1:09d}", f"img-{i:09d}"))
+    assert decoy_pairs
+
+    # pre-Hamming-filter bucket pairs: decoys must collide here
+    df = spark.createDataFrame(images.images_pdf(N))
+    buckets = df.select(
+        F.col("image_id").alias("id"),
+        F.posexplode(F.array(*H.band_columns(F.col("phash")))),
+    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
+    bucket_pairs = {
+        (r["id_a"], r["id_b"]) for r in candidate_pairs_from_buckets(buckets).collect()
+    }
+    assert decoy_pairs <= bucket_pairs, "decoys must collide in a phash band"
+
+    # ... but the exact hamming filter prunes them from pipeline candidates
+    cands = {(r["id_a"], r["id_b"]) for r in result["candidates"].collect()}
+    assert not (decoy_pairs & cands), "hamming filter must prune band decoys"
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in result["verified_pairs"].filter("verified").collect()
+    }
+    assert not (decoy_pairs & verified)
+
+
+def test_metrics_reported(result):
+    names = [m["stage"] for m in result["metrics"]]
+    assert names == [
+        "exact_ladder",
+        "phash_bands",
+        "minhash_lsh",
+        "verify",
+        "connected_components",
+    ]
+    assert all(m["seconds"] >= 0 for m in result["metrics"])
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Second run with the same config must resume every stage from its
+    parquet checkpoint (and produce identical clusters); a changed config
+    fingerprint must recompute."""
+    from yadf_spark.plans.checkpoint import Checkpointer
+
+    df = spark.createDataFrame(images.images_pdf(160))
+    ck1 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    out1 = pipeline.near_dup_pipeline(df, checkpointer=ck1)
+    c1 = sorted((r["image_id"], r["cluster_id"]) for r in out1["clusters"].collect())
+    assert not any(m["resumed"] for m in ck1.metrics())
+
+    ck2 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    out2 = pipeline.near_dup_pipeline(df, checkpointer=ck2)
+    c2 = sorted((r["image_id"], r["cluster_id"]) for r in out2["clusters"].collect())
+    assert all(m["resumed"] for m in ck2.metrics())
+    assert c1 == c2
+
+    from yadf_spark.config import NearDupConfig
+
+    ck3 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    pipeline.near_dup_pipeline(df, cfg=NearDupConfig(psnr_min_db=41.0), checkpointer=ck3)
+    resumed = {m["stage"]: m["resumed"] for m in ck3.metrics()}
+    assert resumed["exact_ladder"] and resumed["minhash_lsh"]
+    assert not resumed["verify"], "changed verify config must recompute"

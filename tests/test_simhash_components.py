@@ -1,0 +1,113 @@
+"""SimHash + Hamming-band candidates + connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yadf_spark.operators import components, simhash
+
+
+def test_simhash_identical_and_locality(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog every single day"),
+        ("b", "the quick brown fox jumps over the lazy dog every single day"),
+        ("c", "the quick brown fox jumps over the lazy dog every single night"),
+        ("d", "parquet shuffle exchange partition skew salting broadcast join plan"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = {r["image_id"]: r["simhash"] for r in simhash.add_simhash(df).collect()}
+    assert out["a"] == out["b"]
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out["a"], out["c"]) < ham(out["a"], out["d"])
+
+
+def test_simhash_empty_text(spark):
+    df = spark.createDataFrame([("a", ""), ("b", "x")], "image_id string, caption string")
+    vals = {r["image_id"]: r["simhash"] for r in simhash.add_simhash(df).collect()}
+    assert vals["a"] == 0
+
+
+def test_hamming_band_candidates_recall_and_precision(spark):
+    # ids with known 64-bit values: b = a with 2 bits flipped (<=3), c far away
+    a = 0x0123456789ABCDEF
+    rows = [("a", a), ("b", a ^ 0b11), ("c", a ^ ((1 << 60) | (1 << 40) | (1 << 20) | 1))]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash.hamming_band_candidates(
+            df, "phash", "image_id", max_hamming=3
+        ).collect()
+    }
+    assert got == {("a", "b"): 2}
+
+
+def test_connected_components_shapes(spark):
+    # chain, clique, isolated pair, plus transitive merge across pairs
+    edges = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),  # chain -> one component
+        ("c1", "c2"), ("c1", "c3"), ("c2", "c3"),  # triangle
+        ("p1", "p2"),
+        ("q2", "q1"), ("q3", "q2"),  # reversed-order edges
+    ]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r["id"]: r["cluster_id"] for r in components.connected_components(df).collect()
+    }
+    assert got == {
+        "n1": "n1", "n2": "n1", "n3": "n1", "n4": "n1",
+        "c1": "c1", "c2": "c1", "c3": "c1",
+        "p1": "p1", "p2": "p1",
+        "q1": "q1", "q2": "q1", "q3": "q1",
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-node path exercises the O(log n) star contraction
+    edges = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = components.connected_components(df)
+    assert got.count() == 64
+    assert got.select("cluster_id").distinct().collect()[0][0] == "v000"
+
+
+def test_clusters_with_singletons(spark):
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("lonely",)], "image_id string"
+    )
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    assign = components.connected_components(edges)
+    full = {
+        r["image_id"]: r["cluster_id"]
+        for r in components.clusters_with_singletons(nodes, assign).collect()
+    }
+    assert full == {"a": "a", "b": "a", "c": "c", "lonely": "lonely"}
+
+
+def test_verify_pairs_psnr_and_caption(spark):
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import verify
+
+    px = np.random.default_rng(5).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    other = np.random.default_rng(6).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("orig", bytearray(codec.encode_png(px)), "cap one"),
+        ("lossy", bytearray(codec.encode_jpeg(px, 2)), "cap one"),  # verified near-dup
+        ("exact", bytearray(codec.encode_png(px)), "cap one"),  # verified exact
+        ("badcap", bytearray(codec.encode_png(px)), "cap two"),  # caption mismatch
+        ("diffpx", bytearray(codec.encode_png(other)), "cap one"),  # pixel mismatch
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    pairs = spark.createDataFrame(
+        [("lossy", "orig"), ("exact", "orig"), ("badcap", "orig"), ("diffpx", "orig")],
+        "id_a string, id_b string",
+    )
+    out = {r["id_a"]: r for r in verify.verify_pairs(pairs, images).collect()}
+    assert out["exact"]["verified"] and out["exact"]["psnr_db"] == 1e9
+    assert out["lossy"]["verified"] and 40 <= out["lossy"]["psnr_db"] < 100
+    assert not out["badcap"]["verified"]  # caption gate
+    assert not out["diffpx"]["verified"] and out["diffpx"]["psnr_db"] < 40

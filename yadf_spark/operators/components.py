@@ -1,0 +1,122 @@
+"""Connected components over a pair/edge list — the clustering step that
+turns verified duplicate pairs into duplicate groups.
+
+Alternating large-star / small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm), expressed as DataFrame self-joins:
+
+    large-star: for each edge (u,v) with v > u, rewire v to
+                m(u) = min(neighbors(u) + {u})
+    small-star: for each edge (u,v) with v < u, rewire v to the minimum
+                of u's smaller neighborhood, and u likewise
+
+Converges in O(log n) rounds to a star forest where every node points
+at its component minimum. Works on any ordered id type — we use the
+string ``image_id`` directly, avoiding a fragile global id-assignment
+pass (a ``row_number`` over one window would serialize at 10^12 rows,
+and 64-bit hashed ids would collide in expectation at that scale).
+
+Each round ends in ``localCheckpoint(eager=True)`` to truncate lineage
+(the north_rule's "checkpointed lineage"); convergence is detected by an
+edge-multiset signature, so a cycle of identical plans never runs
+unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _bidir(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    b = _bidir(edges)
+    m = b.groupBy("u").agg(F.min("v").alias("minv"))
+    m = m.select("u", F.least("u", "minv").alias("m"))
+    return (
+        b.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    b = _bidir(edges).filter(F.col("v") < F.col("u"))
+    m = b.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = b.join(m, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    self_edges = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        rewired.unionByName(self_edges).filter(F.col("src") != F.col("dst")).distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor is order-insensitive and cannot overflow (edges are distinct,
+    # so no cancellation ambiguity); ANSI mode rejects sum() overflow.
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("sig"),
+    ).collect()[0]
+    return int(row["n"]), int(row["sig"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """edges -> assignment ``(id, cluster_id)`` for every node appearing
+    in the edge list; ``cluster_id`` is the lexicographic minimum member
+    of the component (deterministic, like the reference's sorted-key
+    output, src/bag.rs:30). Nodes with no edges are simply absent —
+    callers union singletons back in."""
+    e = _canonical(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _large_star(e)
+        e = _small_star(e).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("cluster_id")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def clusters_with_singletons(
+    nodes: DataFrame, assignment: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """Full assignment: every node gets a cluster (its own id when it has
+    no duplicate partners) — the engine's cluster-assignment sink shape
+    (reference analog: TreeBag full-serialization, src/bag/serialize.rs:16-27)."""
+    n = nodes.select(F.col(id_col).alias("id"))
+    joined = n.join(assignment, "id", "left")
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.coalesce("cluster_id", "id").alias("cluster_id"),
+    )

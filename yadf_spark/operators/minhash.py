@@ -1,0 +1,180 @@
+"""MinHash signatures + LSH banding + salted candidate-pair generation.
+
+The near-dup generalization of the reference's staged ladder
+(reference: src/fs.rs:42-262): the cheap key is an LSH band hash
+instead of a byte size; the "bucket of size >= 2 -> refine" rule is the
+band-bucket self-join; the exact-verification pass plays the role of
+the trusted full hash.
+
+Design for 10^12 rows:
+* string shingling + shingle hashing stay JVM-side (codegen) — Python
+  only sees fixed-width int64 arrays through Arrow;
+* the MinHash kernel is one ``minimum.reduceat`` per permutation over a
+  flattened batch — no per-row Python loop;
+* band buckets self-join on ``(band_idx, band_hash)``; hot buckets are
+  salted: the left side fans out to ``s`` sub-cells so a viral caption
+  cannot pin a single reducer (reference analog: nested per-bucket
+  parallelism, src/fs.rs:176-183 — the north_rule names salted
+  repartitioning explicitly);
+* buckets above a hard cap are dropped with a logged count — a
+  documented recall trade, never a silent one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yadf_spark.config import LshConfig
+from yadf_spark.functions import text as T
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_udf(num_perm: int, seed: int):
+    """pandas UDF: array<long> shingle hashes -> array<long> signature.
+
+    pi_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i is a bijection on
+    Z_2^64 — a seeded family of "random enough" permutations; the
+    signature is elementwise min over the row's shingle set."""
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf("array<long>")
+    def minhash_sig(hashes: pd.Series) -> pd.Series:
+        lengths = hashes.map(len).to_numpy(dtype=np.int64)
+        if len(lengths) == 0:
+            return pd.Series([], dtype=object)
+        # rows are guaranteed non-empty by word_shingles
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes]).astype(
+            np.uint64
+        )
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sig = np.empty((num_perm, len(lengths)), dtype=np.uint64)
+        for p in range(num_perm):
+            vals = a[p] * flat + b[p]  # wrapping uint64 arithmetic
+            sig[p] = np.minimum.reduceat(vals, offsets)
+        out = sig.astype(np.int64).T
+        return pd.Series(list(out))
+
+    return minhash_sig
+
+
+def add_signature(
+    df: DataFrame, cfg: LshConfig, text_col: str = "caption", out_col: str = "sig"
+) -> DataFrame:
+    sh = T.shingle_hashes(F.col(text_col), cfg.shingle_k)
+    udf = make_minhash_udf(cfg.num_perm, cfg.seed)
+    return df.withColumn("_sh", sh).withColumn(out_col, udf(F.col("_sh"))).drop("_sh")
+
+
+def band_keys(sig_col, cfg: LshConfig):
+    """array of (band_idx, band_hash) structs — one LSH key per band."""
+    rows = cfg.num_perm // cfg.bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.xxhash64(F.lit(i), F.slice(sig_col, i * rows + 1, rows)).alias("band_hash"),
+            )
+            for i in range(cfg.bands)
+        ]
+    )
+
+
+def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "sig") -> DataFrame:
+    """(id, band_idx, band_hash) — the LSH bucket membership table."""
+    return (
+        df.select(F.col(id_col).alias("id"), band_keys(F.col(sig_col), cfg).alias("bk"))
+        .select("id", F.explode("bk").alias("b"))
+        .select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def candidate_pairs_from_buckets(
+    buckets: DataFrame,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+    log=None,
+) -> DataFrame:
+    """Self-join each (band_idx, band_hash) bucket into candidate pairs
+    ``(id_a < id_b)``, distinct across bands.
+
+    Skew handling (the salted-repartition requirement): bucket size ``n``
+    is counted first; buckets with ``n > salt_bucket_above`` get a salt
+    factor ``s = ceil(n / salt_bucket_above)``. Each right-side row lands
+    in one of ``s`` salt cells (by id hash); each left-side row is
+    replicated to all ``s`` cells. The join key becomes
+    ``(band_idx, band_hash, cell)`` so one mega-bucket fans out to ``s``
+    independent reducer cells instead of one straggler task.
+    """
+    sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
+    dropped = sizes.filter(F.col("n") > max_bucket)
+    n_dropped = dropped.count()
+    if n_dropped and log is not None:
+        log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
+
+    b = (
+        buckets.join(sizes, ["band_idx", "band_hash"])
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .withColumn("s", F.ceil(F.col("n") / F.lit(salt_bucket_above)).cast("int"))
+        .withColumn("cell", F.pmod(F.xxhash64("id"), F.col("s")).cast("int"))
+    )
+    left = b.select(
+        "band_idx",
+        "band_hash",
+        F.col("id").alias("id_a"),
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("cell"),
+    )
+    right = b.select("band_idx", "band_hash", F.col("id").alias("id_b"), "cell")
+    pairs = left.join(right, ["band_idx", "band_hash", "cell"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def minhash_candidates(
+    df: DataFrame, cfg: LshConfig, id_col: str = "image_id", text_col: str = "caption"
+) -> DataFrame:
+    """End-to-end: text -> signature -> bands -> salted pair generation."""
+    signed = add_signature(df.select(id_col, text_col), cfg, text_col=text_col)
+    buckets = explode_bands(signed, cfg, id_col=id_col)
+    return candidate_pairs_from_buckets(
+        buckets, cfg.salt_bucket_above, cfg.max_bucket
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Verification refinement: exact word-shingle Jaccard for candidate
+    pairs. The candidate id set is small relative to the corpus, so the
+    (potentially huge) document table is reduced by a broadcast semi-join
+    first — its shingle arrays never shuffle at corpus scale; only the
+    candidate subset does."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_id"), T.word_shingles(F.col(text_col), k).alias("_sh"))
+        .join(F.broadcast(cand_ids), "_id", "left_semi")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )

@@ -1,0 +1,119 @@
+"""The flagship near-duplicate detection pipeline over the image+caption
+table — the full generalization of the reference's two-phase design
+(north_rule):
+
+    stage 1  exact ladder        exact byte duplicates -> edges
+             (size -> prefix -> suffix -> full hash; reference
+              src/fs.rs:42-262, re-expressed in exact.py)
+    stage 2  phash Hamming bands candidate pairs of visually-near images
+             (generalizes the size pre-grouping: cheap key, high recall)
+    stage 3  MinHash LSH         candidate pairs of caption-similar rows
+             (salted band self-join; skew-safe)
+    stage 4  verification        caption equality + decoded-pixel PSNR
+             (the trusted "full hash" of the near-dup world)
+    stage 5  connected components -> cluster assignment table
+             (alternating star contraction, checkpointed lineage)
+
+Candidate generation is a union of recall-oriented sources; precision
+comes entirely from stage 4. Only ids + small evidence columns shuffle;
+payload bytes are re-joined per candidate behind broadcast semi-joins.
+
+Each stage can checkpoint via ``plans.checkpoint.Checkpointer`` so a
+restarted job resumes after the last completed stage, and every stage
+reports row counts (the reference's per-stage scan statistics surface,
+src/lib.rs:120-139).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yadf_spark.config import NearDupConfig
+from yadf_spark.operators import components, exact, minhash, simhash, verify
+from yadf_spark.plans.checkpoint import Checkpointer
+
+
+def exact_edges(assignments: DataFrame) -> DataFrame:
+    """Exact-dup groups -> star edges (each member -> group minimum).
+    Avoids materializing O(n^2) edges for large identical groups."""
+    m = assignments.groupBy("group_key").agg(F.min("id").alias("root"), F.count("*").alias("n"))
+    return (
+        assignments.join(m.filter(F.col("n") > 1), "group_key")
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+
+
+def near_dup_pipeline(
+    images: DataFrame,
+    cfg: NearDupConfig | None = None,
+    checkpointer: Checkpointer | None = None,
+) -> dict:
+    """Returns ``{"clusters": DataFrame(image_id, cluster_id),
+    "verified_pairs": DataFrame, "metrics": [...]}``."""
+    cfg = cfg or NearDupConfig()
+    ck = checkpointer or Checkpointer(spark=images.sparkSession, workdir=None)
+
+    assignments = ck.stage(
+        "exact_ladder", {"cfg": "ladder-default"}, lambda: exact.exact_assignments(images)
+    )
+    e_exact = exact_edges(assignments)
+
+    phash_pairs = ck.stage(
+        "phash_bands",
+        {"bands": cfg.phash_bands, "bits": cfg.phash_band_bits, "r": cfg.phash_max_hamming},
+        lambda: simhash.hamming_band_candidates(
+            images,
+            "phash",
+            "image_id",
+            max_hamming=cfg.phash_max_hamming,
+            n_bands=cfg.phash_bands,
+            band_bits=cfg.phash_band_bits,
+            salt_bucket_above=cfg.lsh.salt_bucket_above,
+            max_bucket=cfg.lsh.max_bucket,
+        ).select("id_a", "id_b"),
+    )
+
+    caption_pairs = ck.stage(
+        "minhash_lsh",
+        cfg.lsh,
+        lambda: minhash.minhash_candidates(images, cfg.lsh),
+    )
+
+    candidates = phash_pairs.unionByName(caption_pairs).distinct()
+
+    verified = ck.stage(
+        "verify",
+        {"psnr": cfg.psnr_min_db},
+        lambda: verify.verify_pairs(candidates, images, psnr_min_db=cfg.psnr_min_db),
+    )
+    dup_edges = (
+        verified.filter(F.col("verified")).select("id_a", "id_b").unionByName(e_exact).distinct()
+    )
+
+    assignment = ck.stage(
+        "connected_components",
+        {"max_iter": cfg.max_cc_iterations},
+        lambda: components.connected_components(
+            dup_edges, max_iterations=cfg.max_cc_iterations
+        ),
+    )
+    clusters = components.clusters_with_singletons(images, assignment)
+
+    return {
+        "clusters": clusters,
+        "verified_pairs": verified,
+        "candidates": candidates,
+        "metrics": ck.metrics(),
+    }
+
+
+def dup_pair_recall(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> float:
+    """Fraction of ground-truth duplicate pairs co-clustered — the
+    driver's recall >= 0.99 gate (BASELINE.json)."""
+    assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
+    if not truth_pairs:
+        return 1.0
+    hit = sum(1 for a, b in truth_pairs if assign.get(a) == assign.get(b))
+    return hit / len(truth_pairs)
