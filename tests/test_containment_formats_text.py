@@ -1,0 +1,154 @@
+"""Containment pass, output formats (golden strings from the reference),
+and text-analysis functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yadf_spark.functions import text as T
+from yadf_spark.operators import containment, exact
+from yadf_spark.sinks import formats
+
+
+# --- containment ------------------------------------------------------------
+
+def _cap_df(spark):
+    rows = [
+        ("short", "red fox jumps high"),
+        ("long", "the red fox jumps high over fences"),  # contains 'short'
+        ("other", "completely unrelated caption text here"),
+        ("dup1", "same same same same"),
+        ("dup2", "same same same same"),  # equal captions contain each other
+        ("tiny", "hi"),  # < k words
+    ]
+    return spark.createDataFrame(rows, "image_id string, caption string")
+
+
+def test_containment_pairs(spark):
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment.containment_pairs(_cap_df(spark)).collect()
+    }
+    assert ("short", "long") in got
+    assert ("dup1", "dup2") in got  # equality = mutual containment, id order
+    assert not any("other" in p for p in got)
+    assert not any(("long", "short") == p for p in got)
+
+
+def test_containment_hot_shingle_cap_logged(spark):
+    rows = [(f"r{i}", "very common shingle words here") for i in range(20)]
+    df = spark.createDataFrame(rows + [("x", "rare unique caption entirely")],
+                               "image_id string, caption string")
+    logged = []
+    out = containment.containment_pairs(df, max_shingle_df=5, log=logged.append)
+    assert out.count() == 0  # identical captions' shingles all dropped by cap
+    assert logged and "dropped" in logged[0]
+
+
+def test_bucket_containment_variant(spark):
+    df = _cap_df(spark).withColumn("bucket", F.lit(1))
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment.bucket_containment_pairs(df, "bucket").collect()
+    }
+    assert ("short", "long") in got
+
+
+# --- output formats ---------------------------------------------------------
+
+def _two_groups(spark):
+    """The reference's golden-test bag: [foo,bar] and [hello,world]
+    (src/bag/display.rs:49-89, src/bag/serialize.rs:29-48)."""
+    df = spark.createDataFrame(
+        [("k1", ["foo", "bar"], 2), ("k2", ["hello", "world"], 2)],
+        "group_key string, members array<string>, n long",
+    )
+    return df
+
+
+def test_fdupes_golden(spark):
+    # display.rs:77-88: paths newline-separated, blank line between groups
+    assert formats.render(_two_groups(spark), "fdupes") == "foo\nbar\n\nhello\nworld"
+
+
+def test_machine_golden(spark):
+    # display.rs:67-75: one group per line, quoted paths space-separated
+    assert formats.render(_two_groups(spark), "machine") == '"foo" "bar"\n"hello" "world"'
+
+
+def test_json_golden(spark):
+    # serialize.rs:33-47: [["foo","bar"],["hello","world"]]
+    assert (
+        formats.render(_two_groups(spark), "json")
+        == '[["foo", "bar"], ["hello", "world"]]'
+    )
+
+
+def test_ldjson_and_csv(spark):
+    g = _two_groups(spark)
+    assert formats.render(g, "ld-json") == '["foo","bar"]\n["hello","world"]'
+    assert formats.render(g, "csv") == "count,files\n2,foo,bar\n2,hello,world"
+
+
+def test_end_to_end_fdupes_from_ladder(spark):
+    df = spark.createDataFrame(
+        [("foo", bytearray(b"aa\n")), ("bar", bytearray(b"aa\n")), ("qux", bytearray(b"bb\n"))],
+        "image_id string, bytes binary",
+    )
+    groups = exact.exact_dup_groups(df)
+    assert formats.render(groups, "fdupes") == "bar\nfoo"
+
+
+def test_write_cluster_assignments(spark, tmp_path):
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "image_id string, cluster_id string"
+    )
+    out = str(tmp_path / "clusters")
+    formats.write_cluster_assignments(clusters, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.columns) == {"image_id", "cluster_id"}
+
+
+# --- text functions ---------------------------------------------------------
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", ""), ("c", "hi!!! ###")],
+        "id string, text string",
+    )
+    out = df.select(
+        "id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id["a"]["n_tok"] == 4
+    assert by_id["b"]["n_tok"] == 0
+    assert 0.0 <= by_id["c"]["q"] <= by_id["a"]["q"] <= 1.0
+    assert len(by_id["a"]["fp"]) == 32  # md5 hex
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello,   World!"), ("b", "hello world"), ("c", "different")],
+        "id string, text string",
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", T.fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp["a"] == fp["b"] != fp["c"]
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat and the dog of the house"),
+            ("es", "el perro que ladra y la casa"),
+            ("de", "der hund und die katze"),
+            ("und", "xyzzy plugh quux"),
+        ],
+        "expect string, text string",
+    )
+    got = df.select("expect", T.language_id(F.col("text")).alias("lang")).collect()
+    for r in got:
+        assert r["lang"] == r["expect"], r

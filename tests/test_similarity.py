@@ -1,0 +1,85 @@
+"""ANN / similarity-search semantics on planted vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yadf_spark.operators import similarity
+
+DIM = 16
+
+
+def _vecs(spark, n=60, n_clusters=6, seed=3):
+    """Clustered vectors: members of a cluster are tiny perturbations of
+    the centroid -> cosine ~1 within, ~random across."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_clusters, DIM))
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        v = cents[c] + 0.01 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), rows
+
+
+def test_brute_force_topk_finds_cluster_members(spark):
+    df, rows = _vecs(spark)
+    queries = df.filter(F.col("vec_id") < 6)
+    out = similarity.brute_force_topk(df, queries, k=5)
+    res = {}
+    for r in out.collect():
+        res.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    labels = {i: c for i, _, c in rows}
+    for q, neighbors in res.items():
+        assert len(neighbors) == 5
+        for _, nid, cos in neighbors:
+            assert labels[nid] == labels[q], "top-5 must be same-cluster"
+            assert cos > 0.99
+        ranks = sorted(r for r, _, _ in neighbors)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_srp_ann_matches_brute_force_on_clusters(spark):
+    df, rows = _vecs(spark)
+    out = similarity.ann_topk_srp(df, dim=DIM, k=3, n_bands=8, seed=42)
+    labels = {i: c for i, _, c in rows}
+    got = out.collect()
+    assert got, "SRP ANN produced no candidates"
+    # same-cluster vectors share all SRP bands w.h.p. -> top-3 all same-cluster
+    for r in got:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+    # every vector should find at least one neighbor (cluster size 10)
+    assert out.select("query_id").distinct().count() == 60
+
+
+def test_embedding_near_dup_exact_vs_srp(spark):
+    df, _ = _vecs(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(df, DIM, 0.999, exact=True).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(df, DIM, 0.999, exact=False).collect()
+    }
+    assert exact, "planted clusters must produce near-dup pairs"
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"SRP near-dup recall {recall}"
+
+
+def test_cosine_zero_vector_safe(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] * DIM)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.brute_force_topk(df, df.filter("vec_id = 0"), k=1).collect()
+    assert out[0]["cosine"] == 0.0
+
+
+def test_topk_plan_broadcasts_queries(spark):
+    df, _ = _vecs(spark)
+    out = similarity.brute_force_topk(df, df.limit(3), k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

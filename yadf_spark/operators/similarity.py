@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two rungs, mirroring the engine's cheap-key->expensive-verify ladder:
+
+* brute-force cosine top-k — the exactness baseline: the (small) query
+  set is broadcast against the corpus, the dot product runs JVM-side via
+  ``zip_with``/``aggregate`` (whole-stage codegen, no Python), and top-k
+  is a per-query window. Scales linearly in corpus size with zero
+  shuffles of the embedding column beyond the final (tiny) top-k rows.
+* SRP-LSH (signed-random-projection) bucketing — the scale path: a
+  64-bit hyperplane signature per vector, banded like MinHash/phash;
+  candidates from salted bucket self-joins get exact cosine re-ranking.
+  Sub-linear candidate generation; recall tunable by bands/bits.
+
+Also: embedding near-dup pairs (cosine >= threshold) for the
+training-data dedup use case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yadf_spark.operators.minhash import candidate_pairs_from_buckets
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") -> DataFrame:
+    a, b = _as_double(F.col(a_col)), _as_double(F.col(b_col))
+    denom = _norm(a) * _norm(b)
+    return pairs.withColumn(
+        "cosine",
+        F.round(F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0)), 6),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: the k nearest corpus vectors by cosine.
+    Result: (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    Deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb_a")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb_b"))
+    scored = with_cosine(c.crossJoin(F.broadcast(q))).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def make_srp_udf(n_bits: int, dim: int, seed: int):
+    """pandas UDF: embedding -> 64-bit signed-random-projection signature.
+    One matmul per Arrow batch — fully vectorized."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits))
+
+    @F.pandas_udf("long")
+    def srp_sig(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        bits = (mat @ planes) > 0  # (rows, n_bits)
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        vals = (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(vals.astype(np.int64))
+
+    return srp_sig
+
+
+def srp_candidates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Candidate pairs from SRP signature bands (salted self-join —
+    shared machinery with MinHash LSH)."""
+    from yadf_spark.functions.hashes import band_columns
+
+    band_bits = n_bits // n_bands
+    sig = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("_e")).withColumn(
+        "_sig", make_srp_udf(n_bits, dim, seed)(F.col("_e"))
+    )
+    buckets = sig.select(
+        "id", F.posexplode(F.array(*band_columns(F.col("_sig"), n_bands, band_bits)))
+    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
+    return candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
+
+
+def ann_topk_srp(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **srp_kwargs,
+) -> DataFrame:
+    """Approximate all-pairs top-k: SRP candidates -> exact cosine
+    re-rank. Returns (query_id, neighbor_id, cosine, rank) for every
+    vector that had at least one candidate."""
+    pairs = srp_candidates(corpus, dim, id_col, emb_col, **srp_kwargs)
+    # symmetrize: each endpoint sees the other as a neighbor candidate
+    sym = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"))
+    )
+    emb = corpus.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+    joined = (
+        sym.join(emb.select(F.col("_id").alias("query_id"), F.col("_emb").alias("emb_a")), "query_id")
+        .join(emb.select(F.col("_id").alias("neighbor_id"), F.col("_emb").alias("emb_b")), "neighbor_id")
+    )
+    scored = with_cosine(joined)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exact: bool = False,
+    **srp_kwargs,
+) -> DataFrame:
+    """Pairs with cosine >= min_cosine. ``exact=True`` brute-forces all
+    pairs (the oracle-checkable baseline, O(n^2) — fine at test SF);
+    otherwise SRP candidates bound the work at scale."""
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = srp_candidates(df, dim, id_col, emb_col, **srp_kwargs)
+        emb = df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+        pairs = cand.join(
+            emb.select(F.col("_id").alias("id_a"), F.col("_emb").alias("emb_a")), "id_a"
+        ).join(emb.select(F.col("_id").alias("id_b"), F.col("_emb").alias("emb_b")), "id_b")
+    return (
+        with_cosine(pairs)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
