@@ -1,38 +1,645 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 (plus
+the north_rule's near-dup operators and the training-data text/embedding
+operators) over the driver's TPC-H-ish testdata; ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible entry. Column
+names and types are aligned on both sides (the driver's compare sorts
+columns by name and value-hashes).
+
+Non-SQL-expressible entries (MinHash signatures themselves, SimHash,
+SRP-ANN, the image fixture pipeline) are exposed rows-only, as the
+contract allows; their semantics are pytest-verified against planted
+truth instead (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yadf_spark.config import Factor, LadderConfig, LshConfig
+from yadf_spark.functions import text as T
+from yadf_spark.operators import containment, exact, minhash, similarity, simhash
+
+# Portable (md5/sha256) ladder configuration for string payloads — the
+# DuckDB oracle replicates every hash bit-for-bit. Thresholds are scaled
+# to caption/document lengths so all four stages exercise.
+DOC_LADDER = LadderConfig(
+    prefix_len=16, suffix_len=16, suffix_threshold=256, full_hash_min_size=32, algo="md5"
+)
+
+EMB_DIM = 64
+STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"), F.col("text").alias("bytes")
+    )
+
+
+# --------------------------------------------------------------------------
+# the shared ladder CTE (mirrors yadf_spark.operators.exact bit-for-bit
+# in md5 mode — same stage routing, same key namespaces)
+# --------------------------------------------------------------------------
+LADDER_CTE = """
+base AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS size, text FROM documents),
+t1 AS (SELECT *, count(*) OVER (PARTITION BY size) AS n_size FROM base),
+out_size AS (
+  SELECT id, size, 'sz:' || CAST(size AS VARCHAR) AS group_key, 'size' AS stage
+  FROM t1 WHERE n_size = 1),
+t2 AS (SELECT *, 'p:' || md5(CAST(size AS VARCHAR) || ':' || left(text, 16)) AS p_hash
+       FROM t1 WHERE n_size > 1),
+t3 AS (SELECT *, count(*) OVER (PARTITION BY p_hash) AS n_p FROM t2),
+out_prefix AS (
+  SELECT id, size, p_hash AS group_key, 'prefix' AS stage
+  FROM t3 WHERE n_p = 1 OR size < 32),
+surv AS (SELECT * FROM t3 WHERE NOT (n_p = 1 OR size < 32)),
+big AS (SELECT *, md5(right(text, 16)) AS s_hash FROM surv WHERE size >= 256),
+big2 AS (SELECT *, count(*) OVER (PARTITION BY p_hash, s_hash) AS n_s FROM big),
+out_suffix AS (
+  SELECT id, size, p_hash || '|s:' || s_hash AS group_key, 'suffix' AS stage
+  FROM big2 WHERE n_s = 1),
+full_c AS (
+  SELECT id, size, text FROM surv WHERE size < 256
+  UNION ALL
+  SELECT id, size, text FROM big2 WHERE n_s > 1),
+out_full AS (SELECT id, size, 'f:' || sha256(text) AS group_key, 'full' AS stage FROM full_c),
+ladder AS (
+  SELECT * FROM out_size UNION ALL SELECT * FROM out_prefix
+  UNION ALL SELECT * FROM out_suffix UNION ALL SELECT * FROM out_full)
+"""
+
+SHINGLE_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT da AS id_a, db AS id_b, round(i / (sa.s + sb.s - i), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------------
+def q_size_groups(spark, sf_dir):
+    """G1: group-by-size with collected members — the zero-I/O prefilter."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.length("text").cast("long").alias("size"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("size")
+    )
+
+
+def _rfactor(spark, sf_dir, factor: Factor):
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(F.length("text").cast("long").alias("size")).agg(F.count("*").alias("n"))
+    return g.filter(exact.factor_predicate(F.col("n"), factor)).orderBy("size")
+
+
+def q_rfactor_under(spark, sf_dir):
+    """F7: groups with replication factor under:3."""
+    return _rfactor(spark, sf_dir, Factor.under(3))
+
+
+def q_rfactor_equal(spark, sf_dir):
+    """F7: equal:1 — the uniques view."""
+    return _rfactor(spark, sf_dir, Factor.equal(1))
+
+
+def q_rfactor_over(spark, sf_dir):
+    """F7: over:2."""
+    return _rfactor(spark, sf_dir, Factor.over(2))
+
+
+def q_size_filter(spark, sf_dir):
+    """F2+F3: min/max size predicates pushed to the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter((F.length("text") >= 150) & (F.length("text") <= 300))
+        .select("doc_id", F.length("text").cast("long").alias("size"))
+        .orderBy("doc_id")
+    )
+
+
+def q_regex_filter(spark, sf_dir):
+    """F4: regex on the name-like column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("source").rlike("^src[0-9]$")).select("doc_id", "source").orderBy("doc_id")
+
+
+def q_glob_filter(spark, sf_dir):
+    """F5: glob on the name-like column (glob -> regex translation)."""
+    import fnmatch
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source").rlike(fnmatch.translate("src1*")))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_keep_first_per_key(spark, sf_dir):
+    """U1 (keep-oldest cleaner): rank rows per group by time, keep #1."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event"),
+            # parquet timestamps load as TIMESTAMP_NTZ; cast via UTC session
+            # so the micros equal DuckDB's epoch_us over the naive value
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_dedup_by_key(spark, sf_dir):
+    """F6 (hard-link suppression analog): first id per natural key."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("keeper"), F.count("*").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q_prefix_hash_groups(spark, sf_dir):
+    """G3: partial (prefix) hash grouping, size mixed into the key."""
+    d = _t(spark, sf_dir, "documents")
+    p = F.md5(F.concat_ws(":", F.length("text").cast("string"), F.expr("left(text, 12)")))
+    return (
+        d.groupBy(p.alias("p_hash"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .orderBy("p_hash")
+    )
+
+
+def q_suffix_hash_groups(spark, sf_dir):
+    """G5: suffix (tail) hash grouping."""
+    d = _t(spark, sf_dir, "documents")
+    s = F.md5(F.expr("right(text, 12)"))
+    return (
+        d.groupBy(s.alias("s_hash"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .orderBy("s_hash")
+    )
+
+
+def q_full_hash_groups(spark, sf_dir):
+    """G6: full-content hash duplicate groups (HAVING n > 1)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("f_hash"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("f_hash")
+    )
+
+
+def q_ladder_assignment(spark, sf_dir):
+    """G1-G7 composed: the full staged ladder, every row assigned a
+    namespaced group key + the stage that resolved it."""
+    a = exact.exact_assignments(
+        _docs_as_corpus(spark, sf_dir), cfg=DOC_LADDER
+    )
+    return a.select(
+        F.col("id").alias("doc_id"), F.col("size"), F.col("group_key"), F.col("stage")
+    ).orderBy("doc_id")
+
+
+def q_ladder_groups(spark, sf_dir):
+    """G8: materialized groups from the ladder (rfactor over:0 keeps all
+    buckets so the oracle can check totals)."""
+    a = exact.exact_assignments(_docs_as_corpus(spark, sf_dir), cfg=DOC_LADDER)
+    return exact.groups_from_assignments(a, Factor.over(0)).select(
+        "group_key", "members", F.col("n")
+    )
+
+
+def q_scan_stats(spark, sf_dir):
+    """G9: per-stage scan statistics, one row."""
+    a = exact.exact_assignments(_docs_as_corpus(spark, sf_dir), cfg=DOC_LADDER)
+    return exact.scan_stats(a)
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact text dedup: keep min id per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
+        .select("keeper", "n")
+        .orderBy("keeper")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (word 3-grams, exact, >= 0.5)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidates, verified by exact Jaccard >= 0.8. The
+    oracle computes exact all-pairs Jaccard — LSH recall at j >= 0.8 with
+    128 perms / 32 bands is 1 - (1-0.8^4)^32 ~ 1 - 5e-8, so the outputs
+    agree."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    return jac.filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Exact substring-containment pass (char-level, inner length >= 12)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        containment.containment_pairs_char(d, id_col="doc_id", text_col="text", n=12)
+        .orderBy("inner_id", "outer_id")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 8."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.filter("vec_id < 8"), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact path, cosine >= 0.45)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, EMB_DIM, 0.45, exact=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    """Quality scoring features + composite score."""
+    d = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_language_id(spark, sf_dir):
+    """Rule-based language ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.language_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def q_join_agg(spark, sf_dir):
+    """Broadcast-join rollup: revenue per nation (dims broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_lineitem_agg(spark, sf_dir):
+    """TPC-H Q1-style aggregate (decimal-exact sums cast back to double)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source rollup (min/max/count — exact aggregates)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.length("text").cast("long")).alias("min_len"),
+            F.max(F.length("text").cast("long")).alias("max_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- rows-only entries (non-SQL-expressible; pytest-verified vs truth) ----
+def q_simhash_docs(spark, sf_dir):
+    """SimHash fingerprints over documents (vectorized pandas UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash.add_simhash(d, text_col="text").select("doc_id", "simhash").orderBy("doc_id")
+
+
+def q_ann_topk_srp(spark, sf_dir):
+    """SRP-LSH approximate top-3 neighbors (bucketed ANN scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_images_exact_dedup(spark, sf_dir):
+    """Exact-dup groups over the synthetic image+caption table (fixture
+    at a fixed deterministic size; payloads are binary images)."""
+    from yadf_spark.fixtures import images as img
+
+    df = img.images_df(spark, 256, seed=42)
+    return exact.exact_dup_groups(df).select("group_key", "members", "n")
+
+
+def q_images_near_dup_clusters(spark, sf_dir):
+    """Full near-dup pipeline (phash bands + MinHash LSH + PSNR verify +
+    connected components) over the synthetic image table."""
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import pipeline as pl
+
+    df = img.images_df(spark, 256, seed=42)
+    out = pl.near_dup_pipeline(df)
+    return out["clusters"].orderBy("image_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the staged dedup ladder assignment on sf0.001."""
+    return q_ladder_assignment(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "size_groups": q_size_groups,
+        "rfactor_under": q_rfactor_under,
+        "rfactor_equal": q_rfactor_equal,
+        "rfactor_over": q_rfactor_over,
+        "size_filter": q_size_filter,
+        "regex_filter": q_regex_filter,
+        "glob_filter": q_glob_filter,
+        "keep_first_per_key": q_keep_first_per_key,
+        "dedup_by_key": q_dedup_by_key,
+        "prefix_hash_groups": q_prefix_hash_groups,
+        "suffix_hash_groups": q_suffix_hash_groups,
+        "full_hash_groups": q_full_hash_groups,
+        "ladder_assignment": q_ladder_assignment,
+        "ladder_groups": q_ladder_groups,
+        "scan_stats": q_scan_stats,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "containment_pairs": q_containment_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "join_agg": q_join_agg,
+        "lineitem_agg": q_lineitem_agg,
+        "source_stats": q_source_stats,
+        "simhash_docs": q_simhash_docs,
+        "ann_topk_srp": q_ann_topk_srp,
+        "images_exact_dedup": q_images_exact_dedup,
+        "images_near_dup_clusters": q_images_near_dup_clusters,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        lang: (
+            "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_MARKERS) + ")"
+    lang_case = " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in T.LANG_MARKERS
+    )
+    return {
+        "size_groups": """
+            SELECT CAST(length(text) AS BIGINT) AS size,
+                   list_sort(list(doc_id)) AS members, count(*) AS n
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY size""",
+        "rfactor_under": """
+            SELECT CAST(length(text) AS BIGINT) AS size, count(*) AS n
+            FROM documents GROUP BY 1 HAVING count(*) < 3 ORDER BY size""",
+        "rfactor_equal": """
+            SELECT CAST(length(text) AS BIGINT) AS size, count(*) AS n
+            FROM documents GROUP BY 1 HAVING count(*) = 1 ORDER BY size""",
+        "rfactor_over": """
+            SELECT CAST(length(text) AS BIGINT) AS size, count(*) AS n
+            FROM documents GROUP BY 1 HAVING count(*) > 2 ORDER BY size""",
+        "size_filter": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS size FROM documents
+            WHERE length(text) BETWEEN 150 AND 300 ORDER BY doc_id""",
+        "regex_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE regexp_matches(source, '^src[0-9]$') ORDER BY doc_id""",
+        "glob_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE source LIKE 'src1%' ORDER BY doc_id""",
+        "keep_first_per_key": """
+            SELECT user_id, event_id AS first_event, epoch_us(ts) AS ts_us
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id""",
+        "dedup_by_key": """
+            SELECT user_id, event_type, min(event_id) AS keeper, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
+        "prefix_hash_groups": """
+            SELECT md5(CAST(length(text) AS VARCHAR) || ':' || left(text, 12)) AS p_hash,
+                   list_sort(list(doc_id)) AS members, count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY p_hash""",
+        "suffix_hash_groups": """
+            SELECT md5(right(text, 12)) AS s_hash,
+                   list_sort(list(doc_id)) AS members, count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY s_hash""",
+        "full_hash_groups": """
+            SELECT md5(text) AS f_hash, list_sort(list(doc_id)) AS members, count(*) AS n
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY f_hash""",
+        "ladder_assignment": f"""
+            WITH {LADDER_CTE}
+            SELECT id AS doc_id, size, group_key, stage FROM ladder ORDER BY doc_id""",
+        "ladder_groups": f"""
+            WITH {LADDER_CTE}
+            SELECT group_key, list_sort(list(id)) AS members, count(*) AS n
+            FROM ladder GROUP BY 1 ORDER BY group_key""",
+        "scan_stats": f"""
+            WITH {LADDER_CTE},
+            g AS (SELECT group_key, count(*) AS n FROM ladder GROUP BY 1)
+            SELECT (SELECT count(*) FROM ladder) AS scanned,
+                   (SELECT count(*) FROM ladder WHERE stage = 'size') AS size,
+                   (SELECT count(*) FROM ladder WHERE stage = 'prefix') AS prefix,
+                   (SELECT count(*) FROM ladder WHERE stage = 'suffix') AS suffix,
+                   (SELECT count(*) FROM ladder WHERE stage = 'full') AS "full",
+                   (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM g WHERE n > 1) AS duplicates,
+                   (SELECT count(*) FROM g WHERE n > 1) AS dup_groups""",
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS keeper, count(*) AS n
+            FROM documents GROUP BY text ORDER BY keeper""",
+        "ngram_jaccard_pairs": f"""
+            WITH {SHINGLE_CTE}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+        "minhash_lsh_pairs": f"""
+            WITH {SHINGLE_CTE}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+        "containment_pairs": """
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+            FROM documents a, documents b
+            WHERE a.doc_id != b.doc_id AND length(a.text) >= 12
+              AND (length(a.text) < length(b.text)
+                   OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id))
+              AND contains(b.text, a.text)
+            ORDER BY inner_id, outer_id""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                         round(list_dot_product(q.e, CAST(c.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(q.e, q.e)) *
+                                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+                  FROM q, embeddings c WHERE c.vec_id != q.query_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank""",
+        "embedding_near_dup": """
+            WITH c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+                FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual
+            FROM documents ORDER BY doc_id""",
+        "quality": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     t -> t IN ({STOP_SQL}))) AS BIGINT) AS n_stop,
+                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS squeezed
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tokens,
+                round(squeezed / greatest(n_tokens, 1), 4) AS avg_token_len,
+                round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio
+              FROM f)
+            SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
+              round(0.5 * least(n_tokens / 50.0, 1.0)
+                  + 0.25 * least(stopword_ratio * 5.0, 1.0)
+                  + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+            FROM r ORDER BY doc_id""",
+        "language_id": f"""
+            WITH s AS (SELECT doc_id,
+                {', '.join(f'{expr} AS s_{lang}' for lang, expr in lang_scores.items())}
+              FROM documents)
+            SELECT doc_id, CASE {lang_case} ELSE 'und' END AS lang_pred
+            FROM s ORDER BY doc_id""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id""",
+        "join_agg": """
+            SELECT n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""",
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "source_stats": """
+            SELECT source, count(*) AS n,
+                   CAST(min(length(text)) AS BIGINT) AS min_len,
+                   CAST(max(length(text)) AS BIGINT) AS max_len
+            FROM documents GROUP BY source ORDER BY source""",
+    }

@@ -46,55 +46,42 @@ def test_every_row_assigned_exactly_once(result):
     assert len(ids) == N and len(set(ids)) == N
 
 
-def test_decoys_generated_then_rejected(result, spark):
-    """Band-collision decoys must collide at the LSH-bucket level (the
-    prefilter is recall-oriented) but be rejected by the exact Hamming
-    check and never reach verified pairs — the fixture analog of the
-    reference's collide-prefix corpus pairs (gen-corpus.py:199-217),
-    which collide at the prefix-hash stage and are killed by the full
-    hash."""
-    from pyspark.sql import functions as F
-
-    from yadf_spark.functions import hashes as H
-    from yadf_spark.operators.minhash import candidate_pairs_from_buckets
-
+def test_decoys_generated_then_rejected(result):
+    """Band-collision decoys must surface as candidates (the prefilter is
+    recall-oriented) but be rejected by verification and never reach a
+    cluster — the fixture analog of the reference's collide-prefix
+    corpus pairs (gen-corpus.py:199-217), which collide at the
+    prefix-hash stage and are killed by the full hash. Their rejection
+    must be cheap: captions differ, so the JVM caption-equality
+    predicate kills them before any Python pixel decode."""
     decoy_pairs = set()
     for i in range(N):
         if images.plan_row(i).kind == "decoy_b":
             decoy_pairs.add((f"img-{i - 1:09d}", f"img-{i:09d}"))
     assert decoy_pairs
 
-    # pre-Hamming-filter bucket pairs: decoys must collide here
-    df = spark.createDataFrame(images.images_pdf(N))
-    buckets = df.select(
-        F.col("image_id").alias("id"),
-        F.posexplode(F.array(*H.band_columns(F.col("phash")))),
-    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
-    bucket_pairs = {
-        (r["id_a"], r["id_b"]) for r in candidate_pairs_from_buckets(buckets).collect()
-    }
-    assert decoy_pairs <= bucket_pairs, "decoys must collide in a phash band"
-
-    # ... but the exact hamming filter prunes them from pipeline candidates
     cands = {(r["id_a"], r["id_b"]) for r in result["candidates"].collect()}
-    assert not (decoy_pairs & cands), "hamming filter must prune band decoys"
-    verified = {
-        (r["id_a"], r["id_b"])
-        for r in result["verified_pairs"].filter("verified").collect()
+    assert decoy_pairs <= cands, "decoys must collide in a phash band bucket"
+    verified_rows = {
+        (r["id_a"], r["id_b"]): r for r in result["verified_pairs"].collect()
     }
-    assert not (decoy_pairs & verified)
+    for p in decoy_pairs:
+        assert not verified_rows[p]["verified"]
+        assert not verified_rows[p]["caption_equal"]
+        assert verified_rows[p]["psnr_db"] == -1.0  # never decoded
 
 
 def test_metrics_reported(result):
     names = [m["stage"] for m in result["metrics"]]
     assert names == [
         "exact_ladder",
-        "phash_bands",
-        "minhash_lsh",
+        "candidate_buckets",
+        "candidate_pairs",
         "verify",
         "connected_components",
     ]
     assert all(m["seconds"] >= 0 for m in result["metrics"])
+    assert all(m["rows"] >= 0 for m in result["metrics"])
 
 
 def test_checkpoint_resume(spark, tmp_path):
@@ -120,5 +107,5 @@ def test_checkpoint_resume(spark, tmp_path):
     ck3 = Checkpointer(spark=spark, workdir=str(tmp_path))
     pipeline.near_dup_pipeline(df, cfg=NearDupConfig(psnr_min_db=41.0), checkpointer=ck3)
     resumed = {m["stage"]: m["resumed"] for m in ck3.metrics()}
-    assert resumed["exact_ladder"] and resumed["minhash_lsh"]
+    assert resumed["exact_ladder"] and resumed["candidate_buckets"]
     assert not resumed["verify"], "changed verify config must recompute"

@@ -111,3 +111,23 @@ def test_verify_pairs_psnr_and_caption(spark):
     assert out["lossy"]["verified"] and 40 <= out["lossy"]["psnr_db"] < 100
     assert not out["badcap"]["verified"]  # caption gate
     assert not out["diffpx"]["verified"] and out["diffpx"]["psnr_db"] < 40
+
+
+def test_connected_components_distributed_path_matches_driver_path(spark):
+    """Force the star-contraction path (driver_threshold=0) and check it
+    produces the same assignment as the union-find shortcut."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(200):03d}", f"n{rng.randrange(200):03d}") for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in components.connected_components(df).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in components.connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist

@@ -152,22 +152,19 @@ def images_pdf(n: int, seed: int = 42, offset: int = 0) -> pd.DataFrame:
 
 
 def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
-    """Distributed generation: executors each materialize their id range."""
+    """Distributed generation: ``spark.range`` hands each task a
+    perfectly balanced contiguous id range (an earlier round-robin
+    repartition of slice bounds gave some tasks 4 slices and others 0)
+    and each executor materializes its rows locally."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches):
         for pdf in batches:
-            for start, stop in zip(pdf["lo"], pdf["hi"]):
-                yield images_pdf(stop - start, seed=seed, offset=start)
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield images_pdf(len(ids), seed=seed, offset=int(ids[0]))
 
-    # Split [0, n) into `parts` contiguous slices, one task each.
-    bounds = [
-        (k * n // parts, (k + 1) * n // parts) for k in range(parts) if k * n // parts < (k + 1) * n // parts
-    ]
-    ranges = spark.createDataFrame(pd.DataFrame(bounds, columns=["lo", "hi"])).repartition(
-        len(bounds)
-    )
-    return ranges.mapInPandas(gen, schema=SCHEMA)
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=SCHEMA)
 
 
 def truth_pdf(n: int) -> pd.DataFrame:

@@ -109,7 +109,11 @@ def quality_score(text: Column) -> Column:
     length_term = F.least(f["n_tokens"] / F.lit(50.0), F.lit(1.0))
     stop_term = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))
-    return F.round((0.5 * length_term + 0.25 * stop_term + 0.25 * punct_term), 4)
+    # round to 6: the terms carry at most 6 decimal digits (inputs are
+    # 4-decimal ratios scaled by 0.25/5), so 6-decimal rounding is exact
+    # and never lands on a cross-engine rounding boundary — round(.,4)
+    # would sit on .xxxx5 boundaries and diverge from the SQL oracle
+    return F.round((0.5 * length_term + 0.25 * stop_term + 0.25 * punct_term), 6)
 
 
 def language_id(text: Column) -> Column:

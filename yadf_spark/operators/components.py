@@ -77,20 +77,58 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["sig"])
 
 
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Union-find on the driver for small edge lists. The verified-pair
+    edge list of a dedup job is orders of magnitude smaller than the
+    corpus (only duplicates appear), so below a threshold the dozens of
+    Spark jobs the star contraction needs cost more than the graph is
+    worth — the same scale-adaptive trade AQE makes when it swaps a
+    shuffle join for a broadcast."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "id string, cluster_id string")
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges -> assignment ``(id, cluster_id)`` for every node appearing
     in the edge list; ``cluster_id`` is the lexicographic minimum member
     of the component (deterministic, like the reference's sorted-key
     output, src/bag.rs:30). Nodes with no edges are simply absent —
-    callers union singletons back in."""
+    callers union singletons back in.
+
+    Edge lists under ``driver_threshold`` rows short-circuit to a
+    driver-side union-find (see :func:`_driver_union_find`); larger
+    graphs run the distributed star contraction."""
     e = _canonical(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(
+            edges.sparkSession, [(r["src"], r["dst"]) for r in e.collect()]
+        )
     prev_sig = None
     for _ in range(max_iterations):
         e = _large_star(e)

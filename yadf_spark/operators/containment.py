@@ -48,9 +48,10 @@ def containment_pairs(
     )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     hot = freq.filter(F.col("df_") > max_shingle_df)
-    n_hot = hot.count()
-    if n_hot and log is not None:
-        log(f"containment: dropped {n_hot} shingles with df > {max_shingle_df}")
+    if log is not None:
+        n_hot = hot.count()
+        if n_hot:
+            log(f"containment: dropped {n_hot} shingles with df > {max_shingle_df}")
     sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 
     a = sh.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("text").alias("text_a"))
@@ -69,6 +70,53 @@ def containment_pairs(
     )
     verified = cand.filter(F.expr("contains(text_b, text_a)"))
     return verified.select(
+        F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id")
+    )
+
+
+def containment_pairs_char(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    n: int = 12,
+    log=None,
+) -> DataFrame:
+    """Character-level containment (no word-boundary assumption): inner's
+    text appears *anywhere* in outer's text. Asymmetric candidate join:
+
+    * inner side contributes ONE key per row — its first ``n`` chars;
+    * outer side contributes a key per character offset (all n-grams);
+    * if inner ⊂ outer, inner's first n-gram occurs in outer at the
+      match offset, so the join is recall-complete for inner texts of
+      length >= n (shorter inner texts are excluded by contract — the
+      oracle SQL carries the same ``length >= n`` bound).
+
+    This keeps the exploded side linear in total characters and the
+    probe side at one row per document — the cheap-key shape again."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).filter(
+        F.length("text") >= n
+    )
+    grams = base.select(
+        F.col("id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.explode(T.char_ngrams(F.col("text"), n)).alias("gram"),
+    )
+    probes = base.select(
+        F.col("id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.substring("text", 1, n).alias("gram"),
+    )
+    cand = (
+        grams.join(probes, "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.length("text_a") < F.length("text_b"))
+            | ((F.length("text_a") == F.length("text_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "text_a", "id_b", "text_b")
+        .distinct()
+    )
+    return cand.filter(F.expr("contains(text_b, text_a)")).select(
         F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id")
     )
 

@@ -75,26 +75,26 @@ def add_signature(
     return df.withColumn("_sh", sh).withColumn(out_col, udf(F.col("_sh"))).drop("_sh")
 
 
-def band_keys(sig_col, cfg: LshConfig):
-    """array of (band_idx, band_hash) structs — one LSH key per band."""
-    rows = cfg.num_perm // cfg.bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.xxhash64(F.lit(i), F.slice(sig_col, i * rows + 1, rows)).alias("band_hash"),
-            )
-            for i in range(cfg.bands)
-        ]
-    )
-
-
 def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "sig") -> DataFrame:
-    """(id, band_idx, band_hash) — the LSH bucket membership table."""
-    return (
-        df.select(F.col(id_col).alias("id"), band_keys(F.col(sig_col), cfg).alias("bk"))
-        .select("id", F.explode("bk").alias("b"))
-        .select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    """(id, band_idx, band_hash) — the LSH bucket membership table.
+
+    Deliberately a single tiny expression (explode a 0..bands-1 sequence,
+    then one column-indexed slice + hash) rather than an array of
+    ``bands`` struct expressions: the expanded form generates
+    O(bands) copies of the hash/slice code and its whole-stage-codegen
+    compilation alone cost more than the query (measured: 32 s -> 9 s
+    cold for 32 bands x 12k rows)."""
+    rows = cfg.num_perm // cfg.bands
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(cfg.bands - 1))).alias("band_idx"),
+        F.col(sig_col).alias("_sig"),
+    ).select(
+        "id",
+        "band_idx",
+        F.xxhash64("band_idx", F.slice("_sig", F.col("band_idx") * rows + 1, rows)).alias(
+            "band_hash"
+        ),
     )
 
 
@@ -116,10 +116,12 @@ def candidate_pairs_from_buckets(
     independent reducer cells instead of one straggler task.
     """
     sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
-    dropped = sizes.filter(F.col("n") > max_bucket)
-    n_dropped = dropped.count()
-    if n_dropped and log is not None:
-        log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
+    if log is not None:
+        # counting dropped buckets costs an extra job — only pay it when a
+        # logger asks for the truncation report (never silent when it matters)
+        n_dropped = sizes.filter(F.col("n") > max_bucket).count()
+        if n_dropped:
+            log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
 
     b = (
         buckets.join(sizes, ["band_idx", "band_hash"])
@@ -143,9 +145,15 @@ def candidate_pairs_from_buckets(
 def minhash_candidates(
     df: DataFrame, cfg: LshConfig, id_col: str = "image_id", text_col: str = "caption"
 ) -> DataFrame:
-    """End-to-end: text -> signature -> bands -> salted pair generation."""
+    """End-to-end: text -> signature -> bands -> salted pair generation.
+
+    The bucket table feeds four plan branches (size counts, salt cells,
+    both self-join sides); persisting it runs the signature UDF exactly
+    once instead of once per branch."""
     signed = add_signature(df.select(id_col, text_col), cfg, text_col=text_col)
-    buckets = explode_bands(signed, cfg, id_col=id_col)
+    buckets = explode_bands(signed, cfg, id_col=id_col).persist()
+    buckets.count()  # eager: AQE runs the four branches concurrently and
+    # would otherwise recompute the signature UDF once per branch
     return candidate_pairs_from_buckets(
         buckets, cfg.salt_bucket_above, cfg.max_bucket
     )
@@ -159,6 +167,9 @@ def exact_jaccard(
     (potentially huge) document table is reduced by a broadcast semi-join
     first — its shingle arrays never shuffle at corpus scale; only the
     candidate subset does."""
+    # pairs feed two consumers (the id set and the join) — persist so the
+    # candidate-generation DAG (LSH signatures) computes once
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yadf_spark.config import NearDupConfig
-from yadf_spark.operators import components, exact, minhash, simhash, verify
+from yadf_spark.operators import components, exact, minhash, verify
 from yadf_spark.plans.checkpoint import Checkpointer
 
 
@@ -43,6 +43,38 @@ def exact_edges(assignments: DataFrame) -> DataFrame:
         .filter(F.col("id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )
+
+
+def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
+    """ONE bucket-membership table for every candidate source:
+
+    * phash Hamming bands (band_idx 0..phash_bands-1) — visual near-dups;
+    * MinHash LSH bands over caption shingles (band_idx offset by 100).
+
+    A single table means a single salted self-join produces all
+    candidate pairs — one shuffle instead of one per source. The exact
+    Hamming radius check the separate phash path used to apply is
+    deliberately dropped: verification's cheap JVM predicates (caption
+    equality, byte equality) already reject band decoys before any
+    Python decode runs, so the prefilter bought nothing but an extra
+    join round."""
+    mask = (1 << cfg.phash_band_bits) - 1
+    phash_b = images.select(
+        F.col("image_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(cfg.phash_bands - 1))).alias("band_idx"),
+        F.col("phash").alias("_h"),
+    ).select(
+        "id",
+        "band_idx",
+        F.expr(f"shiftrightunsigned(_h, band_idx * {cfg.phash_band_bits})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_hash"),
+    )
+    sig = minhash.add_signature(images.select("image_id", "caption"), cfg.lsh)
+    mh_b = minhash.explode_bands(sig, cfg.lsh, id_col="image_id").withColumn(
+        "band_idx", F.col("band_idx") + F.lit(100)
+    )
+    return phash_b.unionByName(mh_b)
 
 
 def near_dup_pipeline(
@@ -60,28 +92,18 @@ def near_dup_pipeline(
     )
     e_exact = exact_edges(assignments)
 
-    phash_pairs = ck.stage(
-        "phash_bands",
-        {"bands": cfg.phash_bands, "bits": cfg.phash_band_bits, "r": cfg.phash_max_hamming},
-        lambda: simhash.hamming_band_candidates(
-            images,
-            "phash",
-            "image_id",
-            max_hamming=cfg.phash_max_hamming,
-            n_bands=cfg.phash_bands,
-            band_bits=cfg.phash_band_bits,
-            salt_bucket_above=cfg.lsh.salt_bucket_above,
-            max_bucket=cfg.lsh.max_bucket,
-        ).select("id_a", "id_b"),
+    buckets = ck.stage(
+        "candidate_buckets",
+        {"lsh": cfg.lsh, "phash_bands": cfg.phash_bands, "bits": cfg.phash_band_bits},
+        lambda: candidate_buckets(images, cfg),
     )
-
-    caption_pairs = ck.stage(
-        "minhash_lsh",
-        cfg.lsh,
-        lambda: minhash.minhash_candidates(images, cfg.lsh),
+    candidates = ck.stage(
+        "candidate_pairs",
+        {"salt": cfg.lsh.salt_bucket_above, "cap": cfg.lsh.max_bucket},
+        lambda: minhash.candidate_pairs_from_buckets(
+            buckets, cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
+        ),
     )
-
-    candidates = phash_pairs.unionByName(caption_pairs).distinct()
 
     verified = ck.stage(
         "verify",

@@ -87,10 +87,23 @@ def hamming_band_candidates(
 
     assert max_hamming < n_bands, "banding is only recall-complete for radius < n_bands"
     src = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_h"))
+    # compact single-expression banding (see minhash.explode_bands for why
+    # the expanded array-of-structs form is a codegen hazard)
+    mask = (1 << band_bits) - 1
     bands = src.select(
-        "id", F.posexplode(F.array(*H.band_columns(F.col("_h"), n_bands, band_bits)))
-    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
-    pairs = candidate_pairs_from_buckets(bands, salt_bucket_above, max_bucket)
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+        F.col("_h"),
+    ).select(
+        "id",
+        "band_idx",
+        # F.shiftrightunsigned only takes a literal shift in PySpark; the
+        # SQL form accepts a column expression
+        F.expr(f"shiftrightunsigned(_h, band_idx * {band_bits})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_hash"),
+    )
+    pairs = candidate_pairs_from_buckets(bands, salt_bucket_above, max_bucket).persist()
     a = src.select(F.col("id").alias("id_a"), F.col("_h").alias("h_a"))
     b = src.select(F.col("id").alias("id_b"), F.col("_h").alias("h_b"))
     cand_ids = (

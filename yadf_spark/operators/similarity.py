@@ -38,12 +38,42 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _side(df: DataFrame, id_col: str, emb_col: str, id_alias: str, suffix: str) -> DataFrame:
+    """Project one join side to (id, double embedding, precomputed norm).
+    Precomputing the norm per ROW (instead of per pair inside the join
+    condition) cuts the pairwise work to a single dot product; the
+    division ``dot / (norm_a * norm_b)`` keeps the exact arithmetic shape
+    of the DuckDB oracle, so values stay bit-identical."""
+    e = _as_double(F.col(emb_col))
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        e.alias(f"emb_{suffix}"),
+        _norm(e).alias(f"norm_{suffix}"),
+    )
+
+
 def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") -> DataFrame:
+    """Cosine from raw (float) arrays — norms computed in place. Prefer
+    the precomputed-norm path (``_side`` + ``_cosine_from_norms``) in
+    joins; this variant serves ad-hoc pair frames."""
     a, b = _as_double(F.col(a_col)), _as_double(F.col(b_col))
     denom = _norm(a) * _norm(b)
     return pairs.withColumn(
         "cosine",
         F.round(F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0)), 6),
+    )
+
+
+def _cosine_from_norms(pairs: DataFrame) -> DataFrame:
+    denom = F.col("norm_a") * F.col("norm_b")
+    return pairs.withColumn(
+        "cosine",
+        F.round(
+            F.when(denom > 0, _dot(F.col("emb_a"), F.col("emb_b")) / denom).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
     )
 
 
@@ -57,11 +87,9 @@ def brute_force_topk(
     """For each query vector: the k nearest corpus vectors by cosine.
     Result: (query_id, neighbor_id, cosine, rank); self-matches excluded.
     Deterministic tie-break on neighbor id."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb_a")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb_b"))
-    scored = with_cosine(c.crossJoin(F.broadcast(q))).filter(
+    q = _side(queries, id_col, emb_col, "query_id", "a")
+    c = _side(corpus, id_col, emb_col, "neighbor_id", "b")
+    scored = _cosine_from_norms(c.crossJoin(F.broadcast(q))).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -134,12 +162,10 @@ def ann_topk_srp(
     ).unionByName(
         pairs.select(F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"))
     )
-    emb = corpus.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
-    joined = (
-        sym.join(emb.select(F.col("_id").alias("query_id"), F.col("_emb").alias("emb_a")), "query_id")
-        .join(emb.select(F.col("_id").alias("neighbor_id"), F.col("_emb").alias("emb_b")), "neighbor_id")
+    joined = sym.join(_side(corpus, id_col, emb_col, "query_id", "a"), "query_id").join(
+        _side(corpus, id_col, emb_col, "neighbor_id", "b"), "neighbor_id"
     )
-    scored = with_cosine(joined)
+    scored = _cosine_from_norms(joined)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -160,18 +186,15 @@ def embedding_near_dup_pairs(
     """Pairs with cosine >= min_cosine. ``exact=True`` brute-forces all
     pairs (the oracle-checkable baseline, O(n^2) — fine at test SF);
     otherwise SRP candidates bound the work at scale."""
+    a = _side(df, id_col, emb_col, "id_a", "a")
+    b = _side(df, id_col, emb_col, "id_b", "b")
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         cand = srp_candidates(df, dim, id_col, emb_col, **srp_kwargs)
-        emb = df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
-        pairs = cand.join(
-            emb.select(F.col("_id").alias("id_a"), F.col("_emb").alias("emb_a")), "id_a"
-        ).join(emb.select(F.col("_id").alias("id_b"), F.col("_emb").alias("emb_b")), "id_b")
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        with_cosine(pairs)
+        _cosine_from_norms(pairs)
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

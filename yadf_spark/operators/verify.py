@@ -65,6 +65,7 @@ def verify_pairs(
     cut down by a broadcast semi-join on candidate ids before any
     shuffle, so the binary column crosses the exchange only for
     candidates (O6 design rule)."""
+    pairs = pairs.persist()  # two consumers: the id set and the final join
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -84,23 +85,38 @@ def verify_pairs(
     b = feats.select(
         F.col("id").alias("id_b"), F.col("_bytes").alias("bytes_b"), F.col("_caption").alias("cap_b")
     )
-    joined = pairs.join(a, "id_a").join(b, "id_b")
     # Cheap predicates first (reference: src/fs/filter.rs:48-55): caption
     # equality and byte equality are JVM-side; only pairs that still need
-    # pixel evidence pay the Python decode.
-    caption_eq = F.col("cap_a") == F.col("cap_b")
-    bytes_eq = F.col("bytes_a") == F.col("bytes_b")
-    need_decode = caption_eq & ~bytes_eq
-    scored = joined.withColumn(
-        "psnr_db",
-        F.when(bytes_eq, F.lit(1e9)).when(
-            need_decode, pair_psnr()(F.col("bytes_a"), F.col("bytes_b"))
-        ).otherwise(F.lit(-1.0)),
+    # pixel evidence pay the Python decode. NOTE: the decode UDF must sit
+    # behind a real FILTER, not inside when(...) — Catalyst extracts
+    # Python UDFs out of conditionals and evaluates them for every row,
+    # shipping every payload byte to Python.
+    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        "bytes_a",
+        "bytes_b",
+        (F.col("cap_a") == F.col("cap_b")).alias("caption_equal"),
+        (F.col("bytes_a") == F.col("bytes_b")).alias("bytes_equal"),
     )
+    need_decode = F.col("caption_equal") & ~F.col("bytes_equal")
+    decoded = joined.filter(need_decode).select(
+        "id_a",
+        "id_b",
+        "caption_equal",
+        pair_psnr()(F.col("bytes_a"), F.col("bytes_b")).alias("psnr_db"),
+    )
+    trivial = joined.filter(~need_decode).select(
+        "id_a",
+        "id_b",
+        "caption_equal",
+        F.when(F.col("bytes_equal"), F.lit(1e9)).otherwise(F.lit(-1.0)).alias("psnr_db"),
+    )
+    scored = decoded.unionByName(trivial)
     return scored.select(
         "id_a",
         "id_b",
-        caption_eq.alias("caption_equal"),
+        "caption_equal",
         "psnr_db",
-        (caption_eq & (F.col("psnr_db") >= psnr_min_db)).alias("verified"),
+        (F.col("caption_equal") & (F.col("psnr_db") >= psnr_min_db)).alias("verified"),
     )

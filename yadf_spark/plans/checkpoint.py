@@ -61,8 +61,16 @@ class Checkpointer:
     def stage(self, name: str, config, fn: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.monotonic()
         if self.workdir is None:
-            df = fn()
-            self.runs.append(StageRun(name, -1, time.monotonic() - t0, False))
+            # no durable checkpoint requested: persist AND materialize.
+            # Lazy persist is not enough — AQE launches independent
+            # consumer stages concurrently, and each would recompute the
+            # still-unpopulated cache (observed: the MinHash UDF running
+            # 4x in parallel). The eager count also yields true per-stage
+            # row counts + wall time (the reference's per-stage metrics,
+            # src/lib.rs:120-139).
+            df = fn().persist()
+            rows = df.count()
+            self.runs.append(StageRun(name, rows, time.monotonic() - t0, False))
             return df
 
         stage_dir = Path(self.workdir) / name
