@@ -1,0 +1,206 @@
+"""CLI + filesystem-source tests — the reference's end-to-end surface
+(reference: tests/integration.rs:22-182, tests/particular_cases.rs).
+
+Each test builds a planted directory tree (the reference's TestDir
+pattern, tests/common/mod.rs:51-97), runs the CLI in-process against the
+session-scoped SparkSession, and asserts on the formatted output."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from yadf_spark.cli import build_parser, parse_bytes, run
+from yadf_spark.sources import corpus as src
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    """The reference's static fixture tree (tests/static): foo/bar/qix
+    identical, qux different, qax small."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for name in ("foo", "bar", "qix"):
+        (d / name).write_bytes(b"aa\n")
+    (d / "qux").write_bytes(b"bb\n")
+    (d / "qax").write_bytes(b"i\n")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "deep_foo").write_bytes(b"aa\n")
+    return d
+
+
+def _cli(spark, argv) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run(build_parser().parse_args(argv), spark=spark)
+    assert rc == 0
+    return buf.getvalue()
+
+
+def test_json_groups(spark, tree):
+    out = _cli(spark, ["-f", "json", str(tree)])
+    groups = json.loads(out)
+    assert len(groups) == 1
+    assert sorted(os.path.basename(p) for p in groups[0]) == ["bar", "deep_foo", "foo", "qix"]
+
+
+def test_fdupes_format_blank_line_between_groups(spark, tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    for name in ("a1", "a2"):
+        (d / name).write_bytes(b"groupA")
+    for name in ("b1", "b2"):
+        (d / name).write_bytes(b"groupB")
+    (d / "solo").write_bytes(b"unique")
+    out = _cli(spark, ["-f", "fdupes", str(d)])
+    blocks = [b.splitlines() for b in out.strip().split("\n\n")]
+    assert len(blocks) == 2
+    names = sorted(sorted(os.path.basename(p) for p in b) for b in blocks)
+    assert names == [["a1", "a2"], ["b1", "b2"]]
+
+
+def test_machine_and_csv_and_ldjson(spark, tree):
+    machine = _cli(spark, ["-f", "machine", str(tree)])
+    assert machine.count('"') == 8  # 4 quoted paths on one line
+    csv = _cli(spark, ["-f", "csv", str(tree)])
+    lines = csv.strip().splitlines()
+    assert lines[0] == "count,files"
+    assert lines[1].startswith("4,")
+    ld = _cli(spark, ["-f", "ld-json", str(tree)])
+    assert len(json.loads(ld.strip().splitlines()[0])) == 4
+
+
+def test_min_max_filters(spark, tree):
+    # min 3 bytes excludes qax ("i\n"); the aa-group (3 bytes) survives
+    out = json.loads(_cli(spark, ["-f", "json", "--min", "3", str(tree)]))
+    assert len(out) == 1
+    # max 1 byte excludes everything
+    out = json.loads(_cli(spark, ["-f", "json", "--max", "1", str(tree)]))
+    assert out == []
+
+
+def test_regex_and_glob_filters(spark, tree):
+    # regex ^q keeps qix/qux/qax only -> no group of >=2 identical
+    out = json.loads(_cli(spark, ["-f", "json", "-p", "^q", str(tree)]))
+    assert out == []
+    # glob matching f*/b* keeps foo/bar (identical) and deep_foo
+    out = json.loads(_cli(spark, ["-f", "json", "-g", "[fb]*", str(tree)]))
+    assert len(out) == 1 and len(out[0]) == 3
+
+
+def test_depth_bound(spark, tree):
+    # depth 1 = direct children only: sub/deep_foo excluded
+    out = json.loads(_cli(spark, ["-f", "json", "-d", "1", str(tree)]))
+    assert sorted(os.path.basename(p) for p in out[0]) == ["bar", "foo", "qix"]
+
+
+def test_rfactor_variants(spark, tree):
+    # equal:1 = uniques view (qux, qax as 1-member groups)
+    out = json.loads(_cli(spark, ["-f", "json", "-r", "equal:1", str(tree)]))
+    singles = sorted(os.path.basename(p) for g in out for p in g)
+    assert singles == ["qax", "qux"]
+    out = json.loads(_cli(spark, ["-f", "json", "-r", "under:5", str(tree)]))
+    assert len(out) == 3  # every bucket has < 5 members
+
+
+def test_no_empty(spark, tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "e1").write_bytes(b"")
+    (d / "e2").write_bytes(b"")
+    (d / "f1").write_bytes(b"x")
+    (d / "f2").write_bytes(b"x")
+    out = json.loads(_cli(spark, ["-f", "json", str(d)]))
+    assert len(out) == 2  # empty files group together by default
+    out = json.loads(_cli(spark, ["-f", "json", "-n", str(d)]))
+    assert len(out) == 1  # --no-empty drops them
+
+
+@pytest.mark.skipif(os.name != "posix", reason="hard links are POSIX")
+def test_hardlink_suppression(spark, tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "orig").write_bytes(b"same-bytes")
+    os.link(d / "orig", d / "link")
+    (d / "copy").write_bytes(b"same-bytes")
+    # default: hard link suppressed — exactly one of {orig, link} remains
+    # (deterministic min-path winner; the reference keeps first-seen,
+    # which its parallel walk makes nondeterministic, src/fs/filter.rs:99)
+    out = json.loads(_cli(spark, ["-f", "json", str(d)]))
+    assert sorted(os.path.basename(p) for p in out[0]) == ["copy", "link"]
+    # -H: hard links count as duplicates -> all three
+    out = json.loads(_cli(spark, ["-f", "json", "-H", str(d)]))
+    assert len(out[0]) == 3
+
+
+def test_input_path_dedup(spark, tree):
+    """S3: passing the same root twice must not double-count."""
+    out = json.loads(_cli(spark, ["-f", "json", str(tree), str(tree)]))
+    assert len(out) == 1 and len(out[0]) == 4
+
+
+def test_output_file_and_algorithms(spark, tree, tmp_path):
+    for algo in ("xxhash64", "md5", "sha256"):
+        target = tmp_path / f"out-{algo}.json"
+        _cli(spark, ["-f", "json", "-a", algo, "-o", str(target), str(tree)])
+        assert len(json.loads(target.read_text())) == 1
+
+
+def test_cluster_table_sink(spark, tree, tmp_path):
+    ct = tmp_path / "clusters"
+    _cli(spark, ["-f", "json", "--cluster-table", str(ct), str(tree)])
+    df = spark.read.parquet(str(ct))
+    assert set(df.columns) == {"image_id", "cluster_id"}
+    assert df.count() == 4  # only the dup-group members (rfactor over:1)
+
+
+def test_checkpoint_resume(spark, tree, tmp_path):
+    ck = tmp_path / "ck"
+    _cli(spark, ["-f", "json", "--checkpoint-dir", str(ck), str(tree)])
+    assert (ck / "exact_ladder" / "manifest.json").exists()
+    # second run resumes (manifest fingerprint matches)
+    import io
+    from contextlib import redirect_stderr
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        _cli(spark, ["-f", "json", "--checkpoint-dir", str(ck), "--report", str(tree)])
+    assert "resumed=True" in buf.getvalue()
+
+
+def test_table_source_mode(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    rows = [("a", b"xx"), ("b", b"xx"), ("c", b"yy")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    path = str(tmp_path / "tbl")
+    df.write.parquet(path)
+    out = json.loads(_cli(spark, ["-f", "json", "--table", path]))
+    assert out == [["a", "b"]]
+
+
+def test_parse_bytes_units():
+    assert parse_bytes("100") == 100
+    assert parse_bytes("4K") == 4000
+    assert parse_bytes("4KiB") == 4096
+    assert parse_bytes("100M") == 100_000_000
+    assert parse_bytes("1GiB") == 1024**3
+    assert parse_bytes("1.5k") == 1500
+    with pytest.raises(Exception):
+        parse_bytes("12parsecs")
+
+
+def test_default_paths_explicit():
+    assert src.default_paths(["/a", "/b"]) == ["/a", "/b"]
+
+
+def test_filesystem_corpus_schema(spark, tree):
+    df = src.filesystem_corpus(spark, [str(tree)])
+    assert [f.name for f in df.schema.fields[:3]] == ["image_id", "bytes", "size"]
+    assert df.count() == 6

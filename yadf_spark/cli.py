@@ -1,0 +1,195 @@
+"""Command-line entry point — the reference's CLI surface, Spark-native.
+
+Mirrors ``yadf [OPTIONS] [PATHS]...`` (reference: src/main.rs:135-191,
+src/args.rs) over either real directory trees (``binaryFile`` scan) or a
+parquet/Iceberg table (``--table``). Runs under plain ``python -m
+yadf_spark.cli`` for local mode, or ``spark-submit --py-files
+yadf_spark.zip yadf_spark/cli.py ...`` on a cluster (the north_rule's
+launch mode — ``get_spark`` is a no-op when spark-submit already created
+the session).
+
+Examples::
+
+    python -m yadf_spark.cli ~/Documents ~/Downloads
+    python -m yadf_spark.cli -f ld-json -a sha256 --min 100K /data
+    python -m yadf_spark.cli --table /data/images.parquet --mode near-dup \
+        --checkpoint-dir /tmp/ck --cluster-table /tmp/clusters
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import re
+import sys
+
+from yadf_spark.config import Factor, LadderConfig, NearDupConfig, ScanFilter
+
+log = logging.getLogger("yadf_spark")
+
+_BYTE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]*)\s*$")
+_UNITS = {"": 1, "b": 1}
+for _i, _p in enumerate("kmgtpe", start=1):
+    _UNITS[_p] = 1000**_i  # K / KB = decimal (byte_unit crate semantics)
+    _UNITS[_p + "b"] = 1000**_i
+    _UNITS[_p + "ib"] = 1024**_i  # KiB = binary
+
+
+def parse_bytes(s: str) -> int:
+    """X2 (reference: src/main.rs:216-226): ``100M``, ``4K``, ``1GiB``,
+    case-insensitive."""
+    m = _BYTE_RE.match(s)
+    if not m:
+        raise argparse.ArgumentTypeError(f"invalid byte size {s!r}")
+    num, unit = m.groups()
+    mult = _UNITS.get(unit.lower())
+    if mult is None:
+        raise argparse.ArgumentTypeError(f"invalid byte unit {unit!r} in {s!r}")
+    return int(float(num) * mult)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yadf-spark",
+        description="Spark-native duplicate / near-duplicate finder "
+        "(capabilities of jRimbault/yadf, rebuilt on PySpark)",
+    )
+    p.add_argument("paths", nargs="*", help="directories/files to scan (default: stdin or cwd)")
+    p.add_argument(
+        "-f", "--format", default="fdupes",
+        choices=["fdupes", "machine", "json", "json-pretty", "ld-json", "csv"],
+        help="output format (reference: src/main.rs:105-132)",
+    )
+    p.add_argument(
+        "-a", "--algorithm", default="xxhash64", choices=["xxhash64", "md5", "sha256"],
+        help="content hash (the reference's 6 native algos map onto Spark's "
+        "built-in JVM-side hashes; xxhash64 ~ its xxh3 default-class choice)",
+    )
+    p.add_argument("-n", "--no-empty", action="store_true", help="exclude empty files (min=1)")
+    p.add_argument("--min", type=parse_bytes, default=None, help="minimum file size (e.g. 100M)")
+    p.add_argument("--max", type=parse_bytes, default=None, help="maximum file size")
+    p.add_argument("-d", "--depth", type=int, default=None, help="maximum recursion depth")
+    p.add_argument(
+        "-H", "--hard-links", action="store_true",
+        help="treat hard links to the same file as duplicates",
+    )
+    p.add_argument("-p", "--pattern", default=None, help="regex the file name must match")
+    p.add_argument("-g", "--glob", default=None, help="glob the file name must match")
+    p.add_argument(
+        "-r", "--rfactor", type=Factor.parse, default=Factor.over(1),
+        help="replication factor filter: under:N | equal:N | over:N (default over:1)",
+    )
+    p.add_argument("-o", "--output", default=None, help="write output to this file (driver-side)")
+    p.add_argument(
+        "--output-dir", default=None,
+        help="distributed write of the formatted output (directory of text parts)",
+    )
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    # Spark-native extensions
+    p.add_argument("--table", default=None, help="read a parquet path / Iceberg table instead of walking paths")
+    p.add_argument("--id-col", default="image_id")
+    p.add_argument("--payload-col", default="bytes")
+    p.add_argument(
+        "--mode", default="exact", choices=["exact", "near-dup"],
+        help="exact: the reference's dup-group scan; near-dup: phash bands + "
+        "MinHash LSH + PSNR verify + connected components (north_rule)",
+    )
+    p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume directory")
+    p.add_argument("--cluster-table", default=None, help="write (image_id, cluster_id) parquet here")
+    p.add_argument("--cores", type=int, default=None, help="local[N] parallelism (ignored under spark-submit)")
+    p.add_argument("--report", action="store_true", help="print per-stage metrics to stderr")
+    return p
+
+
+def run(args: argparse.Namespace, spark=None) -> int:
+    from pyspark.sql import functions as F
+
+    from yadf_spark.operators import exact
+    from yadf_spark.plans.checkpoint import Checkpointer
+    from yadf_spark.session import get_spark
+    from yadf_spark.sinks import formats as fmts
+    from yadf_spark.sources import corpus as src
+
+    logging.basicConfig(
+        level=[logging.WARNING, logging.INFO, logging.DEBUG][min(args.verbose, 2)],
+        stream=sys.stderr,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    spark = spark or get_spark(app_name="yadf-spark-cli", cores=args.cores)
+
+    if args.table:
+        df = src.table_corpus(spark, args.table, args.id_col, args.payload_col)
+    else:
+        paths = src.default_paths(args.paths)
+        df = src.filesystem_corpus(
+            spark,
+            paths,
+            max_depth=args.depth,
+            keep_hardlinks=args.hard_links,
+        )
+
+    min_size = 1 if (args.no_empty and args.min is None) else args.min
+    flt = ScanFilter(min_size=min_size, max_size=args.max, regex=args.pattern, glob=args.glob)
+    ladder = LadderConfig(algo=args.algorithm)
+
+    if args.mode == "near-dup":
+        from yadf_spark.operators import pipeline as pl
+
+        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir)
+        images = exact.apply_scan_filters(df, flt)
+        out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
+        clusters = out["clusters"]
+        if args.cluster_table:
+            fmts.write_cluster_assignments(clusters, args.cluster_table)
+        # groups view of the clusters for the text formats
+        groups = (
+            clusters.groupBy(F.col("cluster_id").alias("group_key"))
+            .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
+            .filter(exact.factor_predicate(F.col("n"), args.rfactor))
+        )
+        metrics = out["metrics"]
+    else:
+        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir)
+        assignments = ck.stage(
+            "exact_ladder",
+            {"ladder": ladder, "filter": flt},
+            lambda: exact.exact_assignments(df, cfg=ladder, scan_filter=flt),
+        )
+        groups = exact.groups_from_assignments(assignments, args.rfactor)
+        metrics = ck.metrics()
+        if args.cluster_table:
+            fmts.write_cluster_assignments(
+                groups.select(
+                    F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
+                ),
+                args.cluster_table,
+            )
+
+    if args.output_dir:
+        liner = {
+            "fdupes": fmts.fdupes_lines,
+            "machine": fmts.machine_lines,
+            "ld-json": fmts.ldjson_lines,
+            "csv": fmts.csv_lines,
+        }.get(args.format, fmts.ldjson_lines)
+        fmts.write_lines(liner(groups), args.output_dir)
+    else:
+        rendered = fmts.render(groups, args.format)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(rendered + ("\n" if rendered else ""))
+        else:
+            print(rendered)
+
+    if args.report or args.verbose:
+        for m in metrics:
+            print(f"stage {m['stage']}: rows={m['rows']} sec={m['seconds']} resumed={m['resumed']}", file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

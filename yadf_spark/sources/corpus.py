@@ -1,0 +1,193 @@
+"""Corpus sources — the scan side of the engine.
+
+The reference walks real directory trees (S1, parallel recursive walk,
+reference: src/fs.rs:98-130). The Spark-native scan is the ``binaryFile``
+datasource with ``recursiveFileLookup``: a distributed, partitioned file
+listing + content read whose listing parallelism replaces the walker's
+thread pool, with Catalyst pushing the path-glob and length filters into
+the file index.
+
+Both sources normalize to ONE corpus schema the whole engine consumes::
+
+    (image_id string, bytes binary, size long)
+
+plus any passthrough columns (``mtime``, ``caption``, ``phash``, ...).
+``image_id`` is the path for filesystem corpora and the table's id column
+for table corpora — everything downstream keys on it.
+
+Scale note: ``binaryFile`` materializes file *content* into rows; the
+exact-dup ladder immediately projects it down to (id, size, prefix/suffix
+hash) so the bytes never cross a shuffle (see operators/exact.py). For a
+100 TB corpus the scan cost is the unavoidable one read per file; the
+ladder's stage routing guarantees no file is read twice (the full-hash
+stage re-scans only surviving collider candidates).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def default_paths(argv_paths: list[str] | None = None) -> list[str]:
+    """S4 (reference: src/args.rs:55-71): explicit paths win; otherwise
+    read one path per line from a non-tty stdin; otherwise the cwd."""
+    if argv_paths:
+        return list(argv_paths)
+    if not sys.stdin.isatty():
+        lines = [ln.strip() for ln in sys.stdin.read().splitlines()]
+        paths = [ln for ln in lines if ln]
+        if paths:
+            return paths
+    return [os.getcwd()]
+
+
+def _canonical_roots(paths: list[str]) -> list[str]:
+    """S3 (reference: src/fs.rs:106-108): distinct roots by canonicalized
+    path so ``yadf a a`` doesn't double-count. Driver-side — the root
+    list is tiny."""
+    seen: dict[str, str] = {}
+    for p in paths:
+        canon = os.path.realpath(p)
+        seen.setdefault(canon, p)
+    return list(seen.keys())
+
+
+def _depth_filter(df: DataFrame, roots: list[str], max_depth: int) -> DataFrame:
+    """S2 (reference: src/fs.rs:113): keep entries at most ``max_depth``
+    directory levels below their root; ``--depth 0`` keeps only the named
+    files themselves. ``binaryFile`` has no depth knob, so this is a
+    post-listing predicate on the path — it still prunes before any
+    downstream shuffle."""
+    path = F.regexp_replace(F.col("image_id"), "^file:", "")
+    cond = F.lit(False)
+    for root in roots:
+        prefix = root.rstrip("/") + "/"
+        # walkdir depth semantics: the root is depth 0, its immediate
+        # children depth 1 (reference: src/fs.rs:113 + walkdir docs)
+        rel = F.substring(path, len(prefix) + 1, 1_000_000)
+        depth = F.size(F.split(rel, "/"))
+        under = path.startswith(prefix) & (depth <= max_depth)
+        cond = cond | under | (path == root)  # depth 0: the named file itself
+    return df.filter(cond)
+
+
+def _drop_hardlinks(df: DataFrame) -> DataFrame:
+    """F6 (reference: src/fs/filter.rs:90-149): one path per (device,
+    inode) pair — later hard links to the same file are dropped. Inode
+    numbers are only unique per device, so the key is the pair.
+
+    stat(2) runs executor-side in an Arrow-batched pandas UDF (the
+    reference does it inside the walk); the dedup itself is a
+    first-row-per-key aggregate — min path for determinism."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<dev: long, ino: long>")
+    def dev_ino(paths: pd.Series) -> pd.DataFrame:
+        devs, inos = [], []
+        for p in paths:
+            try:
+                st = os.stat(p.removeprefix("file:"))
+                devs.append(st.st_dev)
+                inos.append(st.st_ino)
+            except OSError:
+                devs.append(-1)
+                inos.append(-1)
+        return pd.DataFrame({"dev": devs, "ino": inos})
+
+    keyed = df.withColumn("_di", dev_ino("image_id"))
+    w = Window.partitionBy("_di.dev", "_di.ino").orderBy("image_id")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) | (F.col("_di.dev") < 0))
+        .drop("_di", "_rn")
+    )
+
+
+def _empty_files_df(spark: SparkSession, roots: list[str], glob: str | None) -> DataFrame:
+    """Spark's ``binaryFile`` datasource silently skips zero-length files
+    (its splits have no bytes to read); the reference groups empty files
+    by default (min size 0, src/args.rs:16-22). Recover them with a
+    Hadoop-FS listing — metadata only, no content reads, and the listing
+    works on any FS scheme Spark supports."""
+    import fnmatch
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    rows = []
+    for root in roots:
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getLen() == 0:
+                path = st.getPath().toUri().getPath()
+                if glob and not fnmatch.fnmatch(os.path.basename(path), glob):
+                    continue
+                rows.append((path, b"", 0, st.getModificationTime()))
+    schema = "image_id string, bytes binary, size long, _mtime_ms long"
+    empties = spark.createDataFrame(rows, schema)
+    return empties.select(
+        "image_id", "bytes", "size", F.timestamp_millis("_mtime_ms").alias("mtime")
+    )
+
+
+def filesystem_corpus(
+    spark: SparkSession,
+    paths: list[str],
+    max_depth: int | None = None,
+    keep_hardlinks: bool = True,
+    glob: str | None = None,
+) -> DataFrame:
+    """S1: distributed scan of real directory trees via ``binaryFile``.
+
+    Returns ``(image_id, bytes, size, mtime)`` — one row per regular
+    file (F1 is implicit: the datasource lists files only). ``glob``
+    pushes a name pattern into the file *index* (``pathGlobFilter``),
+    i.e. true scan pushdown — cheaper than the post-hoc F5 filter.
+    """
+    roots = _canonical_roots(paths)
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(roots).select(
+        F.regexp_replace(F.col("path"), "^file:", "").alias("image_id"),
+        F.col("content").alias("bytes"),
+        F.col("length").cast("long").alias("size"),
+        F.col("modificationTime").alias("mtime"),
+    )
+    df = df.unionByName(_empty_files_df(spark, roots, glob))
+    if max_depth is not None:
+        df = _depth_filter(df, roots, max_depth)
+    if not keep_hardlinks:
+        df = _drop_hardlinks(df)
+    return df
+
+
+def table_corpus(
+    spark: SparkSession,
+    source: str,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+) -> DataFrame:
+    """Table source: an Iceberg table name (``catalog.db.table``) when a
+    catalog is configured, else a parquet path/directory. Normalizes the
+    id/payload column names so downstream operators are source-agnostic."""
+    if os.path.exists(source) or source.startswith(("file:", "s3:", "hdfs:")):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    out = df
+    if id_col != "image_id":
+        out = out.withColumnRenamed(id_col, "image_id")
+    if payload_col != "bytes":
+        out = out.withColumnRenamed(payload_col, "bytes")
+    return out
