@@ -424,6 +424,64 @@ def q_images_exact_dedup(spark, sf_dir):
     return exact.exact_dup_groups(df).select("group_key", "members", "n")
 
 
+def q_images_metadata(spark, sf_dir):
+    """Multimodal decode: typed metadata + channel stats from binary
+    payloads (mapInPandas; fake codec — the Pillow seam is documented)."""
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import multimodal as mm
+
+    df = img.images_df(spark, 128, seed=42)
+    return mm.decode_metadata(df).orderBy("image_id")
+
+
+def q_images_resize(spark, sf_dir):
+    """Multimodal resize: nearest-neighbor to 32x32, re-encoded; output
+    is (image_id, resized size) so the check is deterministic."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import multimodal as mm
+
+    df = img.images_df(spark, 64, seed=42)
+    return (
+        mm.resize_images(df, 32, 32)
+        .select("image_id", F.length("bytes").cast("long").alias("resized_len"))
+        .orderBy("image_id")
+    )
+
+
+def q_images_embedding_ann(spark, sf_dir):
+    """Decode -> histogram embedding -> brute-force cosine top-3 over the
+    image table (the multimodal ANN composition)."""
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import multimodal as mm
+
+    df = img.images_df(spark, 96, seed=42)
+    emb = mm.image_embedding(df, dim=64).withColumnRenamed("image_id", "vec_id")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") <= "img-000000007"), k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling over the fake container (decode stub for real
+    formats; plumbing — schema, row expansion, batching — is real)."""
+    import numpy as np
+
+    from yadf_spark.operators import multimodal as mm
+
+    vids = [
+        (f"vid-{i}", mm.encode_fake_video([np.full((8, 8, 3), (i * 7 + j) % 256, np.uint8) for j in range(12)]))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(vids, "video_id string, bytes binary")
+    return (
+        mm.frame_sample(df, every_n=4)
+        .select("video_id", "frame_idx", "n_frames", F.length("frame_bytes").cast("long").alias("frame_len"))
+        .orderBy("video_id", "frame_idx")
+    )
+
+
 def q_images_near_dup_clusters(spark, sf_dir):
     """Full near-dup pipeline (phash bands + MinHash LSH + PSNR verify +
     connected components) over the synthetic image table."""
@@ -474,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_srp": q_ann_topk_srp,
         "images_exact_dedup": q_images_exact_dedup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
+        "images_metadata": q_images_metadata,
+        "images_resize": q_images_resize,
+        "images_embedding_ann": q_images_embedding_ann,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 

@@ -1,0 +1,161 @@
+"""Multimodal operators + streaming dedup tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yadf_spark.config import NearDupConfig
+from yadf_spark.fixtures import codec
+from yadf_spark.fixtures.images import images_df
+from yadf_spark.operators import multimodal as mm
+from yadf_spark.streaming import dedup as sd
+
+
+# ---------------------------------------------------------------- multimodal
+def test_decode_metadata(spark):
+    df = images_df(spark, 32, seed=7)
+    meta = mm.decode_metadata(df).toPandas().set_index("image_id")
+    src = {r["image_id"]: r for r in df.select("image_id", "w", "h", "fmt").collect()}
+    assert len(meta) == 32 and meta["ok"].all()
+    for iid, row in meta.iterrows():
+        assert row["w"] == src[iid]["w"] and row["h"] == src[iid]["h"]
+        assert row["fmt"] == src[iid]["fmt"]
+        assert row["n_pixels"] == row["w"] * row["h"]
+        assert 0.0 <= row["mean_r"] <= 255.0
+
+
+def test_decode_metadata_quarantines_bad_rows(spark):
+    rows = [("good", codec.encode_png(np.zeros((4, 4, 3), np.uint8))), ("bad", b"\x00garbage")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    meta = {r["image_id"]: r for r in mm.decode_metadata(df).collect()}
+    assert meta["good"]["ok"] is True
+    assert meta["bad"]["ok"] is False and meta["bad"]["w"] is None
+
+
+def test_resize_images(spark):
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    df = spark.createDataFrame([("a", codec.encode_png(px))], "image_id string, bytes binary")
+    out = mm.resize_images(df, out_w=3, out_h=4).collect()[0]
+    decoded = codec.decode_image(bytes(out["bytes"]))
+    assert decoded.shape == (4, 3, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    src_px = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in src_px for p in decoded.reshape(-1, 3))
+
+
+def test_image_embedding_normalized_and_deterministic(spark):
+    df = images_df(spark, 8, seed=3)
+    e1 = mm.image_embedding(df, dim=64).toPandas().set_index("image_id")
+    e2 = mm.image_embedding(df, dim=64).toPandas().set_index("image_id")
+    for iid in e1.index:
+        v = np.asarray(e1.loc[iid, "embedding"], dtype=np.float64)
+        assert len(v) == 64
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        assert np.allclose(v, np.asarray(e2.loc[iid, "embedding"]))
+
+
+def test_frame_sample_and_video_stub(spark):
+    frames = [np.full((4, 4, 3), i, np.uint8) for i in range(10)]
+    vid = mm.encode_fake_video(frames)
+    df = spark.createDataFrame(
+        [("v1", vid), ("v2", b"\x00\x01notavideo")], "video_id string, bytes binary"
+    )
+    out = mm.frame_sample(df, every_n=3).toPandas()
+    v1 = out[out.video_id == "v1"].sort_values("frame_idx")
+    assert list(v1.frame_idx) == [0, 3, 6, 9]
+    assert (v1.n_frames == 10).all()
+    # sampled frames decode to the planted content
+    decoded = codec.decode_image(bytes(v1.iloc[1].frame_bytes))
+    assert (decoded == 3).all()
+    # real video formats are a documented stub -> quarantine row
+    v2 = out[out.video_id == "v2"]
+    assert len(v2) == 1 and v2.iloc[0].frame_bytes is None
+
+
+def test_frame_sample_max_frames(spark):
+    vid = mm.encode_fake_video([np.zeros((2, 2, 3), np.uint8)] * 6)
+    df = spark.createDataFrame([("v", vid)], "video_id string, bytes binary")
+    out = mm.frame_sample(df, every_n=2, max_frames=2).toPandas()
+    assert list(out.frame_idx) == [0, 2]
+
+
+# ---------------------------------------------------------------- streaming
+def _write_batches(tmp_path, spark, batches):
+    """Write image micro-batch parquet files that a file-source stream
+    picks up in order."""
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir(exist_ok=True)
+    schema = None
+    for i, df in enumerate(batches):
+        df.write.mode("overwrite").parquet(str(src_dir / f"b{i}.parquet"))
+        schema = df.schema
+    return str(src_dir), schema
+
+
+def test_dedup_stream_exact(spark, tmp_path):
+    base = images_df(spark, 24, seed=11).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    src_dir, schema = _write_batches(tmp_path, spark, [base])
+    stream = spark.readStream.schema(schema).parquet(src_dir + "/*")
+    deduped = sd.dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_out").count()
+    distinct_payloads = base.select("bytes").distinct().count()
+    assert got == distinct_payloads  # exact dups collapsed on content hash
+
+
+def test_streaming_near_dup_matches_batch_candidates(spark, tmp_path):
+    """The incremental band index must produce the same candidate pair
+    set as the batch pipeline's one-shot self-join, regardless of how
+    rows are split across micro-batches."""
+    from yadf_spark.operators import minhash
+    from yadf_spark.operators.pipeline import candidate_buckets
+
+    cfg = NearDupConfig()
+    all_imgs = images_df(spark, 48, seed=5).persist()
+    b1 = all_imgs.filter(F.col("image_id") < "img-000000024")
+    b2 = all_imgs.filter(F.col("image_id") >= "img-000000024")
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sd.incremental_near_dup_batch(b1, 0, index_dir, pairs_dir, cfg)
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, cfg)
+
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
+    }
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash.candidate_pairs_from_buckets(
+            candidate_buckets(all_imgs, cfg), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
+        ).collect()
+    }
+    assert streamed == batch_pairs
+    all_imgs.unpersist()
+
+
+def test_streaming_near_dup_end_to_end(spark, tmp_path):
+    imgs = images_df(spark, 16, seed=9)
+    src_dir, schema = _write_batches(tmp_path, spark, [imgs])
+    stream = spark.readStream.schema(schema).parquet(src_dir + "/*")
+    q = sd.streaming_near_dup(
+        stream,
+        index_dir=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "prs"),
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(180)
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert idx.count() > 0
+    assert set(idx.columns) == {"id", "band_idx", "band_hash"}

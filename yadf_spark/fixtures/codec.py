@@ -78,6 +78,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         ) from exc
 
 
+def sniff_format(payload: bytes) -> str:
+    """Container format from magic bytes (fake codec first, then the
+    real-world signatures so mixed tables classify correctly)."""
+    if payload[:4] == MAGIC_PNG:
+        return "png"
+    if payload[:4] == MAGIC_JPG:
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    return "unknown"
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     if a.shape != b.shape:

@@ -1,0 +1,235 @@
+"""Multimodal column operators — decode / feature-extract / resize /
+frame-sample over opaque ``binary`` payloads.
+
+Design rules (the 100 TB contract):
+
+* Payload bytes NEVER cross a shuffle — every operator here is a
+  narrow map (``mapInPandas`` / scalar pandas UDF over Arrow batches)
+  that projects binary into small typed columns; downstream shuffles
+  carry only those.
+* Python is batch-vectorized — the kernels loop per row only to call
+  the codec (one ``zlib``/numpy call per image dominates), matching the
+  reference's per-file hash loop shape (src/fs/hash.rs:60-69).
+* Real image/video libraries are absent in this container: the decode
+  seam (`fixtures.codec.decode_image`) tries Pillow first and falls
+  back to the deterministic fake codec; payloads neither can read
+  degrade to null rows rather than failing the job (the reference's
+  error-fallback posture, src/fs.rs:242-262). Video decode is a STUB —
+  a documented fake container format exercises the real Spark plumbing
+  (schema, batch shape, partitioning) until a real decoder is wired in.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from yadf_spark.fixtures import codec
+
+# ---------------------------------------------------------------------------
+# image metadata + features
+# ---------------------------------------------------------------------------
+
+META_SCHEMA = (
+    "image_id string, fmt string, w int, h int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, ok boolean"
+)
+
+
+def decode_metadata(df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes") -> DataFrame:
+    """Decode each payload and emit typed metadata + channel statistics.
+
+    ``mapInPandas`` so undecodable rows can still emit a row with
+    ``ok=false`` (a filter-push-down-friendly quarantine flag)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from yadf_spark.fixtures.codec import decode_image, sniff_format
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px = decode_image(bytes(payload))
+                    h, w, _ = px.shape
+                    flat = px.reshape(-1, 3).astype(np.float64)
+                    rows.append(
+                        (
+                            rid,
+                            sniff_format(bytes(payload)),
+                            w,
+                            h,
+                            w * h,
+                            float(flat[:, 0].mean()),
+                            float(flat[:, 1].mean()),
+                            float(flat[:, 2].mean()),
+                            float(flat.mean(axis=1).std()),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((rid, None, None, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "w", "h", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "std_gray", "ok",
+                ],
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        kernel, META_SCHEMA
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Nearest-neighbor resize; returns ``(image_id, bytes)`` with the
+    resized payload re-encoded losslessly. Pure-numpy kernel (index
+    gather), no external imaging library needed."""
+
+    def kernel(series: pd.Series) -> pd.Series:
+        from yadf_spark.fixtures.codec import decode_image, encode_png
+
+        out = []
+        for payload in series:
+            if payload is None:
+                out.append(None)
+                continue
+            try:
+                px = decode_image(bytes(payload))
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                out.append(encode_png(np.ascontiguousarray(px[yi][:, xi])))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    resize = F.pandas_udf(kernel, "binary")
+    return df.select(F.col(id_col).alias(id_col), resize(F.col(bytes_col)).alias(bytes_col))
+
+
+def image_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Deterministic content embedding: a channel-wise intensity
+    histogram, L2-normalized — the decode→feature seam a real CLIP-style
+    encoder would occupy. Output ``(image_id, embedding array<float>)``
+    feeds the ANN operators (operators/similarity.py) unchanged."""
+    bins = dim // 4
+
+    def kernel(series: pd.Series) -> pd.Series:
+        from yadf_spark.fixtures.codec import decode_image
+
+        out = []
+        for payload in series:
+            try:
+                px = decode_image(bytes(payload)).astype(np.float64)
+                gray = px.mean(axis=2)
+                vec = np.concatenate(
+                    [
+                        np.histogram(px[:, :, 0], bins=bins, range=(0, 256))[0],
+                        np.histogram(px[:, :, 1], bins=bins, range=(0, 256))[0],
+                        np.histogram(px[:, :, 2], bins=bins, range=(0, 256))[0],
+                        np.histogram(gray, bins=bins, range=(0, 256))[0],
+                    ]
+                ).astype(np.float64)
+                n = np.linalg.norm(vec)
+                out.append((vec / n if n else vec).astype(np.float32).tolist())
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    emb = F.pandas_udf(kernel, "array<float>")
+    return df.select(F.col(id_col).alias(id_col), emb(F.col(bytes_col)).alias("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# video: fake container + frame sampling (decode stub, real plumbing)
+# ---------------------------------------------------------------------------
+
+MAGIC_VID = b"YDFV"
+_VID_HEADER = struct.Struct("<4sH")  # magic, n_frames
+
+
+def encode_fake_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic fake video container: header + length-prefixed
+    losslessly-encoded frames. Exists so the frame-sampling plumbing is
+    testable without ffmpeg."""
+    parts = [_VID_HEADER.pack(MAGIC_VID, len(frames))]
+    for fr in frames:
+        enc = codec.encode_png(fr)
+        parts.append(struct.pack("<I", len(enc)))
+        parts.append(enc)
+    return b"".join(parts)
+
+
+def _decode_video_frames(payload: bytes) -> list[bytes]:
+    """Return the encoded frames of a video payload. REAL decoders
+    (ffmpeg/PyAV) are not available in this container — only the fake
+    container is supported; anything else raises ``NotImplementedError``
+    (callers surface it as a null/quarantine row, never a job failure)."""
+    if payload[:4] != MAGIC_VID:
+        raise NotImplementedError(
+            "real video decoding requires PyAV/ffmpeg; only the deterministic "
+            "fake container (yadf_spark.operators.multimodal.encode_fake_video) "
+            "is decodable in this environment"
+        )
+    _, n = _VID_HEADER.unpack_from(payload)
+    off = _VID_HEADER.size
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(payload[off : off + ln])
+        off += ln
+    return frames
+
+
+FRAME_SCHEMA = "video_id string, frame_idx int, frame_bytes binary, n_frames int"
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Explode videos into sampled frames: one output row per kept frame
+    (``mapInPandas`` — a row-expanding map, so the operator composes with
+    the image pipeline downstream: each frame is an image payload)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    frames = _decode_video_frames(bytes(payload))
+                except NotImplementedError:
+                    rows.append((vid, None, None, None))
+                    continue
+                kept = frames[::every_n]
+                if max_frames is not None:
+                    kept = kept[:max_frames]
+                for idx, fb in enumerate(kept):
+                    rows.append((vid, idx * every_n, fb, len(frames)))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_bytes", "n_frames"])
+
+    return df.select(F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        kernel, FRAME_SCHEMA
+    )

@@ -1,0 +1,13 @@
+from yadf_spark.streaming.dedup import (
+    dedup_stream,
+    incremental_near_dup_batch,
+    streaming_near_dup,
+    with_content_hash,
+)
+
+__all__ = [
+    "dedup_stream",
+    "incremental_near_dup_batch",
+    "streaming_near_dup",
+    "with_content_hash",
+]
