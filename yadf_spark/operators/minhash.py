@@ -98,48 +98,81 @@ def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "si
     )
 
 
+def _pairs_from_sorted_ids(ids):
+    """All combinations (id_a < id_b) of a sorted id array, as one JVM
+    column expression (whole-stage codegen — no Python, no join)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def candidate_pairs_from_buckets(
     buckets: DataFrame,
     salt_bucket_above: int = 256,
     max_bucket: int = 100_000,
     log=None,
 ) -> DataFrame:
-    """Self-join each (band_idx, band_hash) bucket into candidate pairs
+    """Expand each (band_idx, band_hash) bucket into candidate pairs
     ``(id_a < id_b)``, distinct across bands.
 
-    Skew handling (the salted-repartition requirement): bucket size ``n``
-    is counted first; buckets with ``n > salt_bucket_above`` get a salt
-    factor ``s = ceil(n / salt_bucket_above)``. Each right-side row lands
-    in one of ``s`` salt cells (by id hash); each left-side row is
-    replicated to all ``s`` cells. The join key becomes
-    ``(band_idx, band_hash, cell)`` so one mega-bucket fans out to ``s``
-    independent reducer cells instead of one straggler task.
-    """
-    sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n"))
+    ONE shuffle builds ``groupBy(band).collect_list(id)``; normal
+    buckets (n <= salt_bucket_above) expand to pairs with a pure column
+    expression inside that same stage. Only mega-buckets take the salted
+    self-join path — bucket size ``n`` gives a salt factor
+    ``s = ceil(n / salt_bucket_above)``; the right side lands in one of
+    ``s`` cells (by id hash), the left side replicates to all ``s``, and
+    the join key ``(band_idx, band_hash, cell)`` fans a viral bucket out
+    to ``s`` independent reducer cells instead of one straggler task.
+    Both branches read the SAME aggregated subtree, so Catalyst reuses
+    the exchange — the old design's sizes-join + two-sided self-join
+    cost ~6 exchanges of the full bucket table; this costs 2 (the
+    groupBy and the final distinct) plus mega-bucket traffic only.
+
+    Buckets above ``max_bucket`` are dropped with a logged count — a
+    documented recall trade, never a silent one."""
+    grouped = (
+        buckets.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
     if log is not None:
         # counting dropped buckets costs an extra job — only pay it when a
         # logger asks for the truncation report (never silent when it matters)
-        n_dropped = sizes.filter(F.col("n") > max_bucket).count()
+        n_dropped = grouped.filter(F.col("n") > max_bucket).count()
         if n_dropped:
             log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
 
-    b = (
-        buckets.join(sizes, ["band_idx", "band_hash"])
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    small = grouped.filter(
+        F.col("n") <= min(salt_bucket_above, max_bucket)
+    ).select(
+        F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+    big = (
+        grouped.filter((F.col("n") > salt_bucket_above) & (F.col("n") <= max_bucket))
+        .select("band_idx", "band_hash", "n", F.explode("ids").alias("id"))
         .withColumn("s", F.ceil(F.col("n") / F.lit(salt_bucket_above)).cast("int"))
         .withColumn("cell", F.pmod(F.xxhash64("id"), F.col("s")).cast("int"))
     )
-    left = b.select(
+    left = big.select(
         "band_idx",
         "band_hash",
         F.col("id").alias("id_a"),
         F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("cell"),
     )
-    right = b.select("band_idx", "band_hash", F.col("id").alias("id_b"), "cell")
-    pairs = left.join(right, ["band_idx", "band_hash", "cell"]).filter(
-        F.col("id_a") < F.col("id_b")
+    right = big.select("band_idx", "band_hash", F.col("id").alias("id_b"), "cell")
+    big_pairs = (
+        left.join(right, ["band_idx", "band_hash", "cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
-    return pairs.select("id_a", "id_b").distinct()
+    return small.unionByName(big_pairs).distinct()
 
 
 def minhash_candidates(
@@ -147,13 +180,12 @@ def minhash_candidates(
 ) -> DataFrame:
     """End-to-end: text -> signature -> bands -> salted pair generation.
 
-    The bucket table feeds four plan branches (size counts, salt cells,
-    both self-join sides); persisting it runs the signature UDF exactly
-    once instead of once per branch."""
+    The bucket table's sole consumer is the groupBy inside
+    ``candidate_pairs_from_buckets`` (its two branches share the
+    aggregated subtree via exchange reuse), so no persist is needed —
+    the signature UDF runs exactly once."""
     signed = add_signature(df.select(id_col, text_col), cfg, text_col=text_col)
-    buckets = explode_bands(signed, cfg, id_col=id_col).persist()
-    buckets.count()  # eager: AQE runs the four branches concurrently and
-    # would otherwise recompute the signature UDF once per branch
+    buckets = explode_bands(signed, cfg, id_col=id_col)
     return candidate_pairs_from_buckets(
         buckets, cfg.salt_bucket_above, cfg.max_bucket
     )

@@ -36,10 +36,13 @@ from yadf_spark.plans.checkpoint import Checkpointer
 
 def exact_edges(assignments: DataFrame) -> DataFrame:
     """Exact-dup groups -> star edges (each member -> group minimum).
-    Avoids materializing O(n^2) edges for large identical groups."""
-    m = assignments.groupBy("group_key").agg(F.min("id").alias("root"), F.count("*").alias("n"))
+    Avoids materializing O(n^2) edges for large identical groups; a
+    window (one shuffle) instead of groupBy+join (two)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_key")
     return (
-        assignments.join(m.filter(F.col("n") > 1), "group_key")
+        assignments.select("id", F.min("id").over(w).alias("root"))
         .filter(F.col("id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )
@@ -110,9 +113,9 @@ def near_dup_pipeline(
         {"psnr": cfg.psnr_min_db},
         lambda: verify.verify_pairs(candidates, images, psnr_min_db=cfg.psnr_min_db),
     )
-    dup_edges = (
-        verified.filter(F.col("verified")).select("id_a", "id_b").unionByName(e_exact).distinct()
-    )
+    # no .distinct() here: connected_components canonicalizes + dedups
+    # its input anyway, so an extra exchange would be pure overhead
+    dup_edges = verified.filter(F.col("verified")).select("id_a", "id_b").unionByName(e_exact)
 
     assignment = ck.stage(
         "connected_components",
@@ -123,12 +126,20 @@ def near_dup_pipeline(
     )
     clusters = components.clusters_with_singletons(images, assignment)
 
-    return {
+    result = {
         "clusters": clusters,
         "verified_pairs": verified,
         "candidates": candidates,
-        "metrics": ck.metrics(),
+        "checkpointer": ck,
     }
+    if ck.eager or ck.workdir is not None:
+        result["metrics"] = ck.metrics()
+    else:
+        # lazy checkpointer: Observation.get blocks until the caller's
+        # final action has flowed through — expose metrics as a callable
+        # to invoke AFTER forcing the result
+        result["metrics_fn"] = ck.metrics
+    return result
 
 
 def dup_pair_recall(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> float:

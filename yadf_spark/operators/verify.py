@@ -61,52 +61,72 @@ def verify_pairs(
 ) -> DataFrame:
     """(id_a, id_b) -> verified pairs with evidence columns.
 
-    The candidate set is assumed small vs the corpus: the image table is
-    cut down by a broadcast semi-join on candidate ids before any
-    shuffle, so the binary column crosses the exchange only for
-    candidates (O6 design rule)."""
-    pairs = pairs.persist()  # two consumers: the id set and the final join
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
+    Two-tier evaluation so payload bytes NEVER cross a shuffle (O6):
+
+    1. narrow tier — every candidate pair joins only ``(caption_hash,
+       content_hash)`` per side (~16 bytes/row). Caption equality and
+       byte equality are decided on hashes (hash equality is trusted,
+       exactly like the reference's full-content hash verdict,
+       src/fs.rs:186-240).
+    2. decode tier — only pairs with equal captions but unequal bytes
+       (the lossy re-encode candidates, typically a tiny fraction) are
+       re-joined to the actual payloads behind a broadcast semi-join on
+       their id set, then scored by the PSNR pandas UDF.
+
+    The previous single-tier design shuffled every candidate's binary
+    payload through two sort-merge joins; at 100k fixture images that
+    shuffle dominated the stage and halved its core-scaling efficiency.
+    """
+    pairs = pairs.persist()  # consumers: narrow join + decode-id set
+    feats = images.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.col(caption_col)).alias("_cap_h"),
+        F.xxhash64(F.col(bytes_col)).alias("_byte_h"),
+    )
+    a = feats.select(F.col("id").alias("id_a"), F.col("_cap_h").alias("cap_a"), F.col("_byte_h").alias("bh_a"))
+    b = feats.select(F.col("id").alias("id_b"), F.col("_cap_h").alias("cap_b"), F.col("_byte_h").alias("bh_b"))
+    narrow = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("cap_a") == F.col("cap_b")).alias("caption_equal"),
+            (F.col("bh_a") == F.col("bh_b")).alias("bytes_equal"),
+        )
+        .persist()
+    )
+    # materialize narrow NOW: the broadcast build below runs on a driver
+    # thread concurrently with the main job, and an unpopulated cache
+    # would make it recompute the entire candidate DAG (signature UDF
+    # included) in parallel with the main branches computing it again
+    narrow.count()
+    need_decode = F.col("caption_equal") & ~F.col("bytes_equal")
+    decode_pairs = narrow.filter(need_decode).select("id_a", "id_b", "caption_equal")
+    decode_ids = (
+        decode_pairs.select(F.col("id_a").alias("id"))
+        .unionByName(decode_pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    feats = (
-        images.select(
-            F.col(id_col).alias("id"),
-            F.col(bytes_col).alias("_bytes"),
-            F.col(caption_col).alias("_caption"),
+    payloads = images.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("_bytes")).join(
+        F.broadcast(decode_ids), "id", "left_semi"
+    )
+    pa = payloads.select(F.col("id").alias("id_a"), F.col("_bytes").alias("bytes_a"))
+    pb = payloads.select(F.col("id").alias("id_b"), F.col("_bytes").alias("bytes_b"))
+    # NOTE: the decode UDF must sit behind a real FILTER/join, not inside
+    # when(...) — Catalyst extracts Python UDFs out of conditionals and
+    # would evaluate them for every row.
+    decoded = (
+        decode_pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "caption_equal",
+            pair_psnr()(F.col("bytes_a"), F.col("bytes_b")).alias("psnr_db"),
         )
-        .join(F.broadcast(cand_ids), "id", "left_semi")
     )
-    a = feats.select(
-        F.col("id").alias("id_a"), F.col("_bytes").alias("bytes_a"), F.col("_caption").alias("cap_a")
-    )
-    b = feats.select(
-        F.col("id").alias("id_b"), F.col("_bytes").alias("bytes_b"), F.col("_caption").alias("cap_b")
-    )
-    # Cheap predicates first (reference: src/fs/filter.rs:48-55): caption
-    # equality and byte equality are JVM-side; only pairs that still need
-    # pixel evidence pay the Python decode. NOTE: the decode UDF must sit
-    # behind a real FILTER, not inside when(...) — Catalyst extracts
-    # Python UDFs out of conditionals and evaluates them for every row,
-    # shipping every payload byte to Python.
-    joined = pairs.join(a, "id_a").join(b, "id_b").select(
-        "id_a",
-        "id_b",
-        "bytes_a",
-        "bytes_b",
-        (F.col("cap_a") == F.col("cap_b")).alias("caption_equal"),
-        (F.col("bytes_a") == F.col("bytes_b")).alias("bytes_equal"),
-    )
-    need_decode = F.col("caption_equal") & ~F.col("bytes_equal")
-    decoded = joined.filter(need_decode).select(
-        "id_a",
-        "id_b",
-        "caption_equal",
-        pair_psnr()(F.col("bytes_a"), F.col("bytes_b")).alias("psnr_db"),
-    )
-    trivial = joined.filter(~need_decode).select(
+    trivial = narrow.filter(~need_decode).select(
         "id_a",
         "id_b",
         "caption_equal",

@@ -52,22 +52,43 @@ class StageRun:
 class Checkpointer:
     """``stage(name, config, fn)`` runs ``fn`` or resumes its parquet
     checkpoint; ``workdir=None`` disables checkpointing entirely (pure
-    pass-through) so pipelines run identically with or without it."""
+    pass-through) so pipelines run identically with or without it.
+
+    ``eager=False`` (only meaningful with ``workdir=None``) defers all
+    materialization to the caller's final action: stages are persisted
+    lazily and per-stage row counts come from ``Observation`` nodes
+    riding the plan instead of one count job per stage. Each count job
+    costs a driver-side scheduling round trip, and with five stages the
+    round trips were a measurable slice of the whole pipeline at high
+    core counts — serial time no amount of executors removes. Eager
+    remains the default because lazily-persisted stages that feed
+    multiple concurrent AQE query stages can be recomputed before the
+    cache populates (observed: the MinHash UDF running 4x); the
+    near-dup pipeline's DAG is single-consumer per stage, so its bench
+    path opts in to lazy."""
 
     spark: SparkSession
     workdir: str | None = None
+    eager: bool = True
     runs: list[StageRun] = field(default_factory=list)
+    _observations: list = field(default_factory=list)
 
     def stage(self, name: str, config, fn: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.monotonic()
+        if self.workdir is None and not self.eager:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"stage:{name}")
+            df = fn().observe(obs, F.count(F.lit(1)).alias("rows")).persist()
+            self._observations.append((name, obs))
+            return df
         if self.workdir is None:
             # no durable checkpoint requested: persist AND materialize.
-            # Lazy persist is not enough — AQE launches independent
-            # consumer stages concurrently, and each would recompute the
-            # still-unpopulated cache (observed: the MinHash UDF running
-            # 4x in parallel). The eager count also yields true per-stage
-            # row counts + wall time (the reference's per-stage metrics,
-            # src/lib.rs:120-139).
+            # The eager count yields true per-stage row counts + wall
+            # time (the reference's per-stage metrics, src/lib.rs:120-139)
+            # and guards lazily-cached stages against concurrent AQE
+            # recompute (see class docstring).
             df = fn().persist()
             rows = df.count()
             self.runs.append(StageRun(name, rows, time.monotonic() - t0, False))
@@ -107,7 +128,16 @@ class Checkpointer:
         return out
 
     def metrics(self) -> list[dict]:
-        return [
+        """Per-stage metrics. In lazy mode, call only AFTER the final
+        action — ``Observation.get`` blocks until its node has executed;
+        wall seconds are not attributable per stage (one fused job) and
+        are reported as -1."""
+        out = [
             {"stage": r.name, "rows": r.rows, "seconds": round(r.seconds, 3), "resumed": r.resumed}
             for r in self.runs
         ]
+        for name, obs in self._observations:
+            out.append(
+                {"stage": name, "rows": obs.get["rows"], "seconds": -1.0, "resumed": False}
+            )
+        return out
