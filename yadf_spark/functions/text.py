@@ -37,14 +37,22 @@ def token_count(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles. Texts shorter than ``k`` words get
     a single whole-text shingle so no row has an empty shingle set (the
-    MinHash reduceat kernel requires >= 1 element per row)."""
+    MinHash reduceat kernel requires >= 1 element per row).
+
+    Built as ``arrays_zip`` of k shifted slices, NOT element_at per
+    position inside a transform lambda: Catalyst performs no common-
+    subexpression elimination inside lambda bodies, so the per-position
+    form re-ran the regex split for every element — O(n_tokens *
+    text_len) per row (measured 7x slowdown at 5k docs). The zip form
+    evaluates the split O(k) times per row. (A lambda let-binding via
+    transform-over-1-element-array also fixes the CSE problem but breaks
+    Python-UDF extraction when the result feeds a pandas UDF — the whole
+    projection falls back to interpreted eval.)"""
     w = tokens(text)
     n = F.size(w)
-
-    def gram(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
-
-    grams = F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+    cnt = n - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(w, i + 1, cnt).alias(f"g{i}") for i in range(k)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)]))
     return F.array_distinct(
         F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", w)))
     )

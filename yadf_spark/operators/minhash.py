@@ -199,9 +199,12 @@ def exact_jaccard(
     (potentially huge) document table is reduced by a broadcast semi-join
     first — its shingle arrays never shuffle at corpus scale; only the
     candidate subset does."""
-    # pairs feed two consumers (the id set and the join) — persist so the
-    # candidate-generation DAG (LSH signatures) computes once
+    # pairs feed two consumers (the id set and the join) — persist AND
+    # materialize: the broadcast(cand_ids) below builds on a driver
+    # thread concurrently with the main join, and an unpopulated cache
+    # would make both compute the candidate DAG (signature UDF included)
     pairs = pairs.persist()
+    pairs.count()
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))
