@@ -219,6 +219,19 @@ def q_full_hash_groups(spark, sf_dir):
     )
 
 
+def q_naive_full_hash_groups(spark, sf_dir):
+    """U2 (the reference's Python sibling, scripts/yadf.py:19-69): the
+    un-optimized semantics — full-hash EVERY row, no size pre-grouping.
+    The cleanest statement of the engine's one logical query; also the
+    bench baseline the staged ladder must beat."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("f_hash"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .orderBy("f_hash")
+    )
+
+
 def q_ladder_assignment(spark, sf_dir):
     """G1-G7 composed: the full staged ladder, every row assigned a
     namespaced group key + the stage that resolved it."""
@@ -512,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_hash_groups": q_prefix_hash_groups,
         "suffix_hash_groups": q_suffix_hash_groups,
         "full_hash_groups": q_full_hash_groups,
+        "naive_full_hash_groups": q_naive_full_hash_groups,
         "ladder_assignment": q_ladder_assignment,
         "ladder_groups": q_ladder_groups,
         "scan_stats": q_scan_stats,
@@ -594,6 +608,9 @@ def oracle_sql() -> dict[str, str]:
         "full_hash_groups": """
             SELECT md5(text) AS f_hash, list_sort(list(doc_id)) AS members, count(*) AS n
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY f_hash""",
+        "naive_full_hash_groups": """
+            SELECT sha256(text) AS f_hash, list_sort(list(doc_id)) AS members, count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY f_hash""",
         "ladder_assignment": f"""
             WITH {LADDER_CTE}
             SELECT id AS doc_id, size, group_key, stage FROM ladder ORDER BY doc_id""",
