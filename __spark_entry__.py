@@ -437,6 +437,18 @@ def q_images_exact_dedup(spark, sf_dir):
     return exact.exact_dup_groups(df).select("group_key", "members", "n")
 
 
+def q_ivf_near_dup(spark, sf_dir):
+    """IVF-bucketed embedding near-dup pairs (coarse k-means cells +
+    salted self-join + exact cosine verify — the ANN scale path beside
+    SRP-LSH). Rows-only: k-means is not SQL-expressible; determinism via
+    ordered sampling + seeded init is pytest-verified."""
+    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    cents = similarity.train_ivf_centroids(e, EMB_DIM, n_centroids=32)
+    return similarity.ivf_near_dup_pairs(
+        e, EMB_DIM, 0.45, n_probe=4, centroids=cents
+    ).orderBy("id_a", "id_b")
+
+
 def q_images_metadata(spark, sf_dir):
     """Multimodal decode: typed metadata + channel stats from binary
     payloads (mapInPandas; fake codec — the Pillow seam is documented)."""
@@ -544,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "simhash_docs": q_simhash_docs,
         "ann_topk_srp": q_ann_topk_srp,
+        "ivf_near_dup": q_ivf_near_dup,
         "images_exact_dedup": q_images_exact_dedup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
         "images_metadata": q_images_metadata,

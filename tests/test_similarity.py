@@ -83,3 +83,51 @@ def test_topk_plan_broadcasts_queries(spark):
     out = similarity.brute_force_topk(df, df.limit(3), k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_near_dup_recall_vs_exact(spark):
+    """IVF-bucketed pairs must recover nearly all exact cosine>=thr pairs
+    on clustered synthetic vectors (recall >= 0.95 at n_probe=4)."""
+    import numpy as np
+
+    from yadf_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 32, 12, 20
+    rows = []
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for i in range(per):
+            v = center + 0.08 * rng.standard_normal(dim)
+            rows.append((f"v{c:02d}-{i:02d}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup_pairs(df, dim, 0.9, exact=True).collect()
+    }
+    ivf_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.ivf_near_dup_pairs(
+            df, dim, 0.9, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert exact_pairs, "fixture must contain near-dup pairs"
+    assert ivf_pairs <= exact_pairs  # exact cosine verify => no false positives
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"IVF recall {recall:.3f}"
+
+
+def test_ivf_deterministic_with_fixed_centroids(spark):
+    import numpy as np
+
+    from yadf_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    rows = [(f"v{i}", [float(x) for x in rng.standard_normal(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    cents = sim.train_ivf_centroids(df, 16, n_centroids=8)
+    p1 = sorted(map(tuple, sim.ivf_near_dup_pairs(df, 16, 0.2, centroids=cents).collect()))
+    p2 = sorted(map(tuple, sim.ivf_near_dup_pairs(df, 16, 0.2, centroids=cents).collect()))
+    assert p1 == p2

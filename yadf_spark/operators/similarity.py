@@ -198,3 +198,95 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    emb_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iterations: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse k-means centroids from a bounded sample.
+
+    Training is deliberately DRIVER-side numpy over <= ``sample_rows``
+    vectors: at 10^12 rows the sample is a fixed-size sketch (the
+    standard IVF recipe — train on a sample, assign distributed), so the
+    driver cost is O(sample * k * iters) regardless of corpus size.
+    Deterministic: seeded init, fixed Lloyd iterations."""
+    sample = df.select(emb_col).limit(sample_rows).toPandas()[emb_col]
+    mat = np.vstack([np.asarray(e, dtype=np.float64) for e in sample])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)  # cosine IVF: cluster on the sphere
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        centroids = centroids / np.maximum(cn, 1e-12)
+    return centroids
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: embedding -> the ids of its ``n_probe`` nearest
+    centroid cells (one matmul per Arrow batch)."""
+
+    @F.pandas_udf("array<int>")
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / np.maximum(norms, 1e-12)) @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-bucketed near-dup pairs: vectors probing a common centroid
+    cell become candidates (salted self-join — the same skew machinery
+    as MinHash LSH); exact cosine confirms. Recall grows with
+    ``n_probe``; cost is bounded by cell sizes instead of n^2.
+
+    A precomputed ``centroids`` array makes the operator deterministic
+    across restarts (persist it next to the stage checkpoint)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, dim, n_centroids, emb_col)
+    assign = make_ivf_assign_udf(centroids, n_probe)
+    cells = df.select(
+        F.col(id_col).alias("id"), F.explode(assign(F.col(emb_col))).alias("band_hash")
+    ).withColumn("band_idx", F.lit(0).cast("int"))
+    cand = candidate_pairs_from_buckets(
+        cells.select("id", "band_idx", "band_hash"), salt_bucket_above, max_bucket
+    )
+    a = _side(df, id_col, emb_col, "id_a", "a")
+    b = _side(df, id_col, emb_col, "id_b", "b")
+    return (
+        _cosine_from_norms(cand.join(a, "id_a").join(b, "id_b"))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
