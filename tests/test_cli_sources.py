@@ -204,3 +204,29 @@ def test_filesystem_corpus_schema(spark, tree):
     df = src.filesystem_corpus(spark, [str(tree)])
     assert [f.name for f in df.schema.fields[:3]] == ["image_id", "bytes", "size"]
     assert df.count() == 6
+
+
+def test_near_dup_mode_on_filesystem_images(spark, tmp_path):
+    """CLI near-dup over a directory of image files: no caption/phash
+    columns exist — prepare_images synthesizes them; exact dups and a
+    lossy re-encode cluster together, unrelated images stay apart."""
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    (d / "a_orig.img").write_bytes(codec.encode_png(px))
+    (d / "a_copy.img").write_bytes(codec.encode_png(px))
+    (d / "a_lossy.img").write_bytes(codec.encode_jpeg(px, step=2))  # PSNR ~53dB
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    (d / "b.img").write_bytes(codec.encode_png(other))
+    (d / "not_an_image.txt").write_bytes(b"plain text payload")
+
+    out = json.loads(_cli(spark, ["-f", "json", "--mode", "near-dup", str(d)]))
+    groups = [sorted(os.path.basename(p) for p in g) for g in out]
+    assert ["a_copy.img", "a_lossy.img", "a_orig.img"] in groups
+    flat = {n for g in groups for n in g}
+    assert "b.img" not in flat and "not_an_image.txt" not in flat

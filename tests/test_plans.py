@@ -131,3 +131,19 @@ def test_minhash_bands_single_shuffle_to_pairs(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "sig" not in ln.split("[")[0], ln
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Iceberg-style layout stand-in: a corpus written partitioned by a
+    low-cardinality column must prune partitions at the scan when
+    filtered on it (PartitionFilters in the plan + fewer files read)."""
+    rows = [(f"id{i}", ["png", "jpeg", "webp"][i % 3], i) for i in range(90)]
+    df = spark.createDataFrame(rows, "image_id string, fmt string, n long")
+    path = str(tmp_path / "ptab")
+    df.write.partitionBy("fmt").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("fmt") == "png").select("image_id")
+    plan = _formatted(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "fmt" in pf[0], plan
+    assert q.count() == 30

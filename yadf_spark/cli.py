@@ -136,7 +136,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from yadf_spark.operators import pipeline as pl
 
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir)
-        images = exact.apply_scan_filters(df, flt)
+        images = pl.prepare_images(exact.apply_scan_filters(df, flt))
         out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
         clusters = out["clusters"]
         if args.cluster_table:

@@ -26,12 +26,41 @@ src/lib.rs:120-139).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yadf_spark.config import NearDupConfig
 from yadf_spark.operators import components, exact, minhash, verify
 from yadf_spark.plans.checkpoint import Checkpointer
+
+
+def prepare_images(df: DataFrame) -> DataFrame:
+    """Make any corpus near-dup-ready: ensure ``caption`` (empty when
+    absent — caption-equality verification then degrades to byte/pixel
+    evidence only) and ``phash`` (computed from payload bytes via the
+    codec when absent; undecodable rows get null and are excluded from
+    phash banding, the G7 degrade-don't-fail posture). Filesystem
+    corpora (sources.filesystem_corpus) carry only (image_id, bytes,
+    size, mtime); the image-table corpus already has both columns."""
+    if "caption" not in df.columns:
+        df = df.withColumn("caption", F.lit(""))
+    if "phash" not in df.columns:
+
+        def kernel(payloads: pd.Series) -> pd.Series:
+            from yadf_spark.fixtures.codec import decode_image, perceptual_hash
+
+            out = []
+            for p in payloads:
+                try:
+                    out.append(perceptual_hash(decode_image(bytes(p))))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out, dtype="object")
+
+        phash_udf = F.pandas_udf(kernel, "long")
+        df = df.withColumn("phash", phash_udf(F.col("bytes")))
+    return df
 
 
 def exact_edges(assignments: DataFrame) -> DataFrame:
@@ -62,7 +91,12 @@ def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
     Python decode runs, so the prefilter bought nothing but an extra
     join round."""
     mask = (1 << cfg.phash_band_bits) - 1
-    phash_b = images.select(
+    # null phash (undecodable payload) and empty captions contribute no
+    # bands: a shared null/empty key would otherwise collapse the whole
+    # corpus into one garbage mega-bucket
+    phash_src = images.filter(F.col("phash").isNotNull())
+    caption_src = images.filter(F.length(F.trim(F.col("caption"))) > 0)
+    phash_b = phash_src.select(
         F.col("image_id").alias("id"),
         F.explode(F.sequence(F.lit(0), F.lit(cfg.phash_bands - 1))).alias("band_idx"),
         F.col("phash").alias("_h"),
@@ -73,7 +107,7 @@ def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
         .bitwiseAND(F.lit(mask))
         .alias("band_hash"),
     )
-    sig = minhash.add_signature(images.select("image_id", "caption"), cfg.lsh)
+    sig = minhash.add_signature(caption_src.select("image_id", "caption"), cfg.lsh)
     mh_b = minhash.explode_bands(sig, cfg.lsh, id_col="image_id").withColumn(
         "band_idx", F.col("band_idx") + F.lit(100)
     )
