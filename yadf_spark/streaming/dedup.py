@@ -87,7 +87,7 @@ def incremental_near_dup_batch(
     new_bands = _band_table(batch, cfg).persist()
 
     pair_frames = []
-    if any(f.startswith("part") or f == "_SUCCESS" for f in _ls(index_dir)):
+    if _index_exists(spark, index_dir):
         index = spark.read.parquet(index_dir)
         old = index.select(
             F.col("id").alias("id_old"), "band_idx", "band_hash"
@@ -130,11 +130,21 @@ def incremental_near_dup_batch(
     batch.unpersist()
 
 
-def _ls(path: str) -> list[str]:
-    try:
-        return os.listdir(path)
-    except OSError:
-        return []
+def _index_exists(spark, path: str) -> bool:
+    """Non-empty band index at ``path``? Hadoop-FS check so the index
+    can live on any scheme Spark reads (local, hdfs, s3a)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.startswith("part-"):
+            return True
+    return False
 
 
 def streaming_near_dup(
