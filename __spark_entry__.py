@@ -83,6 +83,25 @@ ladder AS (
   UNION ALL SELECT * FROM out_suffix UNION ALL SELECT * FROM out_full)
 """
 
+# Winnowing CTE (k=12 char grams, w=8 windows, md5_32 portable hash).
+# DuckDB list slicing hs[i:j] is 1-based inclusive; short slices at the
+# array tail mirror Spark's null-ignoring least() over zip fields.
+WINNOW_CTE = """
+h AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 12
+      THEN [CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 12)), 1, 8)) AS BIGINT)
+            FOR i IN range(1, length(text) - 10)]
+      ELSE [CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)]
+    END AS hs
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    list_sort(list_distinct([list_min(hs[CAST(i AS INT):CAST(i AS INT)+7])
+        FOR i IN range(1, greatest(len(hs) - 7, 1) + 1)])) AS fps
+  FROM h)
+"""
+
 SHINGLE_CTE = """
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -367,6 +386,35 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — SIGMOD'03
+    scheme, k=12 char grams, window w=8, portable md5_32 hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.winnow_fingerprints(F.col("text"), 12, 8, algo="md5_32").alias("fps")
+    ).orderBy("doc_id")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-level near-dup candidates: pairs sharing >= 10 winnow
+    fingerprints (any shared substring of length >= k+w-1 = 19 yields a
+    shared fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 12, 8, algo="md5_32")).alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 10)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_join_agg(spark, sf_dir):
     """Broadcast-join rollup: revenue per nation (dims broadcast)."""
     o = _t(spark, sf_dir, "orders")
@@ -551,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "join_agg": q_join_agg,
         "lineitem_agg": q_lineitem_agg,
         "source_stats": q_source_stats,
@@ -715,6 +765,16 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                                            ' +', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id""",
+        "winnow_fingerprints": f"""
+            WITH {WINNOW_CTE}
+            SELECT doc_id, fps FROM m ORDER BY doc_id""",
+        "winnow_pairs": f"""
+            WITH {WINNOW_CTE},
+            e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                  FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, shared FROM p WHERE shared >= 10 ORDER BY id_a, id_b""",
         "join_agg": """
             SELECT n_name,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -152,3 +152,45 @@ def test_language_id(spark):
     got = df.select("expect", T.language_id(F.col("text")).alias("lang")).collect()
     for r in got:
         assert r["lang"] == r["expect"], r
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint random texts
+    share none."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.functions import text as T
+
+    k, w = 8, 4
+    shared = "a common stolen passage of text"  # len 31 >= k+w-1
+    rows = [
+        ("a", f"prefix one {shared} suffix alpha"),
+        ("b", f"other beginning {shared} and another end"),
+        ("c", "completely different content with nothing in common xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in df.select("id", T.winnow_fingerprints(F.col("text"), k, w).alias("fps")).collect()
+    }
+    assert fps["a"] & fps["b"], "shared substring must yield a shared fingerprint"
+    assert not (fps["a"] & fps["c"]) and not (fps["b"] & fps["c"])
+    # portable-hash mode selects the same GRAM positions deterministically
+    fps32 = {
+        r["id"]: set(r["fps"])
+        for r in df.select(
+            "id", T.winnow_fingerprints(F.col("text"), k, w, algo="md5_32").alias("fps")
+        ).collect()
+    }
+    assert fps32["a"] & fps32["b"]
+
+
+def test_winnow_short_text(spark):
+    from pyspark.sql import functions as F
+
+    from yadf_spark.functions import text as T
+
+    df = spark.createDataFrame([("s", "tiny")], "id string, text string")
+    out = df.select(T.winnow_fingerprints(F.col("text"), 8, 4).alias("fps")).collect()[0]
+    assert len(out["fps"]) == 1  # whole-text fallback

@@ -141,3 +141,43 @@ def language_id(text: Column) -> Column:
             result
         )
     return result
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4, algo: str = "xxhash64") -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the rolling-hash dedup classic): hash every char k-gram,
+    then keep the minimum hash of each sliding window of ``w``
+    consecutive k-gram hashes. Guarantees: any shared substring of
+    length >= k + w - 1 between two documents yields at least one shared
+    fingerprint. All JVM column expressions; the "rolling" update trick
+    is an implementation detail of scalar engines — the vectorized
+    equivalent hashes each gram independently (same output set).
+
+    Returns a sorted distinct array<long> of selected hashes.
+
+    POSITIONAL k-grams (no dedup — winnowing's window semantics are
+    positional), and the sliding-window minimum is arrays_zip of ``w``
+    shifted slices + least(), NOT slice() inside a transform lambda —
+    the in-lambda form re-evaluates the whole gram-hash array per
+    window element (the lambda-CSE trap, see word_shingles)."""
+    ln = F.length(text)
+    grams = F.when(
+        ln >= k,
+        F.transform(F.sequence(F.lit(1), ln - (k - 1)), lambda i: text.substr(i, F.lit(k))),
+    ).otherwise(F.array(text))
+    if algo == "md5_32":
+        # oracle-portable: first 32 bits of md5 as an integer — DuckDB
+        # computes the identical value (CAST('0x'||substr(md5(g),1,8)))
+        def h(g):
+            return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    else:
+
+        def h(g):
+            return F.xxhash64(g)
+
+    hashes = F.transform(grams, h)
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(hashes, i + 1, n_win).alias(f"h{i}") for i in range(w)])
+    # short arrays: trailing zip fields are null; least() ignores nulls
+    mins = F.transform(zipped, lambda s: F.least(*[s[f"h{i}"] for i in range(w)]))
+    return F.array_sort(F.array_distinct(mins))
