@@ -447,6 +447,63 @@ def q_lineitem_agg(spark, sf_dir):
     )
 
 
+def q_topk_orders_per_customer(spark, sf_dir):
+    """Top-3 orders by price per customer (window top-k; custkey < 200
+    bounds the driver-compare size). Deterministic price-then-key ties."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers that never placed a large (>400k) order
+    (the unrestricted variant is vacuous on this synthetic data — every
+    customer has orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregate: revenue by (status, priority), with subtotals
+    and the grand total (grouping-set coverage)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def q_event_type_setops(spark, sf_dir):
+    """Set operations over proper user subsets (modulo predicates keep
+    the sets non-trivial — every user has every event type here):
+    click-users(7k) INTERSECT view-users(7k+1) EXCEPT purchase-users(11k)."""
+    e = _t(spark, sf_dir, "events")
+
+    def users(t, mod, rem):
+        return e.filter(
+            (F.col("event_type") == t) & (F.col("event_id") % mod == rem)
+        ).select("user_id")
+
+    out = users("click", 7, 0).intersect(users("view", 7, 1)).subtract(users("purchase", 11, 0))
+    return out.orderBy("user_id")
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source rollup (min/max/count — exact aggregates)."""
     d = _t(spark, sf_dir, "documents")
@@ -603,6 +660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "join_agg": q_join_agg,
         "lineitem_agg": q_lineitem_agg,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "revenue_rollup": q_revenue_rollup,
+        "event_type_setops": q_event_type_setops,
         "source_stats": q_source_stats,
         "simhash_docs": q_simhash_docs,
         "ann_topk_srp": q_ann_topk_srp,
@@ -789,6 +850,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank
+            FROM (SELECT o_custkey, o_orderkey,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                  FROM orders WHERE o_custkey < 200)
+            WHERE rank <= 3 ORDER BY o_custkey, rank""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+            ORDER BY c_custkey""",
+        "revenue_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+        "event_type_setops": """
+            SELECT user_id FROM events WHERE event_type = 'click' AND event_id % 7 = 0
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view' AND event_id % 7 = 1
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase' AND event_id % 11 = 0
+            ORDER BY user_id""",
         "source_stats": """
             SELECT source, count(*) AS n,
                    CAST(min(length(text)) AS BIGINT) AS min_len,
