@@ -360,6 +360,18 @@ def q_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-style pre-tokenization: subword token count + first tokens
+    (the unit a BPE merge table operates on; GPT-2-family regex shape)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.bpe_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.slice(toks, 1, 5).alias("head_tokens"),
+    ).orderBy("doc_id")
+
+
 def q_quality(spark, sf_dir):
     """Quality scoring features + composite score."""
     d = _t(spark, sf_dir, "documents")
@@ -653,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -794,6 +807,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_actual
             FROM documents ORDER BY doc_id""",
+        "bpe_token_stats": f"""
+            WITH t AS (SELECT doc_id,
+                regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}') AS toks
+              FROM documents)
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+                   toks[1:5] AS head_tokens
+            FROM t ORDER BY doc_id""",
         "quality": f"""
             WITH f AS (
               SELECT doc_id,
