@@ -194,3 +194,54 @@ def test_winnow_short_text(spark):
     df = spark.createDataFrame([("s", "tiny")], "id string, text string")
     out = df.select(T.winnow_fingerprints(F.col("text"), 8, 4).alias("fps")).collect()[0]
     assert len(out["fps"]) == 1  # whole-text fallback
+
+
+def test_suffix_array_containment_agrees_with_nested():
+    """The generalized-suffix-array path must produce exactly the nested
+    scan's pairs on randomized corpora with planted containments."""
+    import random
+
+    from yadf_spark.operators.containment import (
+        _containment_nested,
+        _containment_suffix_array,
+    )
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for trial in range(20):
+        items = []
+        for i in range(rng.randint(2, 15)):
+            t = " ".join(rng.choices(words, k=rng.randint(1, 12)))
+            items.append((f"d{trial}-{i:02d}", t))
+        # plant: substrings, duplicates, and one empty-ish short text
+        base = items[0][1]
+        if len(base) > 8:
+            items.append((f"d{trial}-sub", base[2 : 2 + rng.randint(3, len(base) - 3)]))
+        items.append((f"d{trial}-dup", base))
+        items = sorted(items, key=lambda t: (len(t[1]), t[0]))
+        assert _containment_suffix_array(items) == sorted(_containment_nested(items)), items
+
+
+def test_bucket_containment_uses_sa_for_big_buckets(spark):
+    """Force the SA path (threshold 0) through the Spark operator and
+    check it still matches the small-bucket (nested) output."""
+    from yadf_spark.operators import containment as C
+
+    rows = [
+        ("b", "i1", "the quick brown fox"),
+        ("b", "i2", "quick brown"),
+        ("b", "i3", "the quick brown fox jumps over the dog"),
+        ("b", "i4", "unrelated caption entirely"),
+        ("b", "i5", "quick brown"),
+    ]
+    df = spark.createDataFrame(rows, "bucket string, image_id string, caption string")
+    sa = {
+        (r["inner_id"], r["outer_id"])
+        for r in C.bucket_containment_pairs(df, "bucket", sa_threshold_chars=0).collect()
+    }
+    nested = {
+        (r["inner_id"], r["outer_id"])
+        for r in C.bucket_containment_pairs(df, "bucket", sa_threshold_chars=10**9).collect()
+    }
+    assert sa == nested
+    assert ("i2", "i1") in sa and ("i1", "i3") in sa and ("i2", "i5") in sa

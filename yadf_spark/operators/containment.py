@@ -121,24 +121,140 @@ def containment_pairs_char(
     )
 
 
+#: buckets whose concatenated text exceeds this many chars use the
+#: generalized-suffix-array path; smaller buckets use the nested
+#: C-implemented substring scan (faster below the crossover)
+SA_THRESHOLD_CHARS = 20_000
+
+
+def _containment_nested(items: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """O(b^2) pairwise scan with CPython's two-way find — fastest for
+    small buckets."""
+    out = []
+    for i, (ida, ta) in enumerate(items):
+        for idb, tb in items[i + 1 :]:
+            if ida != idb and ta in tb:
+                out.append((ida, idb))
+    return out
+
+
+def _build_suffix_array(s: str):
+    """Suffix array by prefix doubling (Manber-Myers) — O(n log n) time,
+    O(n) memory, fully vectorized in numpy. Returns int64 positions of
+    lexicographically sorted suffixes."""
+    import numpy as np
+
+    n = len(s)
+    rank = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    order = np.argsort(rank, kind="stable")
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        has2 = idx + k < n
+        key2[has2] = rank[idx[has2] + k]
+        order = np.lexsort((key2, rank))
+        r1, r2 = rank[order], key2[order]
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def _containment_suffix_array(items: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Generalized suffix array over the bucket's concatenated texts
+    (north_star: "a suffix-array substring pass for exact caption
+    containment").
+
+    Build S = t_0 $ t_1 $ ... $ (separator below every text char), sort
+    suffixes with prefix doubling, then for each inner text binary-search
+    the suffix-array interval of suffixes it prefixes; every hit's offset
+    maps back to the owning document. O(N log N) build +
+    O(|t| log N + occ) per query — subquadratic in bucket size, which
+    the nested scan can't give mega-buckets."""
+    import numpy as np
+
+    sep = "\x00"
+    texts = [t for _, t in items]
+    concat = sep.join(texts) + sep
+    n = len(concat)
+    # owner[i] = document index covering concat position i
+    owner = np.empty(n, dtype=np.int64)
+    pos = 0
+    for di, t in enumerate(texts):
+        owner[pos : pos + len(t) + 1] = di
+        pos += len(t) + 1
+    sa = _build_suffix_array(concat)
+
+    def lower_bound(pattern: str, strict_prefix_gt: bool) -> int:
+        """First sa index whose suffix's |pattern|-prefix is >= pattern
+        (or > pattern when strict_prefix_gt)."""
+        m = len(pattern)
+        lo, hi = 0, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            start = int(sa[mid])
+            pref = concat[start : start + m]
+            if pref < pattern or (strict_prefix_gt and pref == pattern):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    out = set()
+    seen_texts: set[str] = set()
+    for ii, (ida, ta) in enumerate(items):
+        if not ta or ta in seen_texts:
+            # identical inner texts share one interval scan; their pairs
+            # are reconstructed by the canonical filter below
+            continue
+        seen_texts.add(ta)
+        lo = lower_bound(ta, strict_prefix_gt=False)
+        hi = lower_bound(ta, strict_prefix_gt=True)
+        hit_docs = set(int(owner[int(sa[r])]) for r in range(lo, hi))
+        for di in hit_docs:
+            out.add((ta, di))
+
+    # canonicalize to the nested path's output: inner strictly shorter
+    # than outer, or equal text with inner id < outer id
+    by_text: dict[str, list[tuple[str, str]]] = {}
+    for ida, ta in items:
+        by_text.setdefault(ta, []).append((ida, ta))
+    pairs = set()
+    for ta, di in out:
+        idb, tb = items[di]
+        for ida, _ in by_text[ta]:
+            if ida == idb:
+                continue
+            if len(ta) < len(tb) or (ta == tb and ida < idb):
+                pairs.add((ida, idb))
+    return sorted(pairs)
+
+
 def bucket_containment_pairs(
     df: DataFrame,
     bucket_col: str,
     id_col: str = "image_id",
     text_col: str = "caption",
+    sa_threshold_chars: int = SA_THRESHOLD_CHARS,
 ) -> DataFrame:
     """The per-bucket grouped variant: within each prefilter bucket (an
     LSH band, a phash band, a language partition ...), find all
-    containment pairs with an ``applyInPandas`` pass — the pluggable
-    slot where a generalized suffix array per bucket drops in."""
+    containment pairs with an ``applyInPandas`` pass. Small buckets use
+    the nested C substring scan; buckets past ``sa_threshold_chars`` use
+    the generalized suffix array (subquadratic in bucket size)."""
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         items = sorted(zip(pdf[id_col], pdf[text_col]), key=lambda t: (len(t[1]), t[0]))
-        out = []
-        for i, (ida, ta) in enumerate(items):
-            for idb, tb in items[i + 1 :]:
-                if ida != idb and ta in tb:
-                    out.append((ida, idb))
+        total_chars = sum(len(t) for _, t in items)
+        if total_chars > sa_threshold_chars:
+            out = _containment_suffix_array(items)
+        else:
+            out = _containment_nested(items)
         return pd.DataFrame(out, columns=["inner_id", "outer_id"])
 
     return (
