@@ -109,3 +109,18 @@ def test_checkpoint_resume(spark, tmp_path):
     resumed = {m["stage"]: m["resumed"] for m in ck3.metrics()}
     assert resumed["exact_ladder"] and resumed["candidate_buckets"]
     assert not resumed["verify"], "changed verify config must recompute"
+
+
+def test_recall_at_scale(spark):
+    """The recall gate again at 12.5x the planted corpus (5k images,
+    generated distributed) — guards against recall regressions that only
+    appear once LSH buckets are populated densely enough to salt/cap."""
+    n = 5000
+    df = images.images_df(spark, n, seed=42).cache()
+    out = pipeline.near_dup_pipeline(df)
+    assign = {r["image_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    truth = images.truth_dup_pairs(n)
+    hit = sum(1 for a, b in truth if assign[a] == assign[b])
+    recall = hit / len(truth)
+    df.unpersist()
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99 at n={n}"
