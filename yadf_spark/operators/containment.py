@@ -208,14 +208,18 @@ def _containment_suffix_array(items: list[tuple[str, str]]) -> list[tuple[str, s
     out = set()
     seen_texts: set[str] = set()
     for ii, (ida, ta) in enumerate(items):
-        if not ta or ta in seen_texts:
+        if ta in seen_texts:
             # identical inner texts share one interval scan; their pairs
             # are reconstructed by the canonical filter below
             continue
         seen_texts.add(ta)
-        lo = lower_bound(ta, strict_prefix_gt=False)
-        hi = lower_bound(ta, strict_prefix_gt=True)
-        hit_docs = set(int(owner[int(sa[r])]) for r in range(lo, hi))
+        if not ta:
+            # the empty string is a substring of every text
+            hit_docs = set(range(len(items)))
+        else:
+            lo = lower_bound(ta, strict_prefix_gt=False)
+            hi = lower_bound(ta, strict_prefix_gt=True)
+            hit_docs = set(int(owner[int(sa[r])]) for r in range(lo, hi))
         for di in hit_docs:
             out.add((ta, di))
 
@@ -251,7 +255,9 @@ def bucket_containment_pairs(
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         items = sorted(zip(pdf[id_col], pdf[text_col]), key=lambda t: (len(t[1]), t[0]))
         total_chars = sum(len(t) for _, t in items)
-        if total_chars > sa_threshold_chars:
+        # NUL can't be the SA separator if a text contains it — rare
+        # (binary-ish captions); those buckets take the nested scan
+        if total_chars > sa_threshold_chars and not any("\x00" in t for _, t in items):
             out = _containment_suffix_array(items)
         else:
             out = _containment_nested(items)
