@@ -124,3 +124,62 @@ def test_recall_at_scale(spark):
     recall = hit / len(truth)
     df.unpersist()
     assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99 at n={n}"
+
+
+def test_viral_caption_star_verification(spark):
+    """A caption shared by hundreds of pixel-unrelated images must not
+    trigger O(n^2) pixel decodes: big caption groups verify in star form
+    (each member once vs the group representative). True re-encodes
+    still cluster; decoys stay singletons."""
+    import numpy as np
+    import pandas as pd
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import verify
+
+    rng = np.random.default_rng(21)
+    caption = "same viral caption on every row"
+    rows = []
+    base_px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8).astype(np.uint8)
+    def phash_of(payload):
+        return codec.perceptual_hash(codec.decode_image(payload))
+
+    enc0 = codec.encode_png(base_px)
+    enc1 = codec.encode_jpeg(base_px, step=2)  # PSNR ~53dB
+    rows.append(("rec-0", enc0, caption, phash_of(enc0)))
+    rows.append(("rec-1", enc1, caption, phash_of(enc1)))
+    for i in range(200):  # pixel-unrelated decoys sharing the caption
+        px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8).astype(np.uint8)
+        enc = codec.encode_png(px)
+        rows.append((f"dec-{i:03d}", enc, caption, phash_of(enc)))
+    assert rows[0][3] == rows[1][3], "re-encode must preserve phash for this fixture"
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "caption", "phash"])
+    )
+    # all-pairs candidates (what LSH would emit for one shared caption)
+    ids = [r[0] for r in rows]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]], "id_a string, id_b string"
+    )
+    out = verify.verify_pairs(pairs, df, psnr_min_db=40.0, star_caption_groups_above=64)
+    got = out.filter("verified").select("id_a", "id_b").collect()
+    verified = {(r["id_a"], r["id_b"]) for r in got}
+    assert verified, "re-encode pair must verify"
+    # clustering equivalence: rec-0 and rec-1 connected via the rep
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        parent[find(a)] = find(b)
+    assert find("rec-0") == find("rec-1")
+    # decoys never co-cluster with the re-encodes
+    assert all(find(f"dec-{i:03d}") != find("rec-0") for i in range(200))
+    # decode volume is O(n): pairs entering the decode tier = members-1,
+    # not n(n-1)/2 — check via the star-pair count emitted
+    n_star = len([p for p in got])
+    assert n_star <= len(ids)

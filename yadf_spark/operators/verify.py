@@ -58,6 +58,7 @@ def verify_pairs(
     bytes_col: str = "bytes",
     caption_col: str = "caption",
     psnr_min_db: float = 40.0,
+    star_caption_groups_above: int = 64,
 ) -> DataFrame:
     """(id_a, id_b) -> verified pairs with evidence columns.
 
@@ -102,7 +103,61 @@ def verify_pairs(
     # included) in parallel with the main branches computing it again
     narrow.count()
     need_decode = F.col("caption_equal") & ~F.col("bytes_equal")
-    decode_pairs = narrow.filter(need_decode).select("id_a", "id_b", "caption_equal")
+    raw_decode = narrow.filter(need_decode).select("id_a", "id_b", "caption_equal")
+
+    # Viral-caption guard: a caption shared by n images yields O(n^2)
+    # caption-equal/bytes-different pairs, each demanding a pixel decode
+    # — the one cost salting can't cap (it parallelizes the join, not
+    # the decode count). Caption groups above the threshold switch to
+    # STAR verification per (caption, phash) subgroup: phash is designed
+    # to survive lossy re-encoding, so a visual family inside the mega
+    # group shares a phash and its members decode once each against the
+    # subgroup's min-id representative (n decodes, not n^2); star edges
+    # are exactly what connected components needs. Cross-phash pairs
+    # inside a mega caption group are dropped — phash inequality is
+    # itself strong not-a-re-encode evidence, the same documented recall
+    # trade as the LSH max_bucket cap. Requires a ``phash`` column;
+    # corpora without one keep exact pairwise verification throughout.
+    if "phash" in images.columns:
+        caps = images.select(
+            F.col(id_col).alias("id"),
+            F.xxhash64(F.col(caption_col)).alias("cap_h"),
+            F.col("phash").alias("_ph"),
+        )
+        decode_ids_all = (
+            raw_decode.select(F.col("id_a").alias("id"))
+            .unionByName(raw_decode.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        id_caps = caps.join(F.broadcast(decode_ids_all), "id", "left_semi").persist()
+        big_caps = (
+            id_caps.groupBy("cap_h")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > star_caption_groups_above)
+            .select("cap_h")
+        )
+        sub_reps = (
+            id_caps.join(F.broadcast(big_caps), "cap_h")
+            .groupBy("cap_h", "_ph")
+            .agg(F.min("id").alias("rep"))
+        )
+        star_pairs = (
+            id_caps.join(F.broadcast(big_caps), "cap_h")
+            .join(sub_reps, ["cap_h", "_ph"])
+            .filter(F.col("id") != F.col("rep"))
+            .select(
+                F.least("id", "rep").alias("id_a"),
+                F.greatest("id", "rep").alias("id_b"),
+                F.lit(True).alias("caption_equal"),
+            )
+        )
+        big_ids = id_caps.join(F.broadcast(big_caps), "cap_h", "left_semi").select("id")
+        small_pairs = raw_decode.join(
+            F.broadcast(big_ids.withColumnRenamed("id", "id_a")), "id_a", "left_anti"
+        )
+        decode_pairs = small_pairs.unionByName(star_pairs)
+    else:
+        decode_pairs = raw_decode
     decode_ids = (
         decode_pairs.select(F.col("id_a").alias("id"))
         .unionByName(decode_pairs.select(F.col("id_b").alias("id")))
