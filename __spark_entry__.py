@@ -516,6 +516,32 @@ def q_event_type_setops(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def q_order_cube(spark, sf_dir):
+    """CUBE aggregate: order counts across every (status, priority)
+    grouping-set combination."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def q_suppliers_with_cheap_parts(spark, sf_dir):
+    """Left-semi join: suppliers in nations that have below-median-priced
+    parts... kept simple: suppliers whose nationkey appears among
+    region-1 nations (semi-join through a dimension)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source rollup (min/max/count — exact aggregates)."""
     d = _t(spark, sf_dir, "documents")
@@ -676,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "revenue_rollup": q_revenue_rollup,
+        "order_cube": q_order_cube,
+        "suppliers_semi_join": q_suppliers_with_cheap_parts,
         "event_type_setops": q_event_type_setops,
         "source_stats": q_source_stats,
         "simhash_docs": q_simhash_docs,
@@ -887,6 +915,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+        "order_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+        "suppliers_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+            ORDER BY s_suppkey""",
         "event_type_setops": """
             SELECT user_id FROM events WHERE event_type = 'click' AND event_id % 7 = 0
             INTERSECT
