@@ -219,3 +219,29 @@ def test_no_payload_in_shuffle_plan(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "payload" not in m.group(1)
+
+
+def test_ladder_no_broadcast_mode_same_groups(spark):
+    """broadcast_candidates_below=0 switches the full-hash semi-join to
+    a shuffled join (the extreme-candidate-count escape hatch) — groups
+    must be identical either way."""
+    from yadf_spark.config import LadderConfig
+
+    rows = [(f"id{i}", bytes([i % 5]) * 60) for i in range(40)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    base_cfg = LadderConfig(prefix_len=8, suffix_len=8, suffix_threshold=32, full_hash_min_size=8)
+    no_bc = LadderConfig(
+        prefix_len=8, suffix_len=8, suffix_threshold=32, full_hash_min_size=8,
+        broadcast_candidates_below=0,
+    )
+
+    def groups(cfg):
+        a = exact.exact_assignments(df, cfg=cfg).collect()
+        from collections import defaultdict
+
+        bag = defaultdict(set)
+        for r in a:
+            bag[r["group_key"]].add(r["id"])
+        return {frozenset(v) for v in bag.values()}
+
+    assert groups(base_cfg) == groups(no_bc)

@@ -128,9 +128,15 @@ def exact_assignments(
     # stage 4: full-content hash for surviving colliders only (G6).
     mid = survivors.filter(F.col("size") < cfg.suffix_threshold).select("id")
     full_candidates = mid.unionByName(large.filter(F.col("n_s") > 1).select("id"))
-    # The candidate id set is tiny relative to the corpus — broadcast the
-    # semi-join so the payload column never crosses an exchange.
-    full_candidates = F.broadcast(full_candidates)
+    # Broadcast the semi-join so the payload column never crosses an
+    # exchange (O6). The hint is unconditional while
+    # ``broadcast_candidates_below`` is set; at extreme dup rates where
+    # the candidate id set itself would not fit the driver, set it to 0
+    # and Catalyst picks a shuffled join — payload bytes then cross one
+    # exchange, the unavoidable cost of re-pairing ids with content at
+    # that scale.
+    if cfg.broadcast_candidates_below:
+        full_candidates = F.broadcast(full_candidates)
     out_full = (
         src.join(full_candidates, "id", "left_semi")
         .select(
