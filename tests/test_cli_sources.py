@@ -230,3 +230,13 @@ def test_near_dup_mode_on_filesystem_images(spark, tmp_path):
     assert ["a_copy.img", "a_lossy.img", "a_orig.img"] in groups
     flat = {n for g in groups for n in g}
     assert "b.img" not in flat and "not_an_image.txt" not in flat
+
+
+def test_output_dir_distributed_write(spark, tree, tmp_path):
+    """--output-dir writes the formatted groups as a text dataset
+    (distributed sink) instead of a driver-side file."""
+    out_dir = tmp_path / "out_lines"
+    _cli(spark, ["-f", "ld-json", "--output-dir", str(out_dir), str(tree)])
+    lines = [r["value"] for r in spark.read.text(str(out_dir)).collect()]
+    groups = [json.loads(ln) for ln in lines if ln.strip()]
+    assert len(groups) == 1 and len(groups[0]) == 4
