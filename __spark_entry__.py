@@ -51,6 +51,18 @@ def _docs_as_corpus(spark, sf_dir):
     )
 
 
+def _members_str(col: str = "doc_id"):
+    """Group membership serialized to one sorted '|'-joined string.
+
+    The driver's oracle harness canonicalizes result frames with pandas
+    ``sort_values``, which cannot factorize list columns — so every
+    group query emits members as a scalar string (DuckDB mirror:
+    ``array_to_string(list_sort(list(col)), '|')``)."""
+    return F.array_join(
+        F.transform(F.sort_array(F.collect_list(col)), lambda x: x.cast("string")), "|"
+    )
+
+
 # --------------------------------------------------------------------------
 # the shared ladder CTE (mirrors yadf_spark.operators.exact bit-for-bit
 # in md5 mode — same stage routing, same key namespaces)
@@ -122,7 +134,7 @@ def q_size_groups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy(F.length("text").cast("long").alias("size"))
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .agg(_members_str().alias("members"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
         .orderBy("size")
     )
@@ -211,7 +223,7 @@ def q_prefix_hash_groups(spark, sf_dir):
     p = F.md5(F.concat_ws(":", F.length("text").cast("string"), F.expr("left(text, 12)")))
     return (
         d.groupBy(p.alias("p_hash"))
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .agg(_members_str().alias("members"), F.count("*").alias("n"))
         .orderBy("p_hash")
     )
 
@@ -222,17 +234,27 @@ def q_suffix_hash_groups(spark, sf_dir):
     s = F.md5(F.expr("right(text, 12)"))
     return (
         d.groupBy(s.alias("s_hash"))
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .agg(_members_str().alias("members"), F.count("*").alias("n"))
         .orderBy("s_hash")
     )
 
 
 def q_full_hash_groups(spark, sf_dir):
-    """G6: full-content hash duplicate groups (HAVING n > 1)."""
-    d = _t(spark, sf_dir, "documents")
+    """G6: full-content hash duplicate groups (HAVING n > 1).
+
+    The synthetic documents table has no exact full-text duplicates, so
+    the check plants them deterministically in-query: every 17th doc is
+    re-ingested under ``doc_id + 1_000_000`` (union, no external data).
+    The oracle mirrors the plant, so the check is non-vacuous — the
+    reference's keystone semantics (tests/particular_cases.rs:25-49)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
     return (
-        d.groupBy(F.md5("text").alias("f_hash"))
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        d.unionByName(plant)
+        .groupBy(F.md5("text").alias("f_hash"))
+        .agg(_members_str().alias("members"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
         .orderBy("f_hash")
     )
@@ -246,7 +268,7 @@ def q_naive_full_hash_groups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy(F.sha2("text", 256).alias("f_hash"))
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"), F.count("*").alias("n"))
+        .agg(_members_str().alias("members"), F.count("*").alias("n"))
         .orderBy("f_hash")
     )
 
@@ -266,8 +288,11 @@ def q_ladder_groups(spark, sf_dir):
     """G8: materialized groups from the ladder (rfactor over:0 keeps all
     buckets so the oracle can check totals)."""
     a = exact.exact_assignments(_docs_as_corpus(spark, sf_dir), cfg=DOC_LADDER)
-    return exact.groups_from_assignments(a, Factor.over(0)).select(
-        "group_key", "members", F.col("n")
+    g = exact.groups_from_assignments(a, Factor.over(0))
+    return g.select(
+        "group_key",
+        F.array_join(F.transform("members", lambda x: x.cast("string")), "|").alias("members"),
+        F.col("n"),
     )
 
 
@@ -365,10 +390,12 @@ def q_bpe_token_stats(spark, sf_dir):
     (the unit a BPE merge table operates on; GPT-2-family regex shape)."""
     d = _t(spark, sf_dir, "documents")
     toks = T.bpe_tokens(F.col("text"))
+    # head tokens joined on unit-separator (tokens can contain '|');
+    # a scalar string keeps the frame pandas-canonicalizable
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_bpe_tokens"),
-        F.slice(toks, 1, 5).alias("head_tokens"),
+        F.array_join(F.slice(toks, 1, 5), "\x1f").alias("head_tokens"),
     ).orderBy("doc_id")
 
 
@@ -402,8 +429,10 @@ def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints — SIGMOD'03
     scheme, k=12 char grams, window w=8, portable md5_32 hash."""
     d = _t(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(F.col("text"), 12, 8, algo="md5_32")
     return d.select(
-        "doc_id", T.winnow_fingerprints(F.col("text"), 12, 8, algo="md5_32").alias("fps")
+        "doc_id",
+        F.array_join(F.transform(fps, lambda x: x.cast("string")), "|").alias("fps"),
     ).orderBy("doc_id")
 
 
@@ -577,7 +606,9 @@ def q_images_exact_dedup(spark, sf_dir):
     from yadf_spark.fixtures import images as img
 
     df = img.images_df(spark, 256, seed=42)
-    return exact.exact_dup_groups(df).select("group_key", "members", "n")
+    return exact.exact_dup_groups(df).select(
+        "group_key", F.array_join("members", "|").alias("members"), "n"
+    )
 
 
 def q_ivf_near_dup(spark, sf_dir):
@@ -734,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "size_groups": """
             SELECT CAST(length(text) AS BIGINT) AS size,
-                   list_sort(list(doc_id)) AS members, count(*) AS n
+                   array_to_string(list_sort(list(doc_id)), '|') AS members, count(*) AS n
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY size""",
         "rfactor_under": """
             SELECT CAST(length(text) AS BIGINT) AS size, count(*) AS n
@@ -764,24 +795,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
         "prefix_hash_groups": """
             SELECT md5(CAST(length(text) AS VARCHAR) || ':' || left(text, 12)) AS p_hash,
-                   list_sort(list(doc_id)) AS members, count(*) AS n
+                   array_to_string(list_sort(list(doc_id)), '|') AS members, count(*) AS n
             FROM documents GROUP BY 1 ORDER BY p_hash""",
         "suffix_hash_groups": """
             SELECT md5(right(text, 12)) AS s_hash,
-                   list_sort(list(doc_id)) AS members, count(*) AS n
+                   array_to_string(list_sort(list(doc_id)), '|') AS members, count(*) AS n
             FROM documents GROUP BY 1 ORDER BY s_hash""",
         "full_hash_groups": """
-            SELECT md5(text) AS f_hash, list_sort(list(doc_id)) AS members, count(*) AS n
-            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY f_hash""",
+            WITH planted AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0)
+            SELECT md5(text) AS f_hash,
+                   array_to_string(list_sort(list(doc_id)), '|') AS members, count(*) AS n
+            FROM planted GROUP BY 1 HAVING count(*) > 1 ORDER BY f_hash""",
         "naive_full_hash_groups": """
-            SELECT sha256(text) AS f_hash, list_sort(list(doc_id)) AS members, count(*) AS n
+            SELECT sha256(text) AS f_hash,
+                   array_to_string(list_sort(list(doc_id)), '|') AS members, count(*) AS n
             FROM documents GROUP BY 1 ORDER BY f_hash""",
         "ladder_assignment": f"""
             WITH {LADDER_CTE}
             SELECT id AS doc_id, size, group_key, stage FROM ladder ORDER BY doc_id""",
         "ladder_groups": f"""
             WITH {LADDER_CTE}
-            SELECT group_key, list_sort(list(id)) AS members, count(*) AS n
+            SELECT group_key, array_to_string(list_sort(list(id)), '|') AS members,
+                   count(*) AS n
             FROM ladder GROUP BY 1 ORDER BY group_key""",
         "scan_stats": f"""
             WITH {LADDER_CTE},
@@ -840,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
                 regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}') AS toks
               FROM documents)
             SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-                   toks[1:5] AS head_tokens
+                   array_to_string(toks[1:5], chr(31)) AS head_tokens
             FROM t ORDER BY doc_id""",
         "quality": f"""
             WITH f AS (
@@ -876,7 +914,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "winnow_fingerprints": f"""
             WITH {WINNOW_CTE}
-            SELECT doc_id, fps FROM m ORDER BY doc_id""",
+            SELECT doc_id, array_to_string(fps, '|') AS fps FROM m ORDER BY doc_id""",
         "winnow_pairs": f"""
             WITH {WINNOW_CTE},
             e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
