@@ -64,6 +64,18 @@ def test_ladder_narrow_never_shuffles_payload(spark):
             assert "payload" not in ln, ln
 
 
+def test_ladder_counts_use_partial_aggregates_not_windows(spark):
+    """Stage group sizes must come from partial-agg groupBy+join, never
+    count-over-window: a Window.partitionBy(size / p_hash) pins every
+    row of one (possibly viral) key to a single task with no map-side
+    combine — correct at test scale, a straggler at 100x."""
+    rows = [(f"id{i}", bytes([i % 7]) * (50 + i % 3)) for i in range(64)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    plan = _formatted(exact.exact_assignments(df))
+    assert "Window" not in plan, "ladder must not use window-based counts"
+    assert "partial_count" in plan, "group sizes must partial-aggregate map-side"
+
+
 def test_full_hash_candidates_broadcast(spark):
     """The stage-4 semi-join of the candidate id set must be broadcast,
     not a shuffled join (O6: payload bytes stay put)."""

@@ -25,21 +25,45 @@ only inside multi-member buckets (reference: src/fs.rs:42-262, README
 
 Scale notes (100 TB / 10^12 rows):
 * Stages 1-3 shuffle only (id, size, 2 hashes) ~ 60 bytes/row.
-* Consecutive windows partition by ``size``, then ``p_hash`` (which
-  mixes size), then ``(p_hash, s_hash)`` — Spark reuses the p_hash
-  exchange for the (p_hash, s_hash) window (subset clustering), so the
-  ladder costs two narrow shuffles, not three.
-* Stage 4 re-reads only candidate rows from the columnar source; with a
-  dup-ratio of ~15% the semi-join key set is small enough to broadcast.
+* Per-stage group sizes come from ``groupBy(key).count()`` joined back
+  (see :func:`_with_group_count`) rather than count-over-window: the
+  partial aggregate absorbs key skew map-side, and AQE can split a
+  skewed join partition — a window would pin every row of a viral key
+  to one task.
+* Stage 4 re-reads only candidate rows from the columnar source; the
+  semi-join key set is broadcast only while its measured row count is
+  under ``broadcast_candidates_below`` (driver-heap guard).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from yadf_spark.config import DEFAULT_FACTOR, Factor, LadderConfig, ScanFilter
 from yadf_spark.functions import hashes
+
+
+def _with_group_count(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+    """Attach the per-key row count as column ``out``.
+
+    Deliberately ``groupBy(keys).count()`` + join back, NOT
+    ``count(*) OVER (PARTITION BY keys)``: a window sends every row of
+    one key to a single task — a 10M-copy viral payload or 10^9
+    same-size thumbnails becomes one straggler. The aggregate path gets
+    map-side partial aggregation (skew absorbed before the shuffle) and
+    AQE can split a skewed join partition; the tiny counts side is
+    broadcast at runtime when it fits. Joins are null-safe so rows with
+    null hash keys (null payloads) keep their group instead of being
+    dropped by inner-join null semantics."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias(out))
+    for k in keys:
+        counts = counts.withColumnRenamed(k, f"_cnt_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(F.col(f"_cnt_{k}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(counts, cond).drop(*[f"_cnt_{k}" for k in keys])
 
 
 def apply_scan_filters(
@@ -96,17 +120,14 @@ def exact_assignments(
     )
 
     # stage 1: size grouping — the zero-cost prefilter (G1/G2).
-    n_size = F.count("*").over(Window.partitionBy("size"))
-    t1 = narrow.withColumn("n_size", n_size)
+    t1 = _with_group_count(narrow, ["size"], "n_size")
     out_size = t1.filter(F.col("n_size") == 1).select(
         "id", "size", hashes.size_key(F.col("size")).alias("group_key"), F.lit("size").alias("stage")
     )
 
     # stage 2: prefix-hash grouping (G3). p_hash mixes size, so grouping
     # by p_hash alone preserves the size partition refinement.
-    t2 = t1.filter(F.col("n_size") > 1).withColumn(
-        "n_p", F.count("*").over(Window.partitionBy("p_hash"))
-    )
+    t2 = _with_group_count(t1.filter(F.col("n_size") > 1), ["p_hash"], "n_p")
     resolves_at_prefix = (F.col("n_p") == 1) | (F.col("size") < cfg.full_hash_min_size)
     out_prefix = t2.filter(resolves_at_prefix).select(
         "id", "size", F.col("p_hash").alias("group_key"), F.lit("prefix").alias("stage")
@@ -115,8 +136,8 @@ def exact_assignments(
     survivors = t2.filter(~resolves_at_prefix)
 
     # stage 3: suffix-hash sub-grouping for large payloads (G4/G5).
-    large = survivors.filter(F.col("size") >= cfg.suffix_threshold).withColumn(
-        "n_s", F.count("*").over(Window.partitionBy("p_hash", "s_hash"))
+    large = _with_group_count(
+        survivors.filter(F.col("size") >= cfg.suffix_threshold), ["p_hash", "s_hash"], "n_s"
     )
     out_suffix = large.filter(F.col("n_s") == 1).select(
         "id",
@@ -129,14 +150,18 @@ def exact_assignments(
     mid = survivors.filter(F.col("size") < cfg.suffix_threshold).select("id")
     full_candidates = mid.unionByName(large.filter(F.col("n_s") > 1).select("id"))
     # Broadcast the semi-join so the payload column never crosses an
-    # exchange (O6). The hint is unconditional while
-    # ``broadcast_candidates_below`` is set; at extreme dup rates where
-    # the candidate id set itself would not fit the driver, set it to 0
-    # and Catalyst picks a shuffled join — payload bytes then cross one
-    # exchange, the unavoidable cost of re-pairing ids with content at
-    # that scale.
+    # exchange (O6) — but only when the candidate id set actually fits:
+    # ``broadcast_candidates_below`` is a ROW-COUNT cutoff, enforced by
+    # materializing (persist + count) the tiny id frame before deciding.
+    # The count job runs stages 1-3 once; the cached id set is then
+    # reused by the join, so the decision costs one extra narrow pass —
+    # the price of never broadcasting an unbounded set onto the driver.
+    # Set the knob to 0 to skip both the count and the hint; Catalyst/AQE
+    # then picks the join strategy from runtime statistics.
     if cfg.broadcast_candidates_below:
-        full_candidates = F.broadcast(full_candidates)
+        full_candidates = full_candidates.persist()
+        if full_candidates.count() < cfg.broadcast_candidates_below:
+            full_candidates = F.broadcast(full_candidates)
     out_full = (
         src.join(full_candidates, "id", "left_semi")
         .select(
