@@ -125,6 +125,25 @@ jac AS (SELECT da AS id_a, db AS id_b, round(i / (sa.s + sb.s - i), 6) AS jaccar
         FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
 """
 
+# n-gram Jaccard with a document-frequency cap: shingles present in more
+# than SHINGLE_DF_CAP docs are dropped from both the intersection AND the
+# per-doc set sizes (a shared-by-everyone shingle carries no similarity
+# signal; an uncapped shingle self-join fans out m^2 rows on one hot key).
+SHINGLE_DF_CAP = 100
+CAPPED_SHINGLE_CTE = f"""
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+dfc AS (SELECT shingle, count(*) AS c FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle)
+       WHERE c <= {SHINGLE_DF_CAP}),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT da AS id_a, db AS id_b, round(i / (sa.s + sb.s - i), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+"""
+
 
 # --------------------------------------------------------------------------
 # Spark-side queries
@@ -314,9 +333,20 @@ def q_exact_dedup_docs(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (word 3-grams, exact, >= 0.5)."""
+    """n-gram Jaccard near-dup pairs (word 3-grams, >= 0.5) under the
+    SHINGLE_DF_CAP document-frequency cap (see CAPPED_SHINGLE_CTE): the
+    hot-shingle anti-join is the containment.py df-cap pattern — one
+    viral shingle must not fan the self-join out m^2 at scale. The
+    oracle applies the identical cap, so outputs match exactly."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
+    sh0 = d.select("doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("shingle"))
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("s"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -835,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper, count(*) AS n
             FROM documents GROUP BY text ORDER BY keeper""",
         "ngram_jaccard_pairs": f"""
-            WITH {SHINGLE_CTE}
+            WITH {CAPPED_SHINGLE_CTE}
             SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
         "minhash_lsh_pairs": f"""
             WITH {SHINGLE_CTE}

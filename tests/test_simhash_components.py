@@ -118,10 +118,20 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
     produces the same assignment as the union-find shortcut."""
     import random
 
+    import pandas as pd
+
     rng = random.Random(7)
-    edges = [(f"n{rng.randrange(200):03d}", f"n{rng.randrange(200):03d}") for _ in range(150)]
+    # mixed topology at a size where the driver path is plausibly used
+    # in production: random noise + long chains + a dense hub
+    edges = [
+        (f"n{rng.randrange(8000):05d}", f"n{rng.randrange(8000):05d}") for _ in range(15_000)
+    ]
+    edges += [(f"c{i:05d}", f"c{i + 1:05d}") for i in range(3_000)]  # one long chain
+    edges += [("hub", f"n{rng.randrange(8000):05d}") for _ in range(2_000)]
     edges = [(a, b) for a, b in edges if a != b]
-    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"])
+    )
     fast = {
         (r["id"], r["cluster_id"])
         for r in components.connected_components(df).collect()

@@ -120,7 +120,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 25,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """edges -> assignment ``(id, cluster_id)`` for every node appearing
     in the edge list; ``cluster_id`` is the lexicographic minimum member
@@ -130,7 +130,11 @@ def connected_components(
 
     Edge lists under ``driver_threshold`` rows short-circuit to a
     driver-side union-find (see :func:`_driver_union_find`); larger
-    graphs run the distributed star contraction."""
+    graphs run the distributed star contraction. The default (100k
+    edges) keeps the driver copy in the tens-of-MB range even with
+    long string ids plus Python object overhead — raise it only with a
+    correspondingly sized driver heap. The collect goes through Arrow
+    (``toPandas``), not Row objects."""
     # canonical orientation WITHOUT distinct: union-find absorbs repeat
     # edges for free, so the common (small-graph) path pays zero
     # exchanges here — everything upstream is narrow over cached stages.
@@ -142,9 +146,11 @@ def connected_components(
     )
     n_edges = raw.count()
     if n_edges <= driver_threshold:
-        rows = [(r["src"], r["dst"]) for r in raw.collect()]
+        pdf = raw.toPandas()  # Arrow transfer — no per-row Row objects
         raw.unpersist()
-        return _driver_union_find(edges.sparkSession, rows)
+        return _driver_union_find(
+            edges.sparkSession, zip(pdf["src"].tolist(), pdf["dst"].tolist())
+        )
     # distributed path: dedup (edge count drives the iteration cost) and
     # truncate lineage once before iterating
     e = raw.distinct().localCheckpoint(eager=True)

@@ -105,6 +105,60 @@ def brute_force_topk(
     )
 
 
+def exact_near_dup_candidates(
+    df: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Exact-recall candidate pairs WITHOUT a crossJoin: one vectorized
+    matmul per Arrow batch against the broadcast corpus matrix, keeping
+    pairs with approximate cosine >= ``min_cosine - margin``.
+
+    The margin covers the float-summation-order gap between BLAS and the
+    sequential-sum verifier (relative error ~ dim * 1e-16, so 1e-6 is
+    orders of magnitude of headroom) — every true pair survives, and the
+    tiny overshoot is removed by the exact cosine downstream. No O(n^2)
+    row set is ever materialized; per-partition work is a dense matmul.
+
+    The corpus matrix (n x dim float64) is broadcast to executors, so
+    this is the ORACLE-BASELINE path for verification-scale corpora; the
+    production paths at 10^12 rows are srp_candidates / ivf_near_dup_pairs.
+    Requires ``min_cosine - margin > 0`` (zero-norm rows never match)."""
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+    pdf = src.toPandas()
+    ids = pdf["id"].to_numpy()
+    if len(pdf):
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in pdf["e"]])
+    else:
+        mat = np.zeros((0, 1), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat / np.maximum(norms, 1e-300)))
+    thr = min_cosine - margin
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}"
+
+    def kernel(batches):
+        all_ids, all_normed = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.vstack([np.asarray(e, dtype=np.float64) for e in b["e"]])
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            sims = (m / np.maximum(n, 1e-300)) @ all_normed.T
+            out_a: list = []
+            out_b: list = []
+            for i, rid in enumerate(b["id"].to_numpy()):
+                js = np.flatnonzero((sims[i] >= thr) & (all_ids > rid))
+                out_a.extend([rid] * len(js))
+                out_b.extend(all_ids[js])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return src.mapInPandas(kernel, out_schema)
+
+
 def make_srp_udf(n_bits: int, dim: int, seed: int):
     """pandas UDF: embedding -> 64-bit signed-random-projection signature.
     One matmul per Arrow batch — fully vectorized."""
@@ -188,16 +242,18 @@ def embedding_near_dup_pairs(
     exact: bool = False,
     **srp_kwargs,
 ) -> DataFrame:
-    """Pairs with cosine >= min_cosine. ``exact=True`` brute-forces all
-    pairs (the oracle-checkable baseline, O(n^2) — fine at test SF);
-    otherwise SRP candidates bound the work at scale."""
+    """Pairs with cosine >= min_cosine. ``exact=True`` runs the blocked
+    matmul prefilter (full recall, no crossJoin — the oracle-checkable
+    baseline); otherwise SRP candidates bound the work at scale. Either
+    way the emitted cosine comes from the sequential-sum verifier, so
+    exact-mode output is bit-identical to an all-pairs oracle."""
     a = _side(df, id_col, emb_col, "id_a", "a")
     b = _side(df, id_col, emb_col, "id_b", "b")
     if exact:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        cand = exact_near_dup_candidates(df, min_cosine, id_col, emb_col)
     else:
         cand = srp_candidates(df, dim, id_col, emb_col, **srp_kwargs)
-        pairs = cand.join(a, "id_a").join(b, "id_b")
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
         _cosine_from_norms(pairs, dim)
         .filter(F.col("cosine") >= min_cosine)
