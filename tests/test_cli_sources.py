@@ -122,6 +122,68 @@ def test_no_empty(spark, tmp_path):
     assert len(out) == 1  # --no-empty drops them
 
 
+def test_machine_format_debug_quoting(spark, tmp_path):
+    """A path containing '"' or '\\' must be escaped Rust-{:?}-style in
+    the machine format (reference: src/bag/display.rs:28-47) — bare
+    wrapping quotes would emit a malformed line."""
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / 'we"ird').write_bytes(b"dup-bytes")
+    (d / "plain").write_bytes(b"dup-bytes")
+    out = _cli(spark, ["-f", "machine", str(d)])
+    line = out.strip()
+    assert '\\"' in line  # the embedded quote is escaped
+    # both members present, each wrapped in quotes
+    assert f'"{d}/plain"' in line
+    assert f'"{d}/we\\"ird"' in line
+
+
+def test_non_utf8_path_scan(spark, tmp_path):
+    """Files with non-UTF-8 names must be scanned and grouped, with the
+    id serialized lossily (reference: src/path.rs:7-14 + its dedicated
+    test tests/integration.rs:152-169). Spark's binaryFile silently
+    drops such files — the recovery walk reads them executor-side."""
+    d = tmp_path / "c"
+    d.mkdir()
+    for raw in (b"caf\xe9_1", b"caf\xe9_2"):  # latin-1 e-acute: invalid UTF-8
+        with open(os.path.join(os.fsencode(str(d)), raw), "wb") as fh:
+            fh.write(b"same-bytes")
+    out = json.loads(_cli(spark, ["-f", "json", str(d)]))
+    assert len(out) == 1 and len(out[0]) == 2
+    names = sorted(os.path.basename(p) for p in out[0])
+    assert names == ["caf�_1", "caf�_2"]  # U+FFFD replacement
+
+
+def test_no_empty_skips_empty_recovery(spark, tree, monkeypatch):
+    """-n / min>=1 must skip the zero-length recovery (the empties would
+    be filtered out anyway) — the seam asserts include_empty=False
+    reaches the source layer."""
+    calls = []
+    real = src._recovery_files_local
+
+    def spy(spark_, roots, glob, include_empty, recover_non_utf8=True):
+        calls.append(include_empty)
+        return real(spark_, roots, glob, include_empty, recover_non_utf8)
+
+    monkeypatch.setattr(src, "_recovery_files_local", spy)
+    _cli(spark, ["-f", "json", "-n", str(tree)])
+    assert calls == [False]
+    _cli(spark, ["-f", "json", str(tree)])
+    assert calls == [False, True]
+
+
+def test_output_dir_rejects_whole_document_formats(spark, tree, tmp_path):
+    """--output-dir with json/json-pretty must error, not silently write
+    ld-json parts."""
+    with pytest.raises(SystemExit, match="line-oriented"):
+        run(
+            build_parser().parse_args(
+                ["-f", "json", "--output-dir", str(tmp_path / "o"), str(tree)]
+            ),
+            spark=spark,
+        )
+
+
 @pytest.mark.skipif(os.name != "posix", reason="hard links are POSIX")
 def test_hardlink_suppression(spark, tmp_path):
     d = tmp_path / "c"
@@ -146,7 +208,7 @@ def test_input_path_dedup(spark, tree):
 
 
 def test_output_file_and_algorithms(spark, tree, tmp_path):
-    for algo in ("xxhash64", "md5", "sha256"):
+    for algo in ("xxhash64", "md5", "sha256", "blake2b128"):
         target = tmp_path / f"out-{algo}.json"
         _cli(spark, ["-f", "json", "-a", algo, "-o", str(target), str(tree)])
         assert len(json.loads(target.read_text())) == 1

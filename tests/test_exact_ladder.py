@@ -245,3 +245,52 @@ def test_ladder_no_broadcast_mode_same_groups(spark):
         return {frozenset(v) for v in bag.values()}
 
     assert groups(base_cfg) == groups(no_bc)
+
+
+def test_blake2b_wide_hash_family(spark):
+    """X1 wide-hash family (the reference's default-width posture,
+    src/hasher.rs:23-34): the ladder under blake2b128 must produce the
+    same group PARTITION as sha256, and every stage key must equal the
+    stdlib hashlib.blake2b digest computed independently (LE-u64 size
+    mixing for the partial hash, src/fs/hash.rs:27-42)."""
+    import hashlib
+    from collections import defaultdict
+
+    from yadf_spark.functions import hashes
+
+    payloads = {
+        "a1": b"x" * 40, "a2": b"x" * 40,              # identical, full-hash stage
+        "b": b"y" * 40,                                  # same size, differs
+        "c": b"unique-size-payload",                    # size singleton
+        "d1": b"z" * 300, "d2": b"z" * 299 + b"w",     # prefix collides, suffix splits
+    }
+    cfg = dict(prefix_len=8, suffix_len=8, suffix_threshold=128, full_hash_min_size=8)
+
+    def partition(algo):
+        a = exact.exact_assignments(
+            _df(spark, payloads), cfg=LadderConfig(algo=algo, **cfg)
+        ).collect()
+        bag = defaultdict(set)
+        for r in a:
+            bag[r["group_key"]].add(r["id"])
+        return {frozenset(v) for v in bag.values()}
+
+    assert partition("blake2b128") == partition("sha256")
+
+    # digest wiring differential: column results == driver-side hashlib
+    df = _df(spark, payloads)
+    out = {
+        r["image_id"]: r
+        for r in df.select(
+            "image_id",
+            hashes.prefix_hash(F.col("bytes"), F.length("bytes").cast("long"), 8, "blake2b128").alias("p"),
+            hashes.full_hash(F.col("bytes"), "blake2b256").alias("f"),
+        ).collect()
+    }
+    for k, v in payloads.items():
+        want_p = "p:" + hashlib.blake2b(
+            len(v).to_bytes(8, "little") + v[:8], digest_size=16
+        ).hexdigest()
+        want_f = "f:" + hashlib.blake2b(v, digest_size=32).hexdigest()
+        assert out[k]["p"] == want_p, k
+        assert out[k]["f"] == want_f, k

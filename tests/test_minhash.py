@@ -88,6 +88,22 @@ def test_salted_pair_generation_equals_plain_join(spark):
     assert plain == salted and plain
 
 
+def test_duplicate_ids_in_bucket_produce_no_self_pairs(spark):
+    """Duplicate image_id rows land twice in the same bucket; neither
+    the small-bucket expansion nor the salted join may emit (x, x)."""
+    rows = [
+        ("dup", 0, 7), ("dup", 0, 7), ("other", 0, 7),  # small bucket
+    ] + [
+        (f"big{i:03d}", 1, 9) for i in range(20)
+    ] + [("bigdup", 1, 9), ("bigdup", 1, 9)]  # salted (mega) bucket
+    buckets = spark.createDataFrame(rows, "id string, band_idx int, band_hash long")
+    for salt_above in (256, 4):  # both branches
+        pairs = minhash.candidate_pairs_from_buckets(buckets, salt_above).collect()
+        assert pairs
+        assert all(r["id_a"] != r["id_b"] for r in pairs)
+        assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
 def test_bucket_cap_drops_mega_buckets(spark):
     # 30 identical docs -> one mega bucket per band; cap at 10 drops them
     rows = [(f"x{i:02d}", "same caption every time for all rows") for i in range(30)]

@@ -145,6 +145,46 @@ def test_streaming_near_dup_matches_batch_candidates(spark, tmp_path):
     all_imgs.unpersist()
 
 
+def test_streaming_near_dup_replayed_batch_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: re-running a batch whose index write
+    SUCCEEDED but whose checkpoint commit was lost must not duplicate
+    index rows, emit self-pairs, or change the pair output."""
+    from yadf_spark.operators import minhash
+    from yadf_spark.operators.pipeline import candidate_buckets
+
+    cfg = NearDupConfig()
+    all_imgs = images_df(spark, 48, seed=5).persist()
+    b1 = all_imgs.filter(F.col("image_id") < "img-000000024")
+    b2 = all_imgs.filter(F.col("image_id") >= "img-000000024")
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    sd.incremental_near_dup_batch(b1, 0, index_dir, pairs_dir, cfg)
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, cfg)
+    index_rows = spark.read.parquet(index_dir).count()
+    pairs_before = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
+    }
+    # replay batch 1: its bands are already in the index
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, cfg)
+    assert spark.read.parquet(index_dir).count() == index_rows
+    pairs_after = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
+    }
+    assert pairs_after == pairs_before
+    assert all(a != b for a, b in pairs_after)  # no self-pairs
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash.candidate_pairs_from_buckets(
+            candidate_buckets(all_imgs, cfg), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
+        ).collect()
+    }
+    assert pairs_after == batch_pairs
+    all_imgs.unpersist()
+
+
 def test_streaming_near_dup_end_to_end(spark, tmp_path):
     imgs = images_df(spark, 16, seed=9)
     src_dir, schema = _write_batches(tmp_path, spark, [imgs])
@@ -158,7 +198,9 @@ def test_streaming_near_dup_end_to_end(spark, tmp_path):
     q.awaitTermination(180)
     idx = spark.read.parquet(str(tmp_path / "idx"))
     assert idx.count() > 0
-    assert set(idx.columns) == {"id", "band_idx", "band_hash"}
+    # batch_id is the replay-idempotency partition key (one subdir per
+    # batch, overwritten on replay); band_idx prunes the band join
+    assert set(idx.columns) == {"id", "band_idx", "band_hash", "batch_id"}
 
 
 def test_stateful_dedup_counts(spark, tmp_path):

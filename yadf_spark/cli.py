@@ -61,9 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="output format (reference: src/main.rs:105-132)",
     )
     p.add_argument(
-        "-a", "--algorithm", default="xxhash64", choices=["xxhash64", "md5", "sha256"],
-        help="content hash (the reference's 6 native algos map onto Spark's "
-        "built-in JVM-side hashes; xxhash64 ~ its xxh3 default-class choice)",
+        "-a", "--algorithm", default="xxhash64",
+        choices=["xxhash64", "md5", "sha256", "blake2b128", "blake2b256"],
+        help="content hash: xxhash64 (fast JVM-side, ~ the reference's xxh3 "
+        "class), md5/sha256 (portable/crypto), blake2b128/256 (wide+fast, "
+        "~ its highway-256 default width class)",
     )
     p.add_argument("-n", "--no-empty", action="store_true", help="exclude empty files (min=1)")
     p.add_argument("--min", type=parse_bytes, default=None, help="minimum file size (e.g. 100M)")
@@ -117,6 +119,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
     )
     spark = spark or get_spark(app_name="yadf-spark-cli", cores=args.cores)
 
+    min_size = 1 if (args.no_empty and args.min is None) else args.min
     if args.table:
         df = src.table_corpus(spark, args.table, args.id_col, args.payload_col)
     else:
@@ -126,9 +129,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
             paths,
             max_depth=args.depth,
             keep_hardlinks=args.hard_links,
+            # a min-size >= 1 drops empties anyway — skip the recovery listing
+            include_empty=not (min_size and min_size >= 1),
         )
-
-    min_size = 1 if (args.no_empty and args.min is None) else args.min
     flt = ScanFilter(min_size=min_size, max_size=args.max, regex=args.pattern, glob=args.glob)
     ladder = LadderConfig(algo=args.algorithm)
 
@@ -166,13 +169,19 @@ def run(args: argparse.Namespace, spark=None) -> int:
             )
 
     if args.output_dir:
-        liner = {
+        liners = {
             "fdupes": fmts.fdupes_lines,
             "machine": fmts.machine_lines,
             "ld-json": fmts.ldjson_lines,
             "csv": fmts.csv_lines,
-        }.get(args.format, fmts.ldjson_lines)
-        fmts.write_lines(liner(groups), args.output_dir)
+        }
+        if args.format not in liners:
+            raise SystemExit(
+                f"--output-dir needs a line-oriented format "
+                f"({', '.join(liners)}); got -f {args.format} "
+                f"(whole-document json cannot be written as distributed parts)"
+            )
+        fmts.write_lines(liners[args.format](groups), args.output_dir)
     else:
         rendered = fmts.render(groups, args.format)
         if args.output:

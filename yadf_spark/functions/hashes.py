@@ -11,6 +11,14 @@ a JVM-side column expression (whole-stage codegen, no Python):
   reference's "size || prefix-bytes" mixing semantically.
 * ``md5`` / ``sha256`` — portable mode: DuckDB computes identical hex
   digests, so oracle queries can replicate the ladder's keys exactly.
+* ``blake2b128`` / ``blake2b256`` — the WIDE fast family (the
+  reference's default posture is a wide non-crypto hash, highway-256 at
+  src/hasher.rs:23-34, with blake3 as the crypto option :72-80): 64-bit
+  keys are birthday-risky at 10^12 rows, 128+ bits are not. Stdlib
+  ``hashlib.blake2b`` through an Arrow-batched pandas UDF (no external
+  wheel needed); size is mixed as a little-endian u64 prefix, the
+  reference's ``write_u64(len) || write(bytes)`` shape
+  (src/fs/hash.rs:27-42).
 
 All group keys are namespaced strings (``sz:``, ``p:``, ``s:``, ``f:``)
 so keys from different ladder stages can never collide — strictly
@@ -19,16 +27,66 @@ stronger than the reference's shared ``H::Hash`` key space.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-ALGOS = ("xxhash64", "md5", "sha256")
+BLAKE2B_SIZES = {"blake2b128": 16, "blake2b256": 32}
+ALGOS = ("xxhash64", "md5", "sha256", *BLAKE2B_SIZES)
+
+
+def _to_bytes(v) -> bytes:
+    return v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+
+
+def _blake2b_digest(algo: str, *cols: Column) -> Column:
+    """blake2b hex digest column (pandas UDF, Arrow batches). One arg
+    hashes the raw payload bytes; two args mix ``(size, payload)`` as
+    LE-u64 || bytes like the reference's partial hash."""
+    digest_size = BLAKE2B_SIZES[algo]
+
+    if len(cols) == 1:
+
+        @F.pandas_udf("string")
+        def h1(data: pd.Series) -> pd.Series:
+            import hashlib
+
+            return data.map(
+                lambda v: None
+                if v is None
+                else hashlib.blake2b(_to_bytes(v), digest_size=digest_size).hexdigest()
+            )
+
+        return h1(cols[0])
+
+    if len(cols) != 2:
+        raise ValueError("blake2b digest supports 1 (payload) or 2 (size, payload) columns")
+
+    @F.pandas_udf("string")
+    def h2(size: pd.Series, data: pd.Series) -> pd.Series:
+        import hashlib
+
+        return pd.Series(
+            [
+                None
+                if v is None or s is None
+                else hashlib.blake2b(
+                    int(s).to_bytes(8, "little") + _to_bytes(v), digest_size=digest_size
+                ).hexdigest()
+                for s, v in zip(size, data)
+            ],
+            dtype=object,
+        )
+
+    return h2(cols[0], cols[1])
 
 
 def _digest(algo: str, *cols: Column) -> Column:
     """Hash one or more columns into a single string digest column."""
     if algo == "xxhash64":
         return F.xxhash64(*cols).cast("string")
+    if algo in BLAKE2B_SIZES:
+        return _blake2b_digest(algo, *cols)
     # md5/sha2 take a single argument; concat with a separator that the
     # DuckDB oracle reproduces verbatim (see __spark_entry__.oracle_sql).
     arg = cols[0] if len(cols) == 1 else F.concat_ws(":", *[c.cast("string") for c in cols])
@@ -65,7 +123,8 @@ def full_hash(payload: Column, algo: str) -> Column:
     if algo == "xxhash64":
         # For the trusted final key prefer a cryptographic digest even in
         # fast mode: xxhash64 collisions at 10^12 rows are likely
-        # (birthday bound), sha256 collisions are not.
+        # (birthday bound), sha256 collisions are not. The blake2b
+        # family needs no upgrade — 128 bits is already birthday-safe.
         return F.concat(F.lit("f:"), F.sha2(payload, 256))
     return F.concat(F.lit("f:"), _digest(algo, payload))
 

@@ -148,11 +148,14 @@ def candidate_pairs_from_buckets(
         if n_dropped:
             log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
 
-    small = grouped.filter(
-        F.col("n") <= min(salt_bucket_above, max_bucket)
-    ).select(
-        F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p")
-    ).select("p.id_a", "p.id_b")
+    small = (
+        grouped.filter(F.col("n") <= min(salt_bucket_above, max_bucket))
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        # duplicate ids inside one bucket (duplicate input rows) would
+        # otherwise emit self-pairs; the big-bucket join filters them too
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
 
     big = (
         grouped.filter((F.col("n") > salt_bucket_above) & (F.col("n") <= max_bucket))

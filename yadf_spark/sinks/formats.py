@@ -36,10 +36,24 @@ def fdupes_lines(groups: DataFrame) -> DataFrame:
     return _ordered(groups).select(F.array_join("members", "\n").alias("value"))
 
 
+def _debug_quote(m):
+    """Rust ``{:?}``-style string quoting (reference: src/bag/display.rs:28-47):
+    backslashes, double quotes, and \\n/\\r/\\t are escaped inside the
+    wrapping quotes, so a path containing ``"`` round-trips instead of
+    producing a malformed line. (Other control chars — which Rust would
+    render as ``\\u{..}`` — are left as-is; they are valid text output.)"""
+    e = F.regexp_replace(m, r"\\", r"\\\\")
+    e = F.regexp_replace(e, '"', r'\\"')
+    e = F.regexp_replace(e, "\n", r"\\n")
+    e = F.regexp_replace(e, "\r", r"\\r")
+    e = F.regexp_replace(e, "\t", r"\\t")
+    return F.concat(F.lit('"'), e, F.lit('"'))
+
+
 def machine_lines(groups: DataFrame) -> DataFrame:
     """One group per line, quoted paths space-separated (golden:
     src/bag/display.rs:67-75)."""
-    quoted = F.transform("members", lambda m: F.concat(F.lit('"'), m, F.lit('"')))
+    quoted = F.transform("members", _debug_quote)
     return _ordered(groups).select(F.array_join(quoted, " ").alias("value"))
 
 

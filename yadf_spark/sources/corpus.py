@@ -108,12 +108,134 @@ def _drop_hardlinks(df: DataFrame) -> DataFrame:
     )
 
 
+_EMPTY_SCHEMA = "image_id string, bytes binary, size long, _mtime_ms long"
+
+
+def _local_path(root: str) -> str | None:
+    """The filesystem path when ``root`` is a local-scheme root, else None."""
+    if root.startswith("file:"):
+        return root[len("file:"):]
+    if "://" in root or root.split(":", 1)[0] in ("hdfs", "s3", "s3a", "s3n", "abfs", "gs"):
+        return None
+    return root
+
+
+def _lossy_utf8(path: str) -> str | None:
+    """When ``path`` (as produced by ``os.fsdecode``) contains bytes that
+    are not valid UTF-8 (surrogate escapes), return its lossy decoding
+    (U+FFFD replacement) — the id Spark can carry; else None. Mirrors
+    the reference's lossy path serialization (src/path.rs:7-14)."""
+    try:
+        path.encode("utf-8", "strict")
+        return None
+    except UnicodeEncodeError:
+        return os.fsencode(path).decode("utf-8", "replace")
+
+
+def _recovery_files_local(
+    spark: SparkSession,
+    roots: list[str],
+    glob: str | None,
+    include_empty: bool,
+    recover_non_utf8: bool = True,
+) -> DataFrame:
+    """Distributed recovery listing for local-scheme roots: the two file
+    classes the ``binaryFile`` datasource silently drops —
+
+    * zero-length files (no split to read; only when ``include_empty``),
+    * files whose names are not valid UTF-8 (the JVM path layer skips
+      them; the reference processes them and serializes the path
+      lossily, src/path.rs:7-14, tests/integration.rs:152-169) — their
+      content is read executor-side and the id is the replacement-char
+      decoding.
+
+    The driver does ONE ``scandir`` per root (to enumerate its immediate
+    subtrees — bounded work); executors walk each subtree in parallel.
+    This replaces the previous driver-serial recursive ``listFiles``,
+    whose O(total files) single-threaded walk would dominate the job at
+    10^8-file corpora."""
+    units: list[tuple[str, str]] = []  # (kind, path): F=file, D0=root's own files, D=subtree
+    for root in roots:
+        local = _local_path(root)
+        if local is None:  # non-local scheme — caller routes to the JVM fallback
+            raise ValueError(f"not a local root: {root}")
+        if not os.path.exists(local):
+            continue
+        if os.path.isfile(local):
+            units.append(("F", local))
+            continue
+        units.append(("D0", local))
+        try:
+            with os.scandir(local) as it:
+                units.extend(
+                    ("D", e.path) for e in it if e.is_dir(follow_symlinks=False)
+                )
+        except OSError:
+            continue
+    if not units:
+        recovered = spark.createDataFrame([], _EMPTY_SCHEMA)
+    else:
+        import fnmatch
+
+        def kernel(batches):
+            def keep(name: str) -> bool:
+                return not glob or fnmatch.fnmatch(name, glob)
+
+            def emit(path: str, st) -> tuple | None:
+                lossy = _lossy_utf8(path)
+                if lossy is not None:
+                    if not recover_non_utf8 or not keep(os.path.basename(lossy)):
+                        return None
+                    with open(os.fsencode(path), "rb") as fh:
+                        payload = fh.read()
+                    return (lossy, payload, len(payload), int(st.st_mtime * 1000))
+                if include_empty and st.st_size == 0 and keep(os.path.basename(path)):
+                    return (path, b"", 0, int(st.st_mtime * 1000))
+                return None
+
+            for pdf in batches:
+                rows = []
+                for kind, p in zip(pdf["kind"], pdf["path"]):
+                    try:
+                        if kind == "F":
+                            r = emit(p, os.stat(p))
+                            rows.extend([r] if r else [])
+                        elif kind == "D0":
+                            with os.scandir(p) as it:
+                                for e in it:
+                                    if e.is_file(follow_symlinks=True):
+                                        r = emit(e.path, e.stat())
+                                        rows.extend([r] if r else [])
+                        else:
+                            for dirpath, _dirs, files in os.walk(p):
+                                for f in files:
+                                    fp = os.path.join(dirpath, f)
+                                    try:
+                                        r = emit(fp, os.stat(fp))
+                                        rows.extend([r] if r else [])
+                                    except OSError:
+                                        pass
+                    except OSError:
+                        pass
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "size", "_mtime_ms"]
+                )
+
+        unit_df = spark.createDataFrame(pd.DataFrame(units, columns=["kind", "path"]))
+        recovered = unit_df.repartition(min(len(units), 64)).mapInPandas(
+            kernel, _EMPTY_SCHEMA
+        )
+    return recovered.select(
+        "image_id", "bytes", "size", F.timestamp_millis("_mtime_ms").alias("mtime")
+    )
+
+
 def _empty_files_df(spark: SparkSession, roots: list[str], glob: str | None) -> DataFrame:
-    """Spark's ``binaryFile`` datasource silently skips zero-length files
-    (its splits have no bytes to read); the reference groups empty files
-    by default (min size 0, src/args.rs:16-22). Recover them with a
-    Hadoop-FS listing — metadata only, no content reads, and the listing
-    works on any FS scheme Spark supports."""
+    """JVM-listing fallback for non-local schemes: recover zero-length
+    files (``binaryFile`` silently skips them; the reference groups
+    empty files by default — min size 0, src/args.rs:16-22). Local roots
+    take :func:`_recovery_files_local` instead (distributed, and also
+    recovers non-UTF-8-named files). Metadata only, no content reads."""
     import fnmatch
 
     jvm = spark.sparkContext._jvm
@@ -133,8 +255,7 @@ def _empty_files_df(spark: SparkSession, roots: list[str], glob: str | None) -> 
                 if glob and not fnmatch.fnmatch(os.path.basename(path), glob):
                     continue
                 rows.append((path, b"", 0, st.getModificationTime()))
-    schema = "image_id string, bytes binary, size long, _mtime_ms long"
-    empties = spark.createDataFrame(rows, schema)
+    empties = spark.createDataFrame(rows, _EMPTY_SCHEMA)
     return empties.select(
         "image_id", "bytes", "size", F.timestamp_millis("_mtime_ms").alias("mtime")
     )
@@ -146,6 +267,8 @@ def filesystem_corpus(
     max_depth: int | None = None,
     keep_hardlinks: bool = True,
     glob: str | None = None,
+    include_empty: bool = True,
+    recover_non_utf8: bool = True,
 ) -> DataFrame:
     """S1: distributed scan of real directory trees via ``binaryFile``.
 
@@ -153,6 +276,10 @@ def filesystem_corpus(
     file (F1 is implicit: the datasource lists files only). ``glob``
     pushes a name pattern into the file *index* (``pathGlobFilter``),
     i.e. true scan pushdown — cheaper than the post-hoc F5 filter.
+    ``include_empty=False`` (set it when a min-size filter >= 1 will
+    drop empties anyway) skips the zero-length recovery; local roots
+    still get the distributed non-UTF-8-name recovery walk (those files
+    are silently dropped by the JVM path layer at any size).
     """
     roots = _canonical_roots(paths)
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
@@ -164,7 +291,13 @@ def filesystem_corpus(
         F.col("length").cast("long").alias("size"),
         F.col("modificationTime").alias("mtime"),
     )
-    df = df.unionByName(_empty_files_df(spark, roots, glob))
+    local = all(_local_path(r) is not None for r in roots)
+    if local and (include_empty or recover_non_utf8):
+        df = df.unionByName(
+            _recovery_files_local(spark, roots, glob, include_empty, recover_non_utf8)
+        )
+    elif include_empty:
+        df = df.unionByName(_empty_files_df(spark, roots, glob))
     if max_depth is not None:
         df = _depth_filter(df, roots, max_depth)
     if not keep_hardlinks:

@@ -74,13 +74,14 @@ def incremental_near_dup_batch(
     cfg: NearDupConfig | None = None,
 ) -> None:
     """One ``foreachBatch`` tick: join the new batch's bands against the
-    persistent index, verify candidates, emit pairs, append the batch's
-    bands to the index.
+    persistent index, verify candidates, emit pairs, write the batch's
+    bands into its own ``batch_id=`` index subdir.
 
-    Order matters: candidates are generated BEFORE the index gains this
-    batch's bands, then new-vs-new pairs come from a self-join of the
-    (small) batch band table — so a replayed batch produces the same
-    pairs (idempotent under the batch_id-keyed output path)."""
+    Replay safety: if the previous attempt wrote the index but lost the
+    checkpoint commit, the replayed batch (a) sees its own ids in the
+    history join — the ``id_a != id_b`` filter plus the final
+    ``distinct`` make the pair output identical — and (b) OVERWRITES its
+    ``batch_id=`` subdir rather than appending duplicate index rows."""
     cfg = cfg or NearDupConfig()
     spark = batch.sparkSession
     batch = batch.persist()
@@ -101,6 +102,10 @@ def incremental_near_dup_batch(
                 F.least("id_new", "id_old").alias("id_a"),
                 F.greatest("id_new", "id_old").alias("id_b"),
             )
+            # a replayed batch's own ids may already be in the index
+            # (batch written, checkpoint commit lost) — least/greatest of
+            # equal ids would emit a self-pair
+            .filter(F.col("id_a") != F.col("id_b"))
             .distinct()
         )
         pair_frames.append(nv_old)
@@ -123,9 +128,15 @@ def incremental_near_dup_batch(
     out_path = os.path.join(pairs_dir, f"batch_id={batch_id}")
     pairs.write.mode("overwrite").parquet(out_path)
 
-    new_bands.select("id", "band_idx", "band_hash").write.mode("append").partitionBy(
+    # The index write is keyed by batch_id (overwrite of a batch_id=
+    # subdir, like the pairs sink) so a batch replayed after a failure
+    # between index write and checkpoint commit REPLACES its own rows
+    # instead of appending duplicates — true idempotent replay. The
+    # subdir name doubles as a partition column on read; band_idx
+    # partitioning within each batch dir keeps the band-join pruning.
+    new_bands.select("id", "band_idx", "band_hash").write.mode("overwrite").partitionBy(
         "band_idx"
-    ).parquet(index_dir)
+    ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
     new_bands.unpersist()
     batch.unpersist()
 
