@@ -117,7 +117,11 @@ def run_lsh_scaling(spark, n_images: int) -> float:
 
     run()  # warmup: codegen + python workers
     best = float("inf")
-    for _ in range(3):  # best-of-3: the sandbox VM has ~15% host noise
+    # best-of-5: the sandbox VM shows ~15% host-contention noise, and a
+    # single bad draw on either level corrupts the headline efficiency
+    # ratio (observed 0.76-0.90 across runs of identical code); five
+    # samples per level make a good draw overwhelmingly likely
+    for _ in range(5):
         t0 = time.monotonic()
         run()
         best = min(best, time.monotonic() - t0)
