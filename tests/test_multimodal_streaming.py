@@ -185,6 +185,45 @@ def test_streaming_near_dup_replayed_batch_is_idempotent(spark, tmp_path):
     all_imgs.unpersist()
 
 
+def test_compacted_band_index_equivalent(spark, tmp_path):
+    """Compaction folds the per-batch index subdirs into one layer; a
+    subsequent batch joined against the compacted index must produce
+    exactly the pairs it would have produced against the original."""
+    cfg = NearDupConfig()
+    all_imgs = images_df(spark, 48, seed=5).persist()
+    b1 = all_imgs.filter(F.col("image_id") < "img-000000016")
+    b2 = all_imgs.filter(
+        (F.col("image_id") >= "img-000000016") & (F.col("image_id") < "img-000000032")
+    )
+    b3 = all_imgs.filter(F.col("image_id") >= "img-000000032")
+
+    idx = str(tmp_path / "idx")
+    sd.incremental_near_dup_batch(b1, 0, idx, str(tmp_path / "p_a"), cfg)
+    sd.incremental_near_dup_batch(b2, 1, idx, str(tmp_path / "p_a"), cfg)
+
+    compacted = str(tmp_path / "idx_compact")
+    sd.compact_band_index(spark, idx, compacted)
+    raw = spark.read.parquet(idx).select("id", "band_idx", "band_hash")
+    comp = spark.read.parquet(compacted).select("id", "band_idx", "band_hash")
+    assert raw.count() == comp.count()
+    assert raw.exceptAll(comp).count() == 0
+
+    sd.incremental_near_dup_batch(b3, 2, idx, str(tmp_path / "p_orig"), cfg)
+    sd.incremental_near_dup_batch(b3, 2, compacted, str(tmp_path / "p_comp"), cfg)
+    orig = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", str(tmp_path / "p_orig"))
+        .parquet(str(tmp_path / "p_orig") + "/*").collect()
+    }
+    post = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", str(tmp_path / "p_comp"))
+        .parquet(str(tmp_path / "p_comp") + "/*").collect()
+    }
+    assert orig == post
+    all_imgs.unpersist()
+
+
 def test_streaming_near_dup_end_to_end(spark, tmp_path):
     imgs = images_df(spark, 16, seed=9)
     src_dir, schema = _write_batches(tmp_path, spark, [imgs])

@@ -62,10 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "-a", "--algorithm", default="xxhash64",
-        choices=["xxhash64", "md5", "sha256", "blake2b128", "blake2b256"],
+        choices=["xxhash64", "md5", "sha256", "sha512", "blake2b128", "blake2b256"],
         help="content hash: xxhash64 (fast JVM-side, ~ the reference's xxh3 "
-        "class), md5/sha256 (portable/crypto), blake2b128/256 (wide+fast, "
-        "~ its highway-256 default width class)",
+        "class), md5/sha256/sha512 (portable/crypto), blake2b128/256 "
+        "(wide+fast, ~ its highway-256 default width class)",
     )
     p.add_argument("-n", "--no-empty", action="store_true", help="exclude empty files (min=1)")
     p.add_argument("--min", type=parse_bytes, default=None, help="minimum file size (e.g. 100M)")

@@ -32,7 +32,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 BLAKE2B_SIZES = {"blake2b128": 16, "blake2b256": 32}
-ALGOS = ("xxhash64", "md5", "sha256", *BLAKE2B_SIZES)
+# six algos across three width/speed classes, matching the reference's
+# pluggable-trait breadth (src/hasher.rs:1-80): fast-64 (xxhash64),
+# wide-fast (blake2b128/256), portable/crypto (md5/sha256/sha512)
+ALGOS = ("xxhash64", "md5", "sha256", "sha512", *BLAKE2B_SIZES)
 
 
 def _to_bytes(v) -> bytes:
@@ -94,6 +97,8 @@ def _digest(algo: str, *cols: Column) -> Column:
         return F.md5(arg.cast("string"))
     if algo == "sha256":
         return F.sha2(arg.cast("string"), 256)
+    if algo == "sha512":
+        return F.sha2(arg.cast("string"), 512)
     raise ValueError(f"unknown hash algo {algo!r}; expected one of {ALGOS}")
 
 

@@ -141,6 +141,23 @@ def incremental_near_dup_batch(
     batch.unpersist()
 
 
+def compact_band_index(spark, index_dir: str, out_dir: str) -> None:
+    """Fold a batch_id-partitioned band index into one compact layer.
+
+    Each micro-batch writes its own ``batch_id=`` subdir (replay
+    idempotency); after many batches the directory listing is O(batches)
+    small files. This maintenance job (run it OFFLINE — with the stream
+    stopped or against a snapshot) rewrites the whole index as a single
+    ``batch_id=0`` layer partitioned by ``band_idx``, ``distinct``-ed so
+    any residue collapses. Write goes to a NEW directory — object stores
+    have no atomic rename, so the caller switches ``index_dir`` to
+    ``out_dir`` (and may resume appending batch subdirs beside it)."""
+    idx = spark.read.parquet(index_dir).select("id", "band_idx", "band_hash").distinct()
+    idx.write.mode("overwrite").partitionBy("band_idx").parquet(
+        os.path.join(out_dir, "batch_id=0")
+    )
+
+
 def _index_exists(spark, path: str) -> bool:
     """Non-empty band index at ``path``? Hadoop-FS check so the index
     can live on any scheme Spark reads (local, hdfs, s3a)."""
