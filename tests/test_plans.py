@@ -76,6 +76,18 @@ def test_ladder_counts_use_partial_aggregates_not_windows(spark):
     assert "partial_count" in plan, "group sizes must partial-aggregate map-side"
 
 
+def test_exact_edges_use_partial_aggregates_not_windows(spark):
+    """Star-edge generation must not route a viral dup group through a
+    single window task either (same rule as the ladder counts)."""
+    from yadf_spark.operators import pipeline as pl
+
+    rows = [(f"id{i}", bytes([i % 7]) * (50 + i % 3)) for i in range(64)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    plan = _formatted(pl.exact_edges(exact.exact_assignments(df)))
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
 def test_full_hash_candidates_broadcast(spark):
     """The stage-4 semi-join of the candidate id set must be broadcast,
     not a shuffled join (O6: payload bytes stay put)."""

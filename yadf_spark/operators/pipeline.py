@@ -65,13 +65,19 @@ def prepare_images(df: DataFrame) -> DataFrame:
 
 def exact_edges(assignments: DataFrame) -> DataFrame:
     """Exact-dup groups -> star edges (each member -> group minimum).
-    Avoids materializing O(n^2) edges for large identical groups; a
-    window (one shuffle) instead of groupBy+join (two)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("group_key")
+    Avoids materializing O(n^2) edges for large identical groups. The
+    group minimum comes from ``groupBy().min()`` joined back (null-safe),
+    NOT ``min() over (partition by group_key)``: the window form pins
+    every row of one viral group onto a single task, while the aggregate
+    gets map-side partial min and AQE can split the skewed join side —
+    the same skew rule as the ladder's counts (exact._with_group_count)."""
+    roots = (
+        assignments.groupBy("group_key")
+        .agg(F.min("id").alias("root"))
+        .withColumnRenamed("group_key", "_gk")
+    )
     return (
-        assignments.select("id", F.min("id").over(w).alias("root"))
+        assignments.join(roots, assignments["group_key"].eqNullSafe(F.col("_gk")))
         .filter(F.col("id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )
