@@ -82,6 +82,32 @@ def _cosine_from_norms(pairs: DataFrame, dim: int | None = None) -> DataFrame:
     )
 
 
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition top-k per query (two-phase top-k, phase 1).
+
+    Without this, ``row_number() OVER (PARTITION BY query_id)`` shuffles
+    every (query x corpus-row) scored pair onto one task per query — an
+    n-row straggler per query at corpus scale. The partial pass keeps at
+    most k rows per query per partition (running top-k across Arrow
+    batches, memory O(q*k + batch)), so the final exact window sees
+    q * k * partitions rows instead of q * n. Selection only — cosine
+    values pass through untouched, so oracle bit-identity holds."""
+
+    def kernel(batches):
+        acc = None
+        for b in batches:
+            cur = b if acc is None else pd.concat((acc, b), ignore_index=True)
+            cur = cur.sort_values(
+                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+            )
+            acc = cur.groupby("query_id", sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = scored.select("query_id", "neighbor_id", "cosine")
+    return pruned.mapInPandas(kernel, pruned.schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,7 +117,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """For each query vector: the k nearest corpus vectors by cosine.
     Result: (query_id, neighbor_id, cosine, rank); self-matches excluded.
-    Deterministic tie-break on neighbor id."""
+    Deterministic tie-break on neighbor id. Two-phase top-k: partial
+    per-partition selection, then the exact global window over the
+    (tiny) survivor set."""
     q = _side(queries, id_col, emb_col, "query_id", "a")
     c = _side(corpus, id_col, emb_col, "neighbor_id", "b")
     scored = _cosine_from_norms(c.crossJoin(F.broadcast(q))).filter(
@@ -99,7 +127,8 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        _partial_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

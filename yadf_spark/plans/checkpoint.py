@@ -55,41 +55,51 @@ class Checkpointer:
     pass-through) so pipelines run identically with or without it.
 
     ``eager=False`` (only meaningful with ``workdir=None``) defers all
-    materialization to the caller's final action: stages are persisted
-    lazily and per-stage row counts come from ``Observation`` nodes
-    riding the plan instead of one count job per stage. Each count job
-    costs a driver-side scheduling round trip, and with five stages the
-    round trips were a measurable slice of the whole pipeline at high
-    core counts — serial time no amount of executors removes. Eager
-    remains the default because lazily-persisted stages that feed
-    multiple concurrent AQE query stages can be recomputed before the
-    cache populates (observed: the MinHash UDF running 4x); the
-    near-dup pipeline's DAG is single-consumer per stage, so its bench
-    path opts in to lazy."""
+    materialization to the caller's final action: stages are
+    localCheckpoint(eager=False)-ed so the whole pipeline runs as one
+    fused job, and per-stage row counts come from counting the
+    checkpointed RDDs at ``metrics()`` time. Each eager count job costs
+    a driver-side scheduling round trip, and with five stages the round
+    trips were a measurable slice of the whole pipeline at high core
+    counts — serial time no amount of executors removes. Eager remains
+    the default because it gives true per-stage wall times; both modes
+    truncate lineage at every stage boundary, which bounds logical-plan
+    growth (self-joining stages would otherwise double their upstream
+    subtree per use until plan stringification alone OOMs the driver)."""
 
     spark: SparkSession
     workdir: str | None = None
     eager: bool = True
     runs: list[StageRun] = field(default_factory=list)
-    _observations: list = field(default_factory=list)
+    _lazy_stages: list = field(default_factory=list)
 
     def stage(self, name: str, config, fn: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.monotonic()
         if self.workdir is None and not self.eager:
-            from pyspark.sql import Observation
-            from pyspark.sql import functions as F
-
-            obs = Observation(f"stage:{name}")
-            df = fn().observe(obs, F.count(F.lit(1)).alias("rows")).persist()
-            self._observations.append((name, obs))
+            # lazy localCheckpoint: lineage truncates in the LOGICAL plan
+            # immediately (bounding cross-stage plan growth, see the
+            # eager branch) while materialization still waits for the
+            # caller's single fused action. Row counts come from
+            # counting the checkpointed RDD at metrics() time — nearly
+            # free once materialized, and unlike the previous
+            # Observation-node scheme it cannot deadlock when metrics()
+            # is called before the final action (a count simply
+            # materializes the checkpoint).
+            df = fn().localCheckpoint(eager=False)
+            self._lazy_stages.append((name, df))
             return df
         if self.workdir is None:
-            # no durable checkpoint requested: persist AND materialize.
-            # The eager count yields true per-stage row counts + wall
-            # time (the reference's per-stage metrics, src/lib.rs:120-139)
-            # and guards lazily-cached stages against concurrent AQE
-            # recompute (see class docstring).
-            df = fn().persist()
+            # no durable checkpoint requested: localCheckpoint (eager) —
+            # materializes like persist+count, AND truncates lineage.
+            # Truncation matters beyond resume semantics: each stage's
+            # logical plan otherwise embeds every upstream stage's plan,
+            # and self-joins inside stages (the skew-safe groupBy+join
+            # count/min patterns) double their subtree per use — across
+            # five stages the combined plan grows multiplicatively until
+            # plan stringification alone exhausts the driver heap. The
+            # eager count on the checkpointed RDD is then free and yields
+            # the per-stage metrics (reference: src/lib.rs:120-139).
+            df = fn().localCheckpoint(eager=True)
             rows = df.count()
             self.runs.append(StageRun(name, rows, time.monotonic() - t0, False))
             return df
@@ -128,16 +138,18 @@ class Checkpointer:
         return out
 
     def metrics(self) -> list[dict]:
-        """Per-stage metrics. In lazy mode, call only AFTER the final
-        action — ``Observation.get`` blocks until its node has executed;
-        wall seconds are not attributable per stage (one fused job) and
+        """Per-stage metrics. In lazy mode, rows come from counting each
+        stage's checkpointed RDD — prefer calling after the final action
+        (the counts are then local scans of materialized partitions);
+        calling earlier just materializes the checkpoints. Wall seconds
+        are not attributable per stage in lazy mode (one fused job) and
         are reported as -1."""
         out = [
             {"stage": r.name, "rows": r.rows, "seconds": round(r.seconds, 3), "resumed": r.resumed}
             for r in self.runs
         ]
-        for name, obs in self._observations:
+        for name, df in self._lazy_stages:
             out.append(
-                {"stage": name, "rows": obs.get["rows"], "seconds": -1.0, "resumed": False}
+                {"stage": name, "rows": df.count(), "seconds": -1.0, "resumed": False}
             )
         return out

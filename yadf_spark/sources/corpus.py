@@ -100,12 +100,14 @@ def _drop_hardlinks(df: DataFrame) -> DataFrame:
         return pd.DataFrame({"dev": devs, "ino": inos})
 
     keyed = df.withColumn("_di", dev_ino("image_id"))
+    # split the stat-error rows (dev = -1) out BEFORE the window: they
+    # all share one (-1, -1) key, and at corpus scale that is a single
+    # straggler window partition for rows the filter keeps wholesale
+    ok = keyed.filter(F.col("_di.dev") >= 0)
+    err = keyed.filter(F.col("_di.dev") < 0)
     w = Window.partitionBy("_di.dev", "_di.ino").orderBy("image_id")
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) | (F.col("_di.dev") < 0))
-        .drop("_di", "_rn")
-    )
+    kept = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return kept.unionByName(err).drop("_di")
 
 
 _EMPTY_SCHEMA = "image_id string, bytes binary, size long, _mtime_ms long"
