@@ -615,11 +615,19 @@ def q_source_stats(spark, sf_dir):
     )
 
 
-# --- rows-only entries (non-SQL-expressible; pytest-verified vs truth) ----
 def q_simhash_docs(spark, sf_dir):
-    """SimHash fingerprints over documents (vectorized pandas UDF)."""
+    """SimHash fingerprints over documents (vectorized pandas UDF,
+    md5_32 portable token hashes so the DuckDB oracle replays the full
+    vote-threshold-pack computation bit-for-bit)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash.add_simhash(d, text_col="text").select("doc_id", "simhash").orderBy("doc_id")
+    return (
+        simhash.add_simhash(d, text_col="text", algo="md5_32")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
+
+
+# --- rows-only entries (non-SQL-expressible; pytest-verified vs truth) ----
 
 
 def q_ann_topk_srp(spark, sf_dir):
@@ -1003,4 +1011,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(length(text)) AS BIGINT) AS min_len,
                    CAST(max(length(text)) AS BIGINT) AS max_len
             FROM documents GROUP BY source ORDER BY source""",
+        "simhash_docs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents),
+            th AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                   FROM toks),
+            bits AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(32)) AS bit) b GROUP BY 1, 2),
+            sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY 1)
+            SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
     }

@@ -57,13 +57,28 @@ def simhash64():
 
 
 def add_simhash(
-    df: DataFrame, text_col: str = "caption", out_col: str = "simhash", k: int = 1
+    df: DataFrame,
+    text_col: str = "caption",
+    out_col: str = "simhash",
+    k: int = 1,
+    algo: str = "xxhash64",
 ) -> DataFrame:
-    """k=1: token-level simhash (classic); k>1: shingle-level."""
+    """k=1: token-level simhash (classic); k>1: shingle-level.
+
+    ``algo="md5_32"`` is the oracle-portable mode: 32-bit token hashes
+    from the md5 hex prefix (identical in DuckDB), so the whole simhash
+    — votes, threshold, bit packing — is replayable in ANSI SQL; the
+    upper 32 bits of the fingerprint are then always zero. Production
+    default stays xxhash64 (full 64-bit spread, JVM-side)."""
     col = F.col(text_col)
-    hashes_col = (
-        T.shingle_hashes(col, k) if k > 1 else F.transform(T.tokens(col), lambda t: F.xxhash64(t))
-    )
+    if k > 1:
+        hashes_col = T.shingle_hashes(col, k)
+    elif algo == "md5_32":
+        hashes_col = F.transform(
+            T.tokens(col), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+    else:
+        hashes_col = F.transform(T.tokens(col), lambda t: F.xxhash64(t))
     return df.withColumn(out_col, simhash64()(hashes_col))
 
 
