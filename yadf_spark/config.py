@@ -23,7 +23,8 @@ class LadderConfig:
     #: payloads < this skip the full hash — their prefix hash already
     #: covered the entire content + size (reference: src/fs.rs:244-262)
     full_hash_min_size: int = 4096
-    #: hash algorithm: "xxhash64" (fast) | "md5" | "sha256" (oracle-portable)
+    #: hash algorithm: "xxhash64" (fast) | "md5"/"sha256"/"sha512"
+    #: (oracle-portable/crypto) | "blake2b128"/"blake2b256" (wide+fast)
     algo: str = "xxhash64"
     #: if the candidate set needing a full hash is under this many rows,
     #: broadcast it for the semi-join against the source scan (avoids

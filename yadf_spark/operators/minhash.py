@@ -207,15 +207,20 @@ def exact_jaccard(
     # thread concurrently with the main join, and an unpopulated cache
     # would make both compute the candidate DAG (signature UDF included)
     pairs = pairs.persist()
-    pairs.count()
+    n_pairs = pairs.count()
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))
         .distinct()
     )
+    # the id set has at most 2 * n_pairs rows — broadcast only while that
+    # bound fits driver/executor heap; beyond it a shuffled semi-join is
+    # the right plan (AQE may still convert it from runtime stats)
+    if 2 * n_pairs < 2_000_000:
+        cand_ids = F.broadcast(cand_ids)
     sh = (
         df.select(F.col(id_col).alias("_id"), T.word_shingles(F.col(text_col), k).alias("_sh"))
-        .join(F.broadcast(cand_ids), "_id", "left_semi")
+        .join(cand_ids, "_id", "left_semi")
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))

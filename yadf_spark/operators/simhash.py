@@ -118,14 +118,22 @@ def hamming_band_candidates(
         .bitwiseAND(F.lit(mask))
         .alias("band_hash"),
     )
+    # persist AND materialize before any broadcast consumer — a
+    # broadcast built from an unpopulated cache recomputes the whole
+    # candidate DAG on a concurrent driver thread (see exact_jaccard)
     pairs = candidate_pairs_from_buckets(bands, salt_bucket_above, max_bucket).persist()
+    n_pairs = pairs.count()
     a = src.select(F.col("id").alias("id_a"), F.col("_h").alias("h_a"))
     b = src.select(F.col("id").alias("id_b"), F.col("_h").alias("h_b"))
     cand_ids = (
         pairs.select(F.col("id_a").alias("id")).unionByName(pairs.select(F.col("id_b").alias("id"))).distinct()
     )
-    a = a.join(F.broadcast(cand_ids.select(F.col("id").alias("id_a"))), "id_a", "left_semi")
-    b = b.join(F.broadcast(cand_ids.select(F.col("id").alias("id_b"))), "id_b", "left_semi")
+    ca = cand_ids.select(F.col("id").alias("id_a"))
+    cb = cand_ids.select(F.col("id").alias("id_b"))
+    if 2 * n_pairs < 2_000_000:  # row-count bound on the broadcast side
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
+    a = a.join(ca, "id_a", "left_semi")
+    b = b.join(cb, "id_b", "left_semi")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")

@@ -1,4 +1,5 @@
 from yadf_spark.streaming.dedup import (
+    compact_band_index,
     dedup_stream,
     incremental_near_dup_batch,
     streaming_near_dup,
@@ -6,6 +7,7 @@ from yadf_spark.streaming.dedup import (
 )
 
 __all__ = [
+    "compact_band_index",
     "dedup_stream",
     "incremental_near_dup_batch",
     "streaming_near_dup",
