@@ -43,8 +43,11 @@ def containment_pairs(
     # expression in the same select references it trips Spark's lateral
     # column alias resolution (INTERNAL_ERROR LateralColumnAliasReference).
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # ids + lengths only through the shingle join (see
+    # containment_pairs_char: shuffling full texts per shingle row was
+    # the dominant cost); texts re-attach to the distinct candidates
     sh = base.select(
-        "id", "text", F.explode(T.word_shingles(F.col("text"), k)).alias("shingle")
+        "id", F.length("text").alias("len"), F.explode(T.word_shingles(F.col("text"), k)).alias("shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     hot = freq.filter(F.col("df_") > max_shingle_df)
@@ -54,21 +57,25 @@ def containment_pairs(
             log(f"containment: dropped {n_hot} shingles with df > {max_shingle_df}")
     sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 
-    a = sh.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("text").alias("text_a"))
-    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"), F.col("text").alias("text_b"))
+    a = sh.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("len").alias("len_a"))
+    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"), F.col("len").alias("len_b"))
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") != F.col("id_b"))
         # only check "shorter inside longer"; equal-length containment is
         # equality, covered with the deterministic id tie-break
         .filter(
-            (F.length("text_a") < F.length("text_b"))
-            | ((F.length("text_a") == F.length("text_b")) & (F.col("id_a") < F.col("id_b")))
+            (F.col("len_a") < F.col("len_b"))
+            | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") < F.col("id_b")))
         )
-        .select("id_a", "text_a", "id_b", "text_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    verified = cand.filter(F.expr("contains(text_b, text_a)"))
+    ta = base.select(F.col("id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("text").alias("text_b"))
+    verified = (
+        cand.join(ta, "id_a").join(tb, "id_b").filter(F.expr("contains(text_b, text_a)"))
+    )
     return verified.select(
         F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id")
     )
@@ -96,28 +103,40 @@ def containment_pairs_char(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).filter(
         F.length("text") >= n
     )
+    # The candidate join carries ONLY (id, length, gram) — never text:
+    # the exploded side has one row per gram, and dragging each row's
+    # full document through the shuffle multiplied the join's bytes by
+    # the text length (measured: the dominant cost of this operator).
+    # Texts re-attach to the (tiny) distinct candidate set afterwards.
+    # array_distinct first: repeated grams within one document add no
+    # recall, only join fan-out.
     grams = base.select(
         F.col("id").alias("id_b"),
-        F.col("text").alias("text_b"),
-        F.explode(T.char_ngrams(F.col("text"), n)).alias("gram"),
+        F.length("text").alias("len_b"),
+        F.explode(F.array_distinct(T.char_ngrams(F.col("text"), n))).alias("gram"),
     )
     probes = base.select(
         F.col("id").alias("id_a"),
-        F.col("text").alias("text_a"),
+        F.length("text").alias("len_a"),
         F.substring("text", 1, n).alias("gram"),
     )
     cand = (
         grams.join(probes, "gram")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(
-            (F.length("text_a") < F.length("text_b"))
-            | ((F.length("text_a") == F.length("text_b")) & (F.col("id_a") < F.col("id_b")))
+            (F.col("len_a") < F.col("len_b"))
+            | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") < F.col("id_b")))
         )
-        .select("id_a", "text_a", "id_b", "text_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return cand.filter(F.expr("contains(text_b, text_a)")).select(
-        F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id")
+    ta = base.select(F.col("id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.expr("contains(text_b, text_a)"))
+        .select(F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id"))
     )
 
 
