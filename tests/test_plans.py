@@ -157,6 +157,35 @@ def test_minhash_bands_single_shuffle_to_pairs(spark):
             assert "sig" not in ln.split("[")[0], ln
 
 
+def test_bucketed_join_needs_no_exchange(spark):
+    """Two tables bucketed identically on the join key must join with
+    ZERO shuffle exchanges (and, with sortBy, zero sorts) — the scan
+    satisfies the join's distribution. This is the co-located-join
+    layout the payload re-join stages assume at corpus scale."""
+    from yadf_spark.sinks import bucketed
+
+    rows = [(f"id{i:04d}", i) for i in range(256)]
+    a = spark.createDataFrame(rows, "image_id string, x long")
+    b = spark.createDataFrame(rows, "image_id string, y long")
+    bucketed.write_bucketed(a, "bt_a", num_buckets=8)
+    bucketed.write_bucketed(b, "bt_b", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = bucketed.read_bucketed(spark, "bt_a").join(
+            bucketed.read_bucketed(spark, "bt_b"), "image_id"
+        )
+        plan = _formatted(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 256
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     """Iceberg-style layout stand-in: a corpus written partitioned by a
     low-cardinality column must prune partitions at the scan when
