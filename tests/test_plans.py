@@ -157,6 +157,41 @@ def test_minhash_bands_single_shuffle_to_pairs(spark):
             assert "sig" not in ln.split("[")[0], ln
 
 
+def test_aqe_splits_skewed_ladder_join(spark):
+    """The ladder's groupBy+join count pattern was chosen over windows
+    BECAUSE AQE can split a skewed join partition at runtime — prove the
+    machinery engages: with thresholds scaled to test data, a corpus
+    where half the rows share one size must produce a skew-split join
+    (isSkew=true / 'skew=' marker in the final adaptive plan)."""
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_confs}
+    for k, v in skew_confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 20k rows of one payload size (the viral key) + scattered sizes
+        rows = [(f"v{i:05d}", bytes([i % 251]) * 64) for i in range(20_000)]
+        rows += [(f"u{i:05d}", bytes([i % 251]) * (100 + i % 400)) for i in range(2_000)]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        assignments = exact.exact_assignments(df)
+        # drive THIS DataFrame's own QueryExecution so its adaptive plan
+        # finalizes (a write/count spawns a separate execution)
+        assert len(assignments.collect()) == 22_000
+        final = assignments._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_needs_no_exchange(spark):
     """Two tables bucketed identically on the join key must join with
     ZERO shuffle exchanges (and, with sortBy, zero sorts) — the scan
