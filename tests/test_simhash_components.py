@@ -124,10 +124,10 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
     # mixed topology at a size where the driver path is plausibly used
     # in production: random noise + long chains + a dense hub
     edges = [
-        (f"n{rng.randrange(8000):05d}", f"n{rng.randrange(8000):05d}") for _ in range(15_000)
+        (f"n{rng.randrange(3000):05d}", f"n{rng.randrange(3000):05d}") for _ in range(4_000)
     ]
-    edges += [(f"c{i:05d}", f"c{i + 1:05d}") for i in range(3_000)]  # one long chain
-    edges += [("hub", f"n{rng.randrange(8000):05d}") for _ in range(2_000)]
+    edges += [(f"c{i:05d}", f"c{i + 1:05d}") for i in range(1_500)]  # one long chain
+    edges += [("hub", f"n{rng.randrange(3000):05d}") for _ in range(800)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(
         pd.DataFrame(edges, columns=["id_a", "id_b"])

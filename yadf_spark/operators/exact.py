@@ -151,17 +151,30 @@ def exact_assignments(
     full_candidates = mid.unionByName(large.filter(F.col("n_s") > 1).select("id"))
     # Broadcast the semi-join so the payload column never crosses an
     # exchange (O6) — but only when the candidate id set actually fits:
-    # ``broadcast_candidates_below`` is a ROW-COUNT cutoff, enforced by
-    # materializing (persist + count) the tiny id frame before deciding.
-    # The count job runs stages 1-3 once; the cached id set is then
-    # reused by the join, so the decision costs one extra narrow pass —
-    # the price of never broadcasting an unbounded set onto the driver.
-    # Set the knob to 0 to skip both the count and the hint; Catalyst/AQE
-    # then picks the join strategy from runtime statistics.
+    # ``broadcast_candidates_below`` is a ROW-COUNT cutoff. Decision
+    # ladder, cheapest evidence first:
+    #   1. If Catalyst's size estimate of the WHOLE INPUT is under the
+    #      64 MiB broadcast ceiling, the candidate id subset certainly
+    #      fits — hint immediately, zero extra jobs (the common small /
+    #      interactive case).
+    #   2. Otherwise materialize (persist + count) the id frame and
+    #      compare the real row count: one extra narrow pass, the price
+    #      of never broadcasting an unbounded set onto the driver.
+    # Set the knob to 0 to skip both; Catalyst/AQE then picks the join
+    # strategy from runtime statistics.
     if cfg.broadcast_candidates_below:
-        full_candidates = full_candidates.persist()
-        if full_candidates.count() < cfg.broadcast_candidates_below:
+        try:
+            est_bytes = int(
+                src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+            )
+        except Exception:
+            est_bytes = None
+        if est_bytes is not None and est_bytes <= (64 << 20):
             full_candidates = F.broadcast(full_candidates)
+        else:
+            full_candidates = full_candidates.persist()
+            if full_candidates.count() < cfg.broadcast_candidates_below:
+                full_candidates = F.broadcast(full_candidates)
     out_full = (
         src.join(full_candidates, "id", "left_semi")
         .select(

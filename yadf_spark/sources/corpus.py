@@ -174,62 +174,114 @@ def _recovery_files_local(
                 )
         except OSError:
             continue
+    emit = _make_recovery_emit(glob, include_empty, recover_non_utf8)
     if not units:
         recovered = spark.createDataFrame([], _EMPTY_SCHEMA)
     else:
-        import fnmatch
-
-        def kernel(batches):
-            def keep(name: str) -> bool:
-                return not glob or fnmatch.fnmatch(name, glob)
-
-            def emit(path: str, st) -> tuple | None:
-                lossy = _lossy_utf8(path)
-                if lossy is not None:
-                    if not recover_non_utf8 or not keep(os.path.basename(lossy)):
-                        return None
-                    with open(os.fsencode(path), "rb") as fh:
-                        payload = fh.read()
-                    return (lossy, payload, len(payload), int(st.st_mtime * 1000))
-                if include_empty and st.st_size == 0 and keep(os.path.basename(path)):
-                    return (path, b"", 0, int(st.st_mtime * 1000))
-                return None
-
-            for pdf in batches:
-                rows = []
-                for kind, p in zip(pdf["kind"], pdf["path"]):
-                    try:
-                        if kind == "F":
-                            r = emit(p, os.stat(p))
-                            rows.extend([r] if r else [])
-                        elif kind == "D0":
-                            with os.scandir(p) as it:
-                                for e in it:
-                                    if e.is_file(follow_symlinks=True):
-                                        r = emit(e.path, e.stat())
-                                        rows.extend([r] if r else [])
-                        else:
-                            for dirpath, _dirs, files in os.walk(p):
-                                for f in files:
-                                    fp = os.path.join(dirpath, f)
-                                    try:
-                                        r = emit(fp, os.stat(fp))
-                                        rows.extend([r] if r else [])
-                                    except OSError:
-                                        pass
-                    except OSError:
-                        pass
-                yield pd.DataFrame(
-                    rows, columns=["image_id", "bytes", "size", "_mtime_ms"]
+        # small trees (the interactive / test case): walk on the driver —
+        # a Spark job + Python-worker spawn costs seconds, the walk costs
+        # milliseconds. The cap bounds driver work; past it, bail to the
+        # distributed walk (one executor task per subtree).
+        rows = _driver_walk(units, emit, limit=_DRIVER_WALK_LIMIT)
+        if rows is not None:
+            if rows:
+                # via pandas so the Arrow path is used — a plain list of
+                # tuples becomes a pickled RDD that re-runs Python
+                # workers on every downstream action
+                recovered = spark.createDataFrame(
+                    pd.DataFrame(rows, columns=["image_id", "bytes", "size", "_mtime_ms"]),
+                    schema=_EMPTY_SCHEMA,
                 )
+            else:
+                recovered = spark.createDataFrame([], _EMPTY_SCHEMA)
+        else:
 
-        unit_df = spark.createDataFrame(pd.DataFrame(units, columns=["kind", "path"]))
-        recovered = unit_df.repartition(min(len(units), 64)).mapInPandas(
-            kernel, _EMPTY_SCHEMA
-        )
+            def kernel(batches):
+                for pdf in batches:
+                    out = []
+                    for kind, p in zip(pdf["kind"], pdf["path"]):
+                        try:
+                            for path, st in _iter_unit_files(kind, p):
+                                r = emit(path, st)
+                                if r:
+                                    out.append(r)
+                        except OSError:
+                            pass
+                    yield pd.DataFrame(
+                        out, columns=["image_id", "bytes", "size", "_mtime_ms"]
+                    )
+
+            unit_df = spark.createDataFrame(pd.DataFrame(units, columns=["kind", "path"]))
+            recovered = unit_df.repartition(min(len(units), 64)).mapInPandas(
+                kernel, _EMPTY_SCHEMA
+            )
     return recovered.select(
         "image_id", "bytes", "size", F.timestamp_millis("_mtime_ms").alias("mtime")
     )
+
+
+#: driver-side walk cap — beyond this many directory entries the listing
+#: moves to executors (the 10^8-file case the distributed path exists for)
+_DRIVER_WALK_LIMIT = 10_000
+
+
+def _make_recovery_emit(glob: str | None, include_empty: bool, recover_non_utf8: bool):
+    import fnmatch
+
+    def keep(name: str) -> bool:
+        return not glob or fnmatch.fnmatch(name, glob)
+
+    def emit(path: str, st) -> tuple | None:
+        lossy = _lossy_utf8(path)
+        if lossy is not None:
+            if not recover_non_utf8 or not keep(os.path.basename(lossy)):
+                return None
+            with open(os.fsencode(path), "rb") as fh:
+                payload = fh.read()
+            return (lossy, payload, len(payload), int(st.st_mtime * 1000))
+        if include_empty and st.st_size == 0 and keep(os.path.basename(path)):
+            return (path, b"", 0, int(st.st_mtime * 1000))
+        return None
+
+    return emit
+
+
+def _iter_unit_files(kind: str, p: str):
+    """Yield ``(path, stat)`` for every file a walk unit covers."""
+    if kind == "F":
+        yield p, os.stat(p)
+    elif kind == "D0":
+        with os.scandir(p) as it:
+            for e in it:
+                if e.is_file(follow_symlinks=True):
+                    yield e.path, e.stat()
+    else:
+        for dirpath, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                try:
+                    yield fp, os.stat(fp)
+                except OSError:
+                    pass
+
+
+def _driver_walk(units, emit, limit: int) -> list | None:
+    """Walk all units on the driver, or None once ``limit`` entries are
+    seen (caller falls back to the distributed walk)."""
+    rows: list = []
+    seen = 0
+    for kind, p in units:
+        try:
+            for path, st in _iter_unit_files(kind, p):
+                seen += 1
+                if seen > limit:
+                    return None
+                r = emit(path, st)
+                if r:
+                    rows.append(r)
+        except OSError:
+            continue
+    return rows
 
 
 def _empty_files_df(spark: SparkSession, roots: list[str], glob: str | None) -> DataFrame:
