@@ -9,7 +9,18 @@ Local-mode defaults mirror what we'd set on a real cluster:
 * Arrow on (every pandas UDF crosses the JVM/Python boundary in
   columnar batches);
 * UTC session timezone so results compare bit-for-bit against the
-  DuckDB oracle.
+  DuckDB oracle;
+* scan I/O sizing (``files.maxPartitionBytes`` / ``openCostInBytes``) —
+  the Spark-native replacement for the reference's hand-built I/O
+  machinery (SURVEY §2.5 P3-P5): its io-thread pool becomes the task
+  scheduler over scan splits, its sequential prefetcher becomes the
+  columnar reader's buffered split reads (sized by ``maxPartitionBytes``
+  so a split fits executor memory at any corpus size), and its
+  platform-specific read layer is the Hadoop FS abstraction. The
+  reference's own sweep found prefetch constants worth <= ~1% —
+  evidence that declarative I/O with sane split sizing is the right
+  altitude, not a compromise (reference: src/fs/prefetch.rs:24-30,
+  src/fs/pool.rs:9-16).
 """
 
 from __future__ import annotations
@@ -61,6 +72,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # P3-P5 stand-ins (see module docstring): 128 MiB scan splits
+        # keep a whole-file-row batch well inside executor memory even
+        # with binary payloads; the open-cost constant stops the packer
+        # from fusing thousands of small files into one starving task
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", _PKG_ROOT))
     )
