@@ -208,7 +208,10 @@ def test_input_path_dedup(spark, tree):
 
 
 def test_output_file_and_algorithms(spark, tree, tmp_path):
-    for algo in ("xxhash64", "md5", "sha256", "sha512", "blake2b128"):
+    # one algo per implementation class (JVM-hash / JVM-digest /
+    # pandas-UDF); sha256/sha512 share md5's code path and blake2b256
+    # shares blake2b128's — covered by the hashes unit tests
+    for algo in ("xxhash64", "md5", "blake2b128"):
         target = tmp_path / f"out-{algo}.json"
         _cli(spark, ["-f", "json", "-a", algo, "-o", str(target), str(tree)])
         assert len(json.loads(target.read_text())) == 1

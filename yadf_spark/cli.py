@@ -135,10 +135,15 @@ def run(args: argparse.Namespace, spark=None) -> int:
     flt = ScanFilter(min_size=min_size, max_size=args.max, regex=args.pattern, glob=args.glob)
     ladder = LadderConfig(algo=args.algorithm)
 
+    # Without a checkpoint dir or a metrics request there is nothing the
+    # eager per-stage materialization buys — lazy mode fuses the whole
+    # run into the single output action (fewer driver round trips)
+    eager = bool(args.checkpoint_dir or args.report or args.verbose)
+
     if args.mode == "near-dup":
         from yadf_spark.operators import pipeline as pl
 
-        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir)
+        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         images = pl.prepare_images(exact.apply_scan_filters(df, flt))
         out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
         clusters = out["clusters"]
@@ -150,16 +155,18 @@ def run(args: argparse.Namespace, spark=None) -> int:
             .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
             .filter(exact.factor_predicate(F.col("n"), args.rfactor))
         )
-        metrics = out["metrics"]
+        metrics = out["metrics"] if "metrics" in out else None
     else:
-        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir)
+        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         assignments = ck.stage(
             "exact_ladder",
             {"ladder": ladder, "filter": flt},
             lambda: exact.exact_assignments(df, cfg=ladder, scan_filter=flt),
         )
         groups = exact.groups_from_assignments(assignments, args.rfactor)
-        metrics = ck.metrics()
+        # lazy-mode metrics would trigger extra count jobs — only
+        # materialize them when they will actually be printed
+        metrics = ck.metrics() if eager else None
         if args.cluster_table:
             fmts.write_cluster_assignments(
                 groups.select(
@@ -190,7 +197,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         else:
             print(rendered)
 
-    if args.report or args.verbose:
+    if (args.report or args.verbose) and metrics:
         for m in metrics:
             print(f"stage {m['stage']}: rows={m['rows']} sec={m['seconds']} resumed={m['resumed']}", file=sys.stderr)
     return 0
