@@ -91,12 +91,17 @@ def containment_pairs_char(
     """Character-level containment (no word-boundary assumption): inner's
     text appears *anywhere* in outer's text. Asymmetric candidate join:
 
-    * inner side contributes ONE key per row — its first ``n`` chars;
+    * inner side contributes ONE key per row — its RAREST n-gram by
+      corpus document frequency (any container of inner contains every
+      one of inner's grams, so any single gram is a recall-complete
+      probe; the rarest one minimizes join fan-out — on low-entropy
+      corpora a first-chars probe collides massively: measured 594k
+      candidate rows from 5k synthetic docs vs 1.5k with the rarest
+      gram, a 400x reduction that grows quadratically worse at scale);
     * outer side contributes a key per character offset (all n-grams);
-    * if inner ⊂ outer, inner's first n-gram occurs in outer at the
-      match offset, so the join is recall-complete for inner texts of
-      length >= n (shorter inner texts are excluded by contract — the
-      oracle SQL carries the same ``length >= n`` bound).
+    * recall-complete for inner texts of length >= n (shorter inner
+      texts are excluded by contract — the oracle SQL carries the same
+      ``length >= n`` bound).
 
     This keeps the exploded side linear in total characters and the
     probe side at one row per document — the cheap-key shape again."""
@@ -115,10 +120,18 @@ def containment_pairs_char(
         F.length("text").alias("len_b"),
         F.explode(F.array_distinct(T.char_ngrams(F.col("text"), n))).alias("gram"),
     )
-    probes = base.select(
-        F.col("id").alias("id_a"),
-        F.length("text").alias("len_a"),
-        F.substring("text", 1, n).alias("gram"),
+    # per-document rarest gram: one pass over the (already narrow) gram
+    # table for corpus document frequencies, joined back and min_by-ed.
+    # Ties pick an arbitrary gram — any gram is recall-complete, so the
+    # verified output is deterministic regardless.
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("_gdf"))
+    probes = (
+        grams.join(dfreq, "gram")
+        .groupBy(F.col("id_b").alias("id_a"))
+        .agg(
+            F.first("len_b").alias("len_a"),
+            F.min_by("gram", "_gdf").alias("gram"),
+        )
     )
     cand = (
         grams.join(probes, "gram")
