@@ -601,6 +601,41 @@ def q_suppliers_with_cheap_parts(spark, sf_dir):
     )
 
 
+def q_order_percentiles(spark, sf_dir):
+    """Interpolated-percentile + correlation aggregates per priority
+    (the continuous-quantile semantics DuckDB's quantile_cont shares)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_monthly_orders(spark, sf_dir):
+    """Temporal rollup: order count + revenue per calendar month
+    (date_trunc; timestamps compare via epoch micros like
+    keep_first_per_key)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.unix_micros(
+                F.date_trunc("month", F.col("o_orderdate")).cast("timestamp")
+            ).alias("month_us")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("month_us")
+    )
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source rollup (min/max/count — exact aggregates)."""
     d = _t(spark, sf_dir, "documents")
@@ -774,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": q_order_cube,
         "suppliers_semi_join": q_suppliers_with_cheap_parts,
         "event_type_setops": q_event_type_setops,
+        "order_percentiles": q_order_percentiles,
+        "monthly_orders": q_monthly_orders,
         "source_stats": q_source_stats,
         "simhash_docs": q_simhash_docs,
         "ann_topk_srp": q_ann_topk_srp,
@@ -1006,6 +1043,18 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'purchase' AND event_id % 11 = 0
             ORDER BY user_id""",
+        "order_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                   round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+                   count(*) AS n
+            FROM orders GROUP BY 1 ORDER BY 1""",
+        "monthly_orders": """
+            SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1 ORDER BY 1""",
         "source_stats": """
             SELECT source, count(*) AS n,
                    CAST(min(length(text)) AS BIGINT) AS min_len,
