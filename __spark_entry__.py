@@ -636,6 +636,35 @@ def q_monthly_orders(spark, sf_dir):
     )
 
 
+def q_distinct_users(spark, sf_dir):
+    """Exact distinct-count aggregates per event type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_source_name_pairs(spark, sf_dir):
+    """Edit-distance (Levenshtein) pairs over the source dimension —
+    the fuzzy-name-match primitive of dedup over metadata columns.
+    The dimension is tiny, so the pair space is enumerable exactly."""
+    d = _t(spark, sf_dir, "documents").select("source").distinct()
+    a = d.select(F.col("source").alias("src_a"))
+    b = d.select(F.col("source").alias("src_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .withColumn("dist", F.levenshtein("src_a", "src_b"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("src_a", "src_b")
+    )
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source rollup (min/max/count — exact aggregates)."""
     d = _t(spark, sf_dir, "documents")
@@ -811,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_setops": q_event_type_setops,
         "order_percentiles": q_order_percentiles,
         "monthly_orders": q_monthly_orders,
+        "distinct_users": q_distinct_users,
+        "source_name_pairs": q_source_name_pairs,
         "source_stats": q_source_stats,
         "simhash_docs": q_simhash_docs,
         "ann_topk_srp": q_ann_topk_srp,
@@ -1055,6 +1086,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM orders GROUP BY 1 ORDER BY 1""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "source_name_pairs": """
+            WITH s AS (SELECT DISTINCT source FROM documents)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(levenshtein(a.source, b.source) AS INT) AS dist
+            FROM s a, s b
+            WHERE a.source < b.source AND levenshtein(a.source, b.source) <= 1
+            ORDER BY src_a, src_b""",
         "source_stats": """
             SELECT source, count(*) AS n,
                    CAST(min(length(text)) AS BIGINT) AS min_len,
