@@ -25,7 +25,12 @@ if REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+# 150k default (the reference's own corpus size, README.md:131): the
+# throughput metric is per-image-normalized, and the smaller job keeps
+# worst-case bench wall (degraded host window + retry round) inside the
+# driver's budget. Historical 150k noise was the 4-vs-16 saturation
+# artifact, since fixed by the 3-vs-12 headroom levels.
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "150000"))
 # Scaling levels N and 4N. In local mode every JVM task thread ALSO forks
 # a Python worker for pandas-UDF stages, so the large level must leave
 # host headroom twice over: local[CPUS] would put 2*CPUS runnable threads
