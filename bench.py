@@ -237,13 +237,21 @@ def main() -> None:
     eff0 = (t_small * SMALL_CORES) / (t_large * LARGE_CORES)
     # single-level retries, un-warmed (min-across-rounds absorbs the
     # codegen cost riding on the first sample): a low ratio implicates
-    # only the large level, a superlinear one only the small level
+    # only the large level, a superlinear one only the small level.
+    # Every round's raw time plus the pre-retry ratio goes into the
+    # JSON (scaling.rounds / scaling.efficiency_pre_retry) so the gate
+    # decision is auditable, not just its outcome (ADVICE r2).
+    rounds = {"small": [round(t_small, 3)], "large": [round(t_large, 3)]}
     if eff0 < 0.85:
         spark = restart_spark(LARGE_CORES, app_name="bench-large-1")
-        t_large = min(t_large, run_lsh_scaling(spark, N_IMAGES, repeats=3, warmup=False))
+        t_retry = run_lsh_scaling(spark, N_IMAGES, repeats=3, warmup=False)
+        rounds["large"].append(round(t_retry, 3))
+        t_large = min(t_large, t_retry)
     elif eff0 > 0.98:
         spark = restart_spark(SMALL_CORES, app_name="bench-small-1")
-        t_small = min(t_small, run_lsh_scaling(spark, N_IMAGES, repeats=2, warmup=False))
+        t_retry = run_lsh_scaling(spark, N_IMAGES, repeats=2, warmup=False)
+        rounds["small"].append(round(t_retry, 3))
+        t_small = min(t_small, t_retry)
 
     efficiency = (t_small * SMALL_CORES) / (t_large * LARGE_CORES)
     result.update(
@@ -265,6 +273,8 @@ def main() -> None:
                 "images_per_sec_small": round(N_IMAGES / t_small, 1),
                 "images_per_sec_large": round(N_IMAGES / t_large, 1),
                 "efficiency": round(efficiency, 3),
+                "efficiency_pre_retry": round(eff0, 3),
+                "rounds": rounds,
             },
         }
     )

@@ -154,6 +154,27 @@ def test_non_utf8_path_scan(spark, tmp_path):
     assert names == ["caf�_1", "caf�_2"]  # U+FFFD replacement
 
 
+def test_recovery_read_gated_on_max_size(spark, tmp_path):
+    """A non-UTF-8-named file above the scan filter's max size must not
+    have its payload materialized by the recovery walk at all (it would
+    be dropped by F3 downstream anyway) — ADVICE r2: one multi-GB such
+    file must not OOM the driver or a worker."""
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "small_a").write_bytes(b"x" * 10)
+    (d / "small_b").write_bytes(b"x" * 10)
+    with open(os.path.join(os.fsencode(str(d)), b"big_\xe9"), "wb") as fh:
+        fh.write(b"y" * 4096)
+    # no cap: the big non-UTF-8-named file is recovered (baseline)
+    df = src.filesystem_corpus(spark, [str(d)])
+    names = sorted(os.path.basename(r["image_id"]) for r in df.collect())
+    assert names == ["big_�", "small_a", "small_b"]
+    # cap below its size: the payload is never read, the row never emitted
+    df = src.filesystem_corpus(spark, [str(d)], max_read_bytes=100)
+    names = sorted(os.path.basename(r["image_id"]) for r in df.collect())
+    assert names == ["small_a", "small_b"]
+
+
 def test_no_empty_skips_empty_recovery(spark, tree, monkeypatch):
     """-n / min>=1 must skip the zero-length recovery (the empties would
     be filtered out anyway) — the seam asserts include_empty=False
@@ -161,9 +182,9 @@ def test_no_empty_skips_empty_recovery(spark, tree, monkeypatch):
     calls = []
     real = src._recovery_files_local
 
-    def spy(spark_, roots, glob, include_empty, recover_non_utf8=True):
+    def spy(spark_, roots, glob, include_empty, *a, **k):
         calls.append(include_empty)
-        return real(spark_, roots, glob, include_empty, recover_non_utf8)
+        return real(spark_, roots, glob, include_empty, *a, **k)
 
     monkeypatch.setattr(src, "_recovery_files_local", spy)
     _cli(spark, ["-f", "json", "-n", str(tree)])
@@ -223,6 +244,37 @@ def test_cluster_table_sink(spark, tree, tmp_path):
     df = spark.read.parquet(str(ct))
     assert set(df.columns) == {"image_id", "cluster_id"}
     assert df.count() == 4  # only the dup-group members (rfactor over:1)
+
+
+def test_table_ident_heuristic():
+    """Dotted catalog names route to the Iceberg writeTo seam; paths and
+    file names stay on the parquet stand-in."""
+    from yadf_spark.cli import _as_table_ident
+
+    assert _as_table_ident("yadf.db.clusters") == "yadf.db.clusters"
+    assert _as_table_ident("/tmp/clusters") is None
+    assert _as_table_ident("out.parquet") is None
+    assert _as_table_ident("clusters") is None
+
+
+@pytest.mark.skipif(
+    not __import__("yadf_spark.session", fromlist=["iceberg_jar_present"]).iceberg_jar_present(),
+    reason="Iceberg runtime jar not on the classpath in this container",
+)
+def test_iceberg_cluster_table_write(spark, tmp_path):
+    """When the runtime jar exists, write_cluster_assignments(table=...)
+    must go through writeTo(...).createOrReplace() on the configured
+    hadoop catalog and be replayable (replace, not append)."""
+    from yadf_spark.session import ICEBERG_CATALOG
+    from yadf_spark.sinks import formats as fmts
+
+    df = spark.createDataFrame(
+        [("img-1", "c1"), ("img-2", "c1")], "image_id string, cluster_id string"
+    )
+    tbl = f"{ICEBERG_CATALOG}.db.test_clusters"
+    fmts.write_cluster_assignments(df, path="", table=tbl)
+    fmts.write_cluster_assignments(df, path="", table=tbl)  # replace, not append
+    assert spark.table(tbl).count() == 2
 
 
 def test_checkpoint_resume(spark, tree, tmp_path):

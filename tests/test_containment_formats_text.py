@@ -76,6 +76,21 @@ def test_machine_golden(spark):
     assert formats.render(_two_groups(spark), "machine") == '"foo" "bar"\n"hello" "world"'
 
 
+def test_machine_control_char_escaping(spark):
+    """Rust ``{:?}`` fidelity for control chars (char::escape_debug):
+    \\t \\r \\n keep two-char escapes, other C0 + DEL + C1 render as
+    ``\\u{hex}`` with lowercase un-padded hex — the expected string
+    below is exactly ``format!("{:?}", path)`` for each path."""
+    df = spark.createDataFrame(
+        [("k", ["a\x00b\x01c\x1bd\x7fe\x80f\x9fg", "t\tn\nq\"s\\"], 2)],
+        "group_key string, members array<string>, n long",
+    )
+    assert (
+        formats.render(df, "machine")
+        == '"a\\u{0}b\\u{1}c\\u{1b}d\\u{7f}e\\u{80}f\\u{9f}g" "t\\tn\\nq\\"s\\\\"'
+    )
+
+
 def test_json_golden(spark):
     # serialize.rs:33-47: [["foo","bar"],["hello","world"]]
     assert (

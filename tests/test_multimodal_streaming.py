@@ -224,6 +224,27 @@ def test_compacted_band_index_equivalent(spark, tmp_path):
     all_imgs.unpersist()
 
 
+def test_legacy_flat_band_index_rejected_with_migration_path(spark, tmp_path):
+    """A pre-round-2 FLAT index (top-level band_idx= dirs, no batch_id=
+    layer) must fail fast with a migration message — appending a
+    new-format batch beside it would break partition discovery mid-
+    stream (ADVICE r2). compact_band_index IS the migration: it folds
+    the flat layout into a batch_id=0 layer the stream then accepts."""
+    cfg = NearDupConfig()
+    imgs = images_df(spark, 16, seed=5).persist()
+    legacy = str(tmp_path / "legacy_index")
+    # write the old flat layout directly
+    sd._band_table(imgs, cfg).select("id", "band_idx", "band_hash").write.partitionBy(
+        "band_idx"
+    ).parquet(legacy)
+    with pytest.raises(RuntimeError, match="legacy flat"):
+        sd.incremental_near_dup_batch(imgs, 1, legacy, str(tmp_path / "p"), cfg)
+    migrated = str(tmp_path / "migrated_index")
+    sd.compact_band_index(spark, legacy, migrated)
+    sd.incremental_near_dup_batch(imgs, 1, migrated, str(tmp_path / "p2"), cfg)
+    imgs.unpersist()
+
+
 def test_streaming_near_dup_end_to_end(spark, tmp_path):
     imgs = images_df(spark, 16, seed=9)
     src_dir, schema = _write_batches(tmp_path, spark, [imgs])

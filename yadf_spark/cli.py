@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import re
 import sys
 
@@ -97,10 +98,28 @@ def build_parser() -> argparse.ArgumentParser:
         "MinHash LSH + PSNR verify + connected components (north_rule)",
     )
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume directory")
-    p.add_argument("--cluster-table", default=None, help="write (image_id, cluster_id) parquet here")
+    p.add_argument(
+        "--cluster-table",
+        default=None,
+        help="write (image_id, cluster_id) here: a path -> parquet; a dotted "
+        "catalog name (e.g. yadf.db.clusters) -> Iceberg writeTo when the "
+        "runtime jar is on the classpath",
+    )
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism (ignored under spark-submit)")
     p.add_argument("--report", action="store_true", help="print per-stage metrics to stderr")
     return p
+
+
+def _as_table_ident(dest: str) -> str | None:
+    """``--cluster-table`` accepts either a filesystem path (parquet
+    stand-in) or a dotted catalog identifier like ``yadf.db.clusters``
+    (Iceberg ``writeTo`` when the runtime jar is present). A dotted name
+    with no path separator and no file extension is a table ident."""
+    if os.sep in dest or "/" in dest:
+        return None
+    if "." not in dest or dest.endswith((".parquet", ".pq")):
+        return None
+    return dest
 
 
 def run(args: argparse.Namespace, spark=None) -> int:
@@ -131,6 +150,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
             keep_hardlinks=args.hard_links,
             # a min-size >= 1 drops empties anyway — skip the recovery listing
             include_empty=not (min_size and min_size >= 1),
+            # F3 drops oversize rows downstream — the recovery walk must
+            # not materialize their payload at all
+            max_read_bytes=args.max,
         )
     flt = ScanFilter(min_size=min_size, max_size=args.max, regex=args.pattern, glob=args.glob)
     ladder = LadderConfig(algo=args.algorithm)
@@ -148,7 +170,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
         out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
         clusters = out["clusters"]
         if args.cluster_table:
-            fmts.write_cluster_assignments(clusters, args.cluster_table)
+            fmts.write_cluster_assignments(
+                clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
+            )
         # groups view of the clusters for the text formats
         groups = (
             clusters.groupBy(F.col("cluster_id").alias("group_key"))
@@ -173,6 +197,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
                     F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
                 ),
                 args.cluster_table,
+                table=_as_table_ident(args.cluster_table),
             )
 
     if args.output_dir:

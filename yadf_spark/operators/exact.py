@@ -172,7 +172,13 @@ def exact_assignments(
         if est_bytes is not None and est_bytes <= (64 << 20):
             full_candidates = F.broadcast(full_candidates)
         else:
-            full_candidates = full_candidates.persist()
+            # localCheckpoint, NOT persist: a persisted frame stays
+            # registered in the cache manager until an explicit
+            # unpersist() that a library caller never gets to issue
+            # (ADVICE r2 — storage accumulated across calls in long
+            # sessions); checkpoint blocks are released by the context
+            # cleaner once the returned frame is garbage collected.
+            full_candidates = full_candidates.localCheckpoint(eager=True)
             if full_candidates.count() < cfg.broadcast_candidates_below:
                 full_candidates = F.broadcast(full_candidates)
     out_full = (

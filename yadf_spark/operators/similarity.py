@@ -134,12 +134,20 @@ def brute_force_topk(
     )
 
 
+# exact_near_dup_candidates materializes the (n x dim) corpus matrix on
+# the driver and broadcasts it whole — sound for the oracle-baseline
+# scale it exists for, a driver OOM if pointed at a production corpus.
+# Above this row bound the function refuses and names the scale paths.
+EXACT_MAX_ROWS = 2_000_000
+
+
 def exact_near_dup_candidates(
     df: DataFrame,
     min_cosine: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     margin: float = 1e-6,
+    max_rows: int = EXACT_MAX_ROWS,
 ) -> DataFrame:
     """Exact-recall candidate pairs WITHOUT a crossJoin: one vectorized
     matmul per Arrow batch against the broadcast corpus matrix, keeping
@@ -154,9 +162,20 @@ def exact_near_dup_candidates(
     The corpus matrix (n x dim float64) is broadcast to executors, so
     this is the ORACLE-BASELINE path for verification-scale corpora; the
     production paths at 10^12 rows are srp_candidates / ivf_near_dup_pairs.
-    Requires ``min_cosine - margin > 0`` (zero-norm rows never match)."""
+    Corpora above ``max_rows`` are refused BEFORE any driver
+    materialization (the count is a column-pruned scan, cheap next to
+    the toPandas it protects). Requires ``min_cosine - margin > 0``
+    (zero-norm rows never match)."""
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+    n_rows = src.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"exact_near_dup_candidates: corpus has {n_rows} rows, above the "
+            f"driver-materialization bound max_rows={max_rows}; use the scale "
+            "paths srp_candidates / ivf_near_dup_pairs (or raise max_rows if "
+            "you have measured driver headroom for an (n x dim) float64 matrix)"
+        )
     pdf = src.toPandas()
     ids = pdf["id"].to_numpy()
     if len(pdf):

@@ -44,6 +44,30 @@ def _export_pythonpath() -> None:
         os.environ["PYTHONPATH"] = os.pathsep.join(p for p in [_PKG_ROOT, *parts] if p)
 
 
+def iceberg_jar_present() -> bool:
+    """True when an Iceberg Spark runtime jar is on the classpath Spark
+    will boot with (pyspark's bundled jars dir, or jars named via
+    SPARK_GRAFT_ICEBERG_JAR). Checked BEFORE session build because the
+    catalog plugin config must be set at startup; absent in this
+    container, present on a provisioned cluster (VERDICT r2 item 6)."""
+    import glob
+
+    extra = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if extra and os.path.exists(extra):
+        return True
+    try:
+        import pyspark
+
+        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return bool(glob.glob(os.path.join(jars_dir, "iceberg-spark-runtime*.jar")))
+    except Exception:
+        return False
+
+
+#: catalog name the Iceberg seam registers when the runtime jar exists
+ICEBERG_CATALOG = "yadf"
+
+
 def get_spark(
     app_name: str = "yadf-spark",
     cores: int | None = None,
@@ -81,6 +105,24 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.executorEnv.PYTHONPATH", os.environ.get("PYTHONPATH", _PKG_ROOT))
     )
+    if iceberg_jar_present():
+        # Hadoop-type catalog under the local warehouse — the smallest
+        # config that makes writeTo(...).createOrReplace() live; a real
+        # deployment overrides these with its Hive/REST catalog.
+        wh = os.environ.get(
+            "SPARK_GRAFT_ICEBERG_WAREHOUSE", os.path.join(_PKG_ROOT, "spark-warehouse")
+        )
+        jar = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+        if jar:
+            builder = builder.config("spark.jars", jar)
+        builder = (
+            builder.config(
+                f"spark.sql.catalog.{ICEBERG_CATALOG}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.type", "hadoop")
+            .config(f"spark.sql.catalog.{ICEBERG_CATALOG}.warehouse", wh)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

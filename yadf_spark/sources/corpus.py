@@ -140,6 +140,7 @@ def _recovery_files_local(
     glob: str | None,
     include_empty: bool,
     recover_non_utf8: bool = True,
+    max_read_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed recovery listing for local-scheme roots: the two file
     classes the ``binaryFile`` datasource silently drops —
@@ -174,7 +175,7 @@ def _recovery_files_local(
                 )
         except OSError:
             continue
-    emit = _make_recovery_emit(glob, include_empty, recover_non_utf8)
+    emit = _make_recovery_emit(glob, include_empty, recover_non_utf8, max_read_bytes)
     if not units:
         recovered = spark.createDataFrame([], _EMPTY_SCHEMA)
     else:
@@ -225,7 +226,18 @@ def _recovery_files_local(
 _DRIVER_WALK_LIMIT = 10_000
 
 
-def _make_recovery_emit(glob: str | None, include_empty: bool, recover_non_utf8: bool):
+#: a non-UTF-8-named file larger than this is never read on the DRIVER —
+#: the walk bails to the distributed path so the payload materializes in
+#: an executor task (one row, same shape binaryFile gives normal files)
+_DRIVER_READ_LIMIT = 64 * 1024 * 1024
+
+
+def _make_recovery_emit(
+    glob: str | None,
+    include_empty: bool,
+    recover_non_utf8: bool,
+    max_read_bytes: int | None = None,
+):
     import fnmatch
 
     def keep(name: str) -> bool:
@@ -235,6 +247,11 @@ def _make_recovery_emit(glob: str | None, include_empty: bool, recover_non_utf8:
         lossy = _lossy_utf8(path)
         if lossy is not None:
             if not recover_non_utf8 or not keep(os.path.basename(lossy)):
+                return None
+            # files above the scan filter's max size are dropped by F3
+            # downstream anyway — never materialize their payload at all
+            # (one multi-GB non-UTF-8-named file must not OOM a worker)
+            if max_read_bytes is not None and st.st_size > max_read_bytes:
                 return None
             with open(os.fsencode(path), "rb") as fh:
                 payload = fh.read()
@@ -267,7 +284,9 @@ def _iter_unit_files(kind: str, p: str):
 
 def _driver_walk(units, emit, limit: int) -> list | None:
     """Walk all units on the driver, or None once ``limit`` entries are
-    seen (caller falls back to the distributed walk)."""
+    seen OR a non-UTF-8-named file above ``_DRIVER_READ_LIMIT`` appears
+    (either way the caller falls back to the distributed walk — the
+    driver never materializes a large recovered payload)."""
     rows: list = []
     seen = 0
     for kind, p in units:
@@ -275,6 +294,8 @@ def _driver_walk(units, emit, limit: int) -> list | None:
             for path, st in _iter_unit_files(kind, p):
                 seen += 1
                 if seen > limit:
+                    return None
+                if st.st_size > _DRIVER_READ_LIMIT and _lossy_utf8(path) is not None:
                     return None
                 r = emit(path, st)
                 if r:
@@ -323,6 +344,7 @@ def filesystem_corpus(
     glob: str | None = None,
     include_empty: bool = True,
     recover_non_utf8: bool = True,
+    max_read_bytes: int | None = None,
 ) -> DataFrame:
     """S1: distributed scan of real directory trees via ``binaryFile``.
 
@@ -348,7 +370,9 @@ def filesystem_corpus(
     local = all(_local_path(r) is not None for r in roots)
     if local and (include_empty or recover_non_utf8):
         df = df.unionByName(
-            _recovery_files_local(spark, roots, glob, include_empty, recover_non_utf8)
+            _recovery_files_local(
+                spark, roots, glob, include_empty, recover_non_utf8, max_read_bytes
+            )
         )
     elif include_empty:
         df = df.unionByName(_empty_files_df(spark, roots, glob))

@@ -89,6 +89,7 @@ def incremental_near_dup_batch(
 
     pair_frames = []
     if _index_exists(spark, index_dir):
+        _reject_legacy_layout(spark, index_dir)
         index = spark.read.parquet(index_dir)
         old = index.select(
             F.col("id").alias("id_old"), "band_idx", "band_hash"
@@ -156,6 +157,27 @@ def compact_band_index(spark, index_dir: str, out_dir: str) -> None:
     idx.write.mode("overwrite").partitionBy("band_idx").parquet(
         os.path.join(out_dir, "batch_id=0")
     )
+
+
+def _reject_legacy_layout(spark, path: str) -> None:
+    """Fail fast on a pre-round-2 FLAT band index (top-level ``band_idx=``
+    dirs, no ``batch_id=`` layer). Appending a new-format batch beside it
+    would mix partition depths in one directory and
+    ``spark.read.parquet`` would fail partition discovery with an
+    opaque "conflicting directory structures" error mid-stream — raise a
+    clear migration message instead (ADVICE r2)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    for st in fs.listStatus(p):
+        if st.isDirectory() and st.getPath().getName().startswith("band_idx="):
+            raise RuntimeError(
+                f"band index at {path!r} uses the legacy flat band_idx= layout; "
+                "migrate it first: compact_band_index(spark, old_dir, new_dir) "
+                "folds it into a batch_id=0 layer, then point the stream at "
+                "new_dir"
+            )
 
 
 def _index_exists(spark, path: str) -> bool:
