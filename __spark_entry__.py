@@ -679,6 +679,24 @@ def q_source_stats(spark, sf_dir):
     )
 
 
+def q_cc_components(spark, sf_dir):
+    """Connected components (the pipeline's clustering stage,
+    operators/components.py) on a deterministic chain graph: documents
+    with doc_id % 10 in {0,1,2} link to doc_id+1, giving 4-node chains
+    whose transitive closure the assignment must collapse. Oracle: a
+    DuckDB recursive CTE computing per-node component minimum — this
+    upgrades the CC operator itself from pytest-only to oracle-checked."""
+    from yadf_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (
+        d.filter((F.col("doc_id") % 10) < 3)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return components.connected_components(e).orderBy("id")
+
+
 def q_simhash_docs(spark, sf_dir):
     """SimHash fingerprints over documents (vectorized pandas UDF,
     md5_32 portable token hashes so the DuckDB oracle replays the full
@@ -880,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "source_name_pairs": q_source_name_pairs,
         "source_stats": q_source_stats,
+        "cc_components": q_cc_components,
         "simhash_docs": q_simhash_docs,
         # video_frame_sample got NO driver verdict in round 2 as the
         # 51st of 51 entries (the sweep apparently never reached it) —
@@ -1143,6 +1162,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(length(text)) AS BIGINT) AS min_len,
                    CAST(max(length(text)) AS BIGINT) AS max_len
             FROM documents GROUP BY source ORDER BY source""",
+        "cc_components": """
+            WITH RECURSIVE
+            e AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              WHERE doc_id % 10 < 3
+                AND doc_id + 1 IN (SELECT doc_id FROM documents)),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id)
+            SELECT id, min(lab) AS cluster_id
+            FROM reach GROUP BY id ORDER BY id""",
         "simhash_docs": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok

@@ -31,6 +31,66 @@ from pyspark.sql import functions as F
 from yadf_spark.functions import text as T
 
 
+def _word_candidates(
+    base: DataFrame,
+    k: int,
+    max_shingle_df: int,
+    log=None,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the word-shingle join.
+    ``symmetric=True`` keeps the pre-round-3 all-shingles x all-shingles
+    join — exposed only so tests can assert the probe's candidate cut."""
+    # ids + lengths only through the shingle join (see
+    # containment_pairs_char: shuffling full texts per shingle row was
+    # the dominant cost); texts re-attach to the distinct candidates.
+    # array_distinct: repeated shingles inside one caption add no
+    # recall, only join fan-out.
+    sh = base.select(
+        "id",
+        F.length("text").alias("len"),
+        F.explode(F.array_distinct(T.word_shingles(F.col("text"), k))).alias("shingle"),
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    hot = freq.filter(F.col("df_") > max_shingle_df)
+    if log is not None:
+        n_hot = hot.count()
+        if n_hot:
+            log(f"containment: dropped {n_hot} shingles with df > {max_shingle_df}")
+    sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+
+    # Asymmetric join, same trick the char path proved (rarest-gram
+    # probe, 400x candidate cut): if A is contained in B then EVERY
+    # shingle of A appears in B, so A probing with its single RAREST
+    # non-hot shingle is recall-complete. The survivor condition is
+    # IDENTICAL to the symmetric join under the df-cap — a contained
+    # pair lives iff the inner caption has >= 1 non-hot shingle — so
+    # the oracle SQL is unchanged while the probe side shrinks from
+    # sum(|shingles|) rows to one row per caption.
+    if symmetric:
+        probe = sh
+    else:
+        probe = (
+            sh.join(freq, "shingle")
+            .groupBy("id", "len")
+            .agg(F.expr("min_by(shingle, struct(df_, shingle))").alias("shingle"))
+        )
+    a = probe.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("len").alias("len_a"))
+    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"), F.col("len").alias("len_b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # only check "shorter inside longer"; equal-length containment is
+        # equality, covered with the deterministic id tie-break
+        .filter(
+            (F.col("len_a") < F.col("len_b"))
+            | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "image_id",
@@ -43,34 +103,7 @@ def containment_pairs(
     # expression in the same select references it trips Spark's lateral
     # column alias resolution (INTERNAL_ERROR LateralColumnAliasReference).
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # ids + lengths only through the shingle join (see
-    # containment_pairs_char: shuffling full texts per shingle row was
-    # the dominant cost); texts re-attach to the distinct candidates
-    sh = base.select(
-        "id", F.length("text").alias("len"), F.explode(T.word_shingles(F.col("text"), k)).alias("shingle")
-    )
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    hot = freq.filter(F.col("df_") > max_shingle_df)
-    if log is not None:
-        n_hot = hot.count()
-        if n_hot:
-            log(f"containment: dropped {n_hot} shingles with df > {max_shingle_df}")
-    sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-
-    a = sh.select(F.col("shingle"), F.col("id").alias("id_a"), F.col("len").alias("len_a"))
-    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"), F.col("len").alias("len_b"))
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") != F.col("id_b"))
-        # only check "shorter inside longer"; equal-length containment is
-        # equality, covered with the deterministic id tie-break
-        .filter(
-            (F.col("len_a") < F.col("len_b"))
-            | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") < F.col("id_b")))
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _word_candidates(base, k, max_shingle_df, log=log)
     ta = base.select(F.col("id").alias("id_a"), F.col("text").alias("text_a"))
     tb = base.select(F.col("id").alias("id_b"), F.col("text").alias("text_b"))
     verified = (

@@ -70,11 +70,28 @@ class Checkpointer:
     spark: SparkSession
     workdir: str | None = None
     eager: bool = True
+    #: lazy mode only: truncate lineage at every ``stride``-th stage
+    #: boundary instead of every one (boundary k checkpoints when
+    #: (k+1) % stride == 0). A skipped boundary passes fn() through
+    #: untouched — its plan embeds in the next stage's. stride 1 is the
+    #: safe default (bounded plans no matter what the stages contain);
+    #: 2-3 trades bounded plan growth (~2-4x subtrees) for fewer
+    #: materialization barriers. Measured A/B: scripts/pipeline_ab.py.
+    stride: int = 1
     runs: list[StageRun] = field(default_factory=list)
     _lazy_stages: list = field(default_factory=list)
+    _boundary_idx: int = 0
 
     def stage(self, name: str, config, fn: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.monotonic()
+        if self.workdir is None and not self.eager and self.stride > 1:
+            k = self._boundary_idx
+            self._boundary_idx += 1
+            if (k + 1) % self.stride != 0:
+                return fn()  # pass-through boundary: no truncation
+            df = fn().localCheckpoint(eager=False)
+            self._lazy_stages.append((name, df))
+            return df
         if self.workdir is None and not self.eager:
             # lazy localCheckpoint: lineage truncates in the LOGICAL plan
             # immediately (bounding cross-stage plan growth, see the
