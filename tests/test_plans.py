@@ -88,6 +88,21 @@ def test_exact_edges_use_partial_aggregates_not_windows(spark):
     assert "partial_min" in plan
 
 
+def test_containment_probe_is_partial_agg_no_window(spark):
+    """The rarest-shingle probe must reduce to a map-side partial
+    min_by aggregate — not a row_number window (which would pin each
+    caption's shingle rows to one task) — and the plan must carry no
+    Window at all."""
+    from yadf_spark.operators import containment
+
+    rows = [(f"id{i}", f"alpha beta gamma tail{i} word{i}") for i in range(16)]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    base = df.select(F.col("image_id").alias("id"), F.col("caption").alias("text"))
+    plan = _formatted(containment._word_candidates(base, 3, 1000))
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "min_by" in plan
+
+
 def test_full_hash_candidates_broadcast(spark):
     """The stage-4 semi-join of the candidate id set must be broadcast,
     not a shuffled join (O6: payload bytes stay put)."""
