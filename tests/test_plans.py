@@ -148,10 +148,12 @@ def test_whole_stage_codegen_covers_ladder(spark):
 
 
 def test_minhash_bands_single_shuffle_to_pairs(spark):
-    """Candidate-pair generation for unskewed buckets must cost exactly
-    two shuffles: the band groupBy and the final distinct — the salted
-    join path contributes exchanges only for mega-buckets (absent
-    here)."""
+    """Candidate-pair generation materializes the aggregated bucket
+    table ONCE (eager localCheckpoint — both branches scan the same
+    RDD, the collect_list merge never runs twice) and the downstream
+    plan costs at most the final distinct plus the (empty-here) salted
+    join's exchanges. The signature column must never appear below the
+    checkpoint: only (band, ids) rows flow on."""
     from yadf_spark.config import LshConfig
     from yadf_spark.operators import minhash
 
@@ -162,10 +164,16 @@ def test_minhash_bands_single_shuffle_to_pairs(spark):
     buckets = minhash.explode_bands(sig, cfg, id_col="image_id")
     pairs = minhash.candidate_pairs_from_buckets(buckets, cfg.salt_bucket_above, cfg.max_bucket)
     plan = _formatted(pairs)
+    # the aggregation subtree was checkpointed: every consumer scans the
+    # materialized RDD instead of re-running the collect_list merge
+    assert "ExistingRDD" in plan, plan
+    assert "collect_list" not in plan, (
+        "bucket agg must not re-run downstream of the checkpoint:\n" + plan
+    )
     n_shuffles = plan.count("Exchange hashpartitioning")
-    # groupBy + distinct for the small branch; the (empty) big branch's
-    # self-join may add its own exchanges over the reused aggregate, but
-    # none may reference the signature column
+    # distinct for the small branch; the (empty) big branch's self-join
+    # may add its own exchanges over the checkpointed scan, but none may
+    # reference the signature column
     assert n_shuffles <= 4, f"{n_shuffles} shuffles:\n{plan}"
     for ln in plan.splitlines():
         if "Exchange" in ln:

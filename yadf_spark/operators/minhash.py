@@ -100,7 +100,11 @@ def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "si
 
 def _pairs_from_sorted_ids(ids):
     """All combinations (id_a < id_b) of a sorted id array, as one JVM
-    column expression (whole-stage codegen — no Python, no join)."""
+    column expression. Kept for reference/tests — the hot path uses
+    ``_expand_sorted_id_buckets``: higher-order-function lambdas are
+    interpreted per element (no whole-stage codegen), and the nested
+    slice copies made this ~2x slower than the Arrow-batched numpy
+    kernel at 150k-image scale (measured: 2.7 s vs 1.3 s)."""
     return F.flatten(
         F.transform(
             ids,
@@ -112,6 +116,33 @@ def _pairs_from_sorted_ids(ids):
     )
 
 
+def _expand_sorted_id_buckets(batches):
+    """mapInPandas kernel: one ``ids`` (sorted array) column in, all
+    (id_a <= id_b) combinations out, vectorized via ``triu_indices``.
+    Bounded per row by the caller's bucket-size filter (<= salt cap),
+    so one input row emits at most salt^2/2 pairs — no straggler risk.
+    Self-pairs from duplicate ids are filtered JVM-side by the caller."""
+    import numpy as np
+
+    for pdf in batches:
+        outs_a: list = []
+        outs_b: list = []
+        for ids in pdf["ids"]:
+            arr = np.asarray(ids, dtype=object)
+            n = arr.shape[0]
+            if n == 2:  # the overwhelmingly common bucket size
+                outs_a.append(arr[:1])
+                outs_b.append(arr[1:])
+                continue
+            iu, ju = np.triu_indices(n, 1)
+            outs_a.append(arr[iu])
+            outs_b.append(arr[ju])
+        if outs_a:
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+            )
+
+
 def candidate_pairs_from_buckets(
     buckets: DataFrame,
     salt_bucket_above: int = 256,
@@ -121,18 +152,26 @@ def candidate_pairs_from_buckets(
     """Expand each (band_idx, band_hash) bucket into candidate pairs
     ``(id_a < id_b)``, distinct across bands.
 
-    ONE shuffle builds ``groupBy(band).collect_list(id)``; normal
-    buckets (n <= salt_bucket_above) expand to pairs with a pure column
-    expression inside that same stage. Only mega-buckets take the salted
-    self-join path — bucket size ``n`` gives a salt factor
-    ``s = ceil(n / salt_bucket_above)``; the right side lands in one of
-    ``s`` cells (by id hash), the left side replicates to all ``s``, and
-    the join key ``(band_idx, band_hash, cell)`` fans a viral bucket out
-    to ``s`` independent reducer cells instead of one straggler task.
-    Both branches read the SAME aggregated subtree, so Catalyst reuses
-    the exchange — the old design's sizes-join + two-sided self-join
-    cost ~6 exchanges of the full bucket table; this costs 2 (the
-    groupBy and the final distinct) plus mega-bucket traffic only.
+    ONE shuffle builds ``groupBy(band).collect_list(id)`` and the
+    result is materialized with an eager ``localCheckpoint``: the
+    small- and big-bucket branches are separate consumers, and exchange
+    reuse shares only the SHUFFLE FILES — each consumer would re-run
+    the final collect_list merge over them (measured: ~1.6 s of the
+    8.4 s job duplicated at 150k images). The checkpoint pays one local
+    write and both branches read executor-local blocks; lineage above
+    it (signature UDF included) runs exactly once. Durability note:
+    localCheckpoint blocks are lost with their executor — the pipeline
+    Checkpointer's workdir mode is the durable resume path; this is
+    intra-stage plumbing.
+
+    Normal buckets (n <= salt_bucket_above) expand to pairs with a
+    vectorized Arrow kernel (``_expand_sorted_id_buckets``); only
+    mega-buckets take the salted self-join path — bucket size ``n``
+    gives a salt factor ``s = ceil(n / salt_bucket_above)``; the right
+    side lands in one of ``s`` cells (by id hash), the left side
+    replicates to all ``s``, and the join key ``(band_idx, band_hash,
+    cell)`` fans a viral bucket out to ``s`` independent reducer cells
+    instead of one straggler task.
 
     Buckets above ``max_bucket`` are dropped with a logged count — a
     documented recall trade, never a silent one."""
@@ -141,6 +180,11 @@ def candidate_pairs_from_buckets(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
+    # eager, NOT persist: checkpoint blocks are freed by the context
+    # cleaner when the frame is collected — no unpersist() obligation a
+    # library caller never gets to honor (same rationale as
+    # exact.exact_assignments' candidate materialization).
+    grouped = grouped.localCheckpoint(eager=True)
     if log is not None:
         # counting dropped buckets costs an extra job — only pay it when a
         # logger asks for the truncation report (never silent when it matters)
@@ -148,10 +192,13 @@ def candidate_pairs_from_buckets(
         if n_dropped:
             log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
 
+    # the kernel's output type follows the caller's id type (captions key
+    # on string image_id, the SRP/IVF ANN paths on integer row ids)
+    id_type = grouped.schema["ids"].dataType.elementType.simpleString()
     small = (
         grouped.filter(F.col("n") <= min(salt_bucket_above, max_bucket))
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .select("ids")
+        .mapInPandas(_expand_sorted_id_buckets, f"id_a {id_type}, id_b {id_type}")
         # duplicate ids inside one bucket (duplicate input rows) would
         # otherwise emit self-pairs; the big-bucket join filters them too
         .filter(F.col("id_a") != F.col("id_b"))
@@ -184,9 +231,8 @@ def minhash_candidates(
     """End-to-end: text -> signature -> bands -> salted pair generation.
 
     The bucket table's sole consumer is the groupBy inside
-    ``candidate_pairs_from_buckets`` (its two branches share the
-    aggregated subtree via exchange reuse), so no persist is needed —
-    the signature UDF runs exactly once."""
+    ``candidate_pairs_from_buckets``, whose eager checkpoint runs the
+    whole subtree — signature UDF included — exactly once."""
     signed = add_signature(df.select(id_col, text_col), cfg, text_col=text_col)
     buckets = explode_bands(signed, cfg, id_col=id_col)
     return candidate_pairs_from_buckets(
