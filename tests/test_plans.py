@@ -171,10 +171,11 @@ def test_minhash_bands_single_shuffle_to_pairs(spark):
         "bucket agg must not re-run downstream of the checkpoint:\n" + plan
     )
     n_shuffles = plan.count("Exchange hashpartitioning")
-    # distinct for the small branch; the (empty) big branch's self-join
-    # may add its own exchanges over the checkpointed scan, but none may
-    # reference the signature column
-    assert n_shuffles <= 4, f"{n_shuffles} shuffles:\n{plan}"
+    # no bucket here exceeds the salt threshold, so the adaptive skip
+    # must have elided the salted self-join subplan entirely — the only
+    # shuffle left is the final distinct, and no join operator appears
+    assert n_shuffles <= 1, f"{n_shuffles} shuffles:\n{plan}"
+    assert "Join" not in plan, "salted join must be skipped when all buckets are small:\n" + plan
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "sig" not in ln.split("[")[0], ln

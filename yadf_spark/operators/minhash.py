@@ -153,16 +153,17 @@ def candidate_pairs_from_buckets(
     ``(id_a < id_b)``, distinct across bands.
 
     ONE shuffle builds ``groupBy(band).collect_list(id)`` and the
-    result is materialized with an eager ``localCheckpoint``: the
-    small- and big-bucket branches are separate consumers, and exchange
-    reuse shares only the SHUFFLE FILES — each consumer would re-run
-    the final collect_list merge over them (measured: ~1.6 s of the
-    8.4 s job duplicated at 150k images). The checkpoint pays one local
-    write and both branches read executor-local blocks; lineage above
-    it (signature UDF included) runs exactly once. Durability note:
-    localCheckpoint blocks are lost with their executor — the pipeline
-    Checkpointer's workdir mode is the durable resume path; this is
-    intra-stage plumbing.
+    result is materialized with a ``localCheckpoint`` (fused with the
+    bucket-size max-scan into a single job): the small- and big-bucket
+    branches are separate consumers, and exchange reuse shares only the
+    SHUFFLE FILES — each consumer would re-run the final collect_list
+    merge over them (measured: ~1.6 s of the 8.4 s job duplicated at
+    150k images). The checkpoint pays one local write and both branches
+    read executor-local blocks; lineage above it (signature UDF
+    included) runs exactly once. Durability note: localCheckpoint
+    blocks are lost with their executor — the pipeline Checkpointer's
+    workdir mode is the durable resume path; this is intra-stage
+    plumbing.
 
     Normal buckets (n <= salt_bucket_above) expand to pairs with a
     vectorized Arrow kernel (``_expand_sorted_id_buckets``); only
@@ -171,7 +172,9 @@ def candidate_pairs_from_buckets(
     side lands in one of ``s`` cells (by id hash), the left side
     replicates to all ``s``, and the join key ``(band_idx, band_hash,
     cell)`` fans a viral bucket out to ``s`` independent reducer cells
-    instead of one straggler task.
+    instead of one straggler task. When the measured maximum bucket
+    size never reaches the salt threshold, the join subplan is elided
+    entirely — its driver-side fixed cost is pure Amdahl serial time.
 
     Buckets above ``max_bucket`` are dropped with a logged count — a
     documented recall trade, never a silent one."""
@@ -180,14 +183,26 @@ def candidate_pairs_from_buckets(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
-    # eager, NOT persist: checkpoint blocks are freed by the context
-    # cleaner when the frame is collected — no unpersist() obligation a
-    # library caller never gets to honor (same rationale as
+    # Checkpoint, NOT persist: checkpoint blocks are freed by the
+    # context cleaner when the frame is collected — no unpersist()
+    # obligation a library caller never gets to honor (same rationale as
     # exact.exact_assignments' candidate materialization).
-    grouped = grouped.localCheckpoint(eager=True)
-    if log is not None:
-        # counting dropped buckets costs an extra job — only pay it when a
-        # logger asks for the truncation report (never silent when it matters)
+    # LAZY checkpoint fused with the max-scan action below: the first
+    # action computes the aggregation once, stores the blocks, AND
+    # returns the bucket-size maximum — one job instead of an eager
+    # materialization job followed by a stats job. The max decides the
+    # rest of the plan: the salted self-join branch is a multi-stage
+    # subplan (two shuffle exchanges + AQE re-planning rounds) whose
+    # DRIVER-side cost is paid even when it matches zero buckets — and
+    # "no bucket above the salt threshold" is the common case (healthy
+    # band width keeps buckets tiny). That fixed cost is exactly the
+    # Amdahl serial term the north rule's scaling gate punishes, so the
+    # branch is skipped unless the data actually needs it. The same max
+    # powers the truncation report without a second job.
+    grouped = grouped.localCheckpoint(eager=False)
+    n_max_row = grouped.agg(F.max("n").alias("m")).first()
+    n_max = (n_max_row["m"] if n_max_row is not None else 0) or 0
+    if log is not None and n_max > max_bucket:
         n_dropped = grouped.filter(F.col("n") > max_bucket).count()
         if n_dropped:
             log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
@@ -203,6 +218,8 @@ def candidate_pairs_from_buckets(
         # otherwise emit self-pairs; the big-bucket join filters them too
         .filter(F.col("id_a") != F.col("id_b"))
     )
+    if n_max <= salt_bucket_above:
+        return small.distinct()
 
     big = (
         grouped.filter((F.col("n") > salt_bucket_above) & (F.col("n") <= max_bucket))
@@ -248,11 +265,13 @@ def exact_jaccard(
     (potentially huge) document table is reduced by a broadcast semi-join
     first — its shingle arrays never shuffle at corpus scale; only the
     candidate subset does."""
-    # pairs feed two consumers (the id set and the join) — persist AND
-    # materialize: the broadcast(cand_ids) below builds on a driver
-    # thread concurrently with the main join, and an unpopulated cache
-    # would make both compute the candidate DAG (signature UDF included)
-    pairs = pairs.persist()
+    # pairs feed two consumers (the id set and the join) — eager
+    # localCheckpoint, NOT persist: the broadcast(cand_ids) below builds
+    # on a driver thread concurrently with the main join, and an
+    # unmaterialized frame would make both compute the candidate DAG
+    # (signature UDF included); checkpoint blocks are freed by the
+    # context cleaner, so a library caller owes no unpersist()
+    pairs = pairs.localCheckpoint(eager=True)
     n_pairs = pairs.count()
     cand_ids = (
         pairs.select(F.col("id_a").alias("_id"))

@@ -78,7 +78,12 @@ def verify_pairs(
     payload through two sort-merge joins; at 100k fixture images that
     shuffle dominated the stage and halved its core-scaling efficiency.
     """
-    pairs = pairs.persist()  # consumers: narrow join + decode-id set
+    # consumers: narrow join + decode-id set. Eager localCheckpoint, not
+    # persist: blocks are freed by the context cleaner when the frame is
+    # collected — no unpersist() obligation a library caller never gets
+    # to honor (a persisted frame would pin executor storage for the
+    # session's lifetime; same rationale as exact.exact_assignments)
+    pairs = pairs.localCheckpoint(eager=True)
     feats = images.select(
         F.col(id_col).alias("id"),
         F.xxhash64(F.col(caption_col)).alias("_cap_h"),
@@ -95,13 +100,13 @@ def verify_pairs(
             (F.col("cap_a") == F.col("cap_b")).alias("caption_equal"),
             (F.col("bh_a") == F.col("bh_b")).alias("bytes_equal"),
         )
-        .persist()
+        # materialize NOW (eager checkpoint): the broadcast build below
+        # runs on a driver thread concurrently with the main job, and an
+        # unmaterialized frame would make it recompute the candidate DAG
+        # in parallel with the main branches computing it again; blocks
+        # are context-cleaner-freed, unlike a leaked persist()
+        .localCheckpoint(eager=True)
     )
-    # materialize narrow NOW: the broadcast build below runs on a driver
-    # thread concurrently with the main job, and an unpopulated cache
-    # would make it recompute the entire candidate DAG (signature UDF
-    # included) in parallel with the main branches computing it again
-    narrow.count()
     need_decode = F.col("caption_equal") & ~F.col("bytes_equal")
     raw_decode = narrow.filter(need_decode).select("id_a", "id_b", "caption_equal")
 
@@ -129,7 +134,11 @@ def verify_pairs(
             .unionByName(raw_decode.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        id_caps = caps.join(F.broadcast(decode_ids_all), "id", "left_semi").persist()
+        # three consumers (big_caps, sub_reps, star_pairs) over a small
+        # id-bounded frame — eager checkpoint for the same no-leak reason
+        id_caps = caps.join(F.broadcast(decode_ids_all), "id", "left_semi").localCheckpoint(
+            eager=True
+        )
         big_caps = (
             id_caps.groupBy("cap_h")
             .agg(F.count("*").alias("n"))
