@@ -314,7 +314,7 @@ def main() -> None:
             untrustworthy = min(effs) / max(effs) < 0.75 or any(
                 min(rounds[lvl]) / max(rounds[lvl]) < 0.75 for lvl in ("small", "large")
             )
-            if untrustworthy and time.monotonic() - t_scaling0 < 330.0:
+            if untrustworthy and time.monotonic() - t_scaling0 < 420.0:
                 n_pairs += 1
     pair_eff = [
         round((s * SMALL_CORES) / (g * LARGE_CORES), 3)

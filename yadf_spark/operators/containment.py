@@ -141,18 +141,28 @@ def containment_pairs_char(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).filter(
         F.length("text") >= n
     )
-    # The candidate join carries ONLY (id, length, gram) — never text:
-    # the exploded side has one row per gram, and dragging each row's
-    # full document through the shuffle multiplied the join's bytes by
-    # the text length (measured: the dominant cost of this operator).
-    # Texts re-attach to the (tiny) distinct candidate set afterwards.
-    # array_distinct first: repeated grams within one document add no
-    # recall, only join fan-out.
+    # The candidate join carries ONLY (id, length, gram-hash) — never
+    # text: the exploded side has one row per gram, and dragging each
+    # row's full document through the shuffle multiplied the join's
+    # bytes by the text length (measured: the dominant cost of this
+    # operator). The gram itself is folded to xxhash64 BEFORE the first
+    # exchange — the gram table shuffles three times (document
+    # frequency, probe pick, candidate join) and an 8-byte key beats a
+    # 12+-char string on every pass; a hash collision can only ADD a
+    # candidate pair, which the exact contains() verification below
+    # removes, so recall is untouched. Texts re-attach to the (tiny)
+    # distinct candidate set afterwards. array_distinct first: repeated
+    # grams within one document add no recall, only join fan-out.
     grams = base.select(
         F.col("id").alias("id_b"),
         F.length("text").alias("len_b"),
-        F.explode(F.array_distinct(T.char_ngrams(F.col("text"), n))).alias("gram"),
-    )
+        F.explode(F.array_distinct(T.char_ngrams(F.col("text"), n))).alias("_g"),
+    ).select("id_b", "len_b", F.xxhash64("_g").alias("gram"))
+    # NOT checkpointed despite three consumers: re-running the explode
+    # is pure map-side CPU over the cached base, and an interleaved A/B
+    # measured materializing the ~char-count-sized table SLOWER (8.2 s
+    # vs 7.1 s at sf0.1) than recomputing it — the opposite trade from
+    # minhash's bucket agg, whose subtree contains a shuffle + UDF.
     # per-document rarest gram: one pass over the (already narrow) gram
     # table for corpus document frequencies, joined back and min_by-ed.
     # Ties pick an arbitrary gram — any gram is recall-complete, so the
