@@ -22,6 +22,8 @@ Design for 10^12 rows:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -100,11 +102,15 @@ def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "si
 
 def _pairs_from_sorted_ids(ids):
     """All combinations (id_a < id_b) of a sorted id array, as one JVM
-    column expression. Kept for reference/tests — the hot path uses
-    ``_expand_sorted_id_buckets``: higher-order-function lambdas are
-    interpreted per element (no whole-stage codegen), and the nested
-    slice copies made this ~2x slower than the Arrow-batched numpy
-    kernel at 150k-image scale (measured: 2.7 s vs 1.3 s)."""
+    column expression. This is the hot path for MID-size buckets
+    (3 <= n <= salt cap) now that size-2 buckets — the plurality — are
+    a plain projection: higher-order-function lambdas are interpreted
+    per element, but with n==2 split out the elements that reach this
+    expression are few, and staying JVM-side avoids the real cost of
+    the pandas alternative — Arrow-boxing hundreds of thousands of
+    variable-length id arrays into Python objects (stage metrics: the
+    mapInPandas stage ran at ~3x its CPU time waiting on workers; this
+    expression runs at cpu == run)."""
     return F.flatten(
         F.transform(
             ids,
@@ -121,7 +127,10 @@ def _expand_sorted_id_buckets(batches):
     (id_a <= id_b) combinations out, vectorized via ``triu_indices``.
     Bounded per row by the caller's bucket-size filter (<= salt cap),
     so one input row emits at most salt^2/2 pairs — no straggler risk.
-    Self-pairs from duplicate ids are filtered JVM-side by the caller."""
+    Self-pairs from duplicate ids are filtered JVM-side by the caller.
+    Kept behind ``YADF_LSH_EXPAND=kernel`` for A/B only: the Arrow
+    boxing of each bucket's id array into Python objects made the
+    stage wait ~3x its CPU time; the JVM paths replaced it."""
     import numpy as np
 
     for pdf in batches:
@@ -165,9 +174,10 @@ def candidate_pairs_from_buckets(
     workdir mode is the durable resume path; this is intra-stage
     plumbing.
 
-    Normal buckets (n <= salt_bucket_above) expand to pairs with a
-    vectorized Arrow kernel (``_expand_sorted_id_buckets``); only
-    mega-buckets take the salted self-join path — bucket size ``n``
+    Normal buckets expand to pairs entirely JVM-side: size-2 buckets
+    (the plurality) are a plain ``ids[0], ids[1]`` projection, sizes 3
+    to the salt cap use the ``_pairs_from_sorted_ids`` combination
+    expression; only mega-buckets take the salted self-join path — bucket size ``n``
     gives a salt factor ``s = ceil(n / salt_bucket_above)``; the right
     side lands in one of ``s`` cells (by id hash), the left side
     replicates to all ``s``, and the join key ``(band_idx, band_hash,
@@ -210,10 +220,29 @@ def candidate_pairs_from_buckets(
     # the kernel's output type follows the caller's id type (captions key
     # on string image_id, the SRP/IVF ANN paths on integer row ids)
     id_type = grouped.schema["ids"].dataType.elementType.simpleString()
+    cap = min(salt_bucket_above, max_bucket)
+    # size-2 buckets — the overwhelming majority — are a pure JVM
+    # projection (ids is sorted), never touching a Python worker: stage
+    # metrics showed the mapInPandas stage burning ~3x its CPU time in
+    # JVM-threads-waiting-on-Python, almost all of it the per-bucket
+    # Python loop over millions of trivial pairs
+    pair2 = grouped.filter(F.col("n") == 2).select(
+        F.col("ids")[0].alias("id_a"), F.col("ids")[1].alias("id_b")
+    )
+    if os.environ.get("YADF_LSH_EXPAND", "hof") == "kernel":
+        small = (
+            grouped.filter((F.col("n") > 2) & (F.col("n") <= cap))
+            .select("ids")
+            .mapInPandas(_expand_sorted_id_buckets, f"id_a {id_type}, id_b {id_type}")
+        )
+    else:
+        small = (
+            grouped.filter((F.col("n") > 2) & (F.col("n") <= cap))
+            .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        )
     small = (
-        grouped.filter(F.col("n") <= min(salt_bucket_above, max_bucket))
-        .select("ids")
-        .mapInPandas(_expand_sorted_id_buckets, f"id_a {id_type}, id_b {id_type}")
+        pair2.unionByName(small)
         # duplicate ids inside one bucket (duplicate input rows) would
         # otherwise emit self-pairs; the big-bucket join filters them too
         .filter(F.col("id_a") != F.col("id_b"))
