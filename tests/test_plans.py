@@ -176,6 +176,9 @@ def test_minhash_bands_single_shuffle_to_pairs(spark):
     # shuffle left is the final distinct, and no join operator appears
     assert n_shuffles <= 1, f"{n_shuffles} shuffles:\n{plan}"
     assert "Join" not in plan, "salted join must be skipped when all buckets are small:\n" + plan
+    # pair expansion happens JVM-side (size-2 projection + HOF
+    # combinations) — no Python worker stage below the checkpoint
+    assert "MapInPandas" not in plan, "bucket expansion must not cross into Python:\n" + plan
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "sig" not in ln.split("[")[0], ln
