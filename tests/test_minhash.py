@@ -107,6 +107,23 @@ def test_kernel_expansion_matches_jvm_paths(spark, monkeypatch):
     assert jvm == kernel and jvm
 
 
+def test_band_passes_equals_single_pass(spark):
+    """The multi-pass shuffle bound (SCALE.md stage 2) must be a pure
+    execution-strategy change: identical candidate set for every k,
+    including k that does not divide the band count."""
+    df = _docs(spark)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.minhash_candidates(df, CFG).collect()
+    }
+    for k in (3, 5):  # neither divides bands=32: uneven last pass covered
+        multi = {
+            (r["id_a"], r["id_b"])
+            for r in minhash.minhash_candidates(df, CFG, band_passes=k).collect()
+        }
+        assert multi == single and single
+
+
 def test_duplicate_ids_in_bucket_produce_no_self_pairs(spark):
     """Duplicate image_id rows land twice in the same bucket; neither
     the small-bucket expansion nor the salted join may emit (x, x)."""

@@ -77,7 +77,14 @@ def add_signature(
     return df.withColumn("_sh", sh).withColumn(out_col, udf(F.col("_sh"))).drop("_sh")
 
 
-def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "sig") -> DataFrame:
+def explode_bands(
+    df: DataFrame,
+    cfg: LshConfig,
+    id_col: str,
+    sig_col: str = "sig",
+    band_lo: int = 0,
+    band_hi: int | None = None,
+) -> DataFrame:
     """(id, band_idx, band_hash) — the LSH bucket membership table.
 
     Deliberately a single tiny expression (explode a 0..bands-1 sequence,
@@ -85,11 +92,18 @@ def explode_bands(df: DataFrame, cfg: LshConfig, id_col: str, sig_col: str = "si
     ``bands`` struct expressions: the expanded form generates
     O(bands) copies of the hash/slice code and its whole-stage-codegen
     compilation alone cost more than the query (measured: 32 s -> 9 s
-    cold for 32 bands x 12k rows)."""
+    cold for 32 bands x 12k rows).
+
+    ``band_lo``/``band_hi`` (inclusive) restrict the explode to a band
+    range — the unit of the multi-pass shuffle bound (SCALE.md stage 2):
+    the band hash mixes ``band_idx`` in, so buckets from different
+    passes can never merge."""
+    if band_hi is None:
+        band_hi = cfg.bands - 1
     rows = cfg.num_perm // cfg.bands
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(cfg.bands - 1))).alias("band_idx"),
+        F.explode(F.sequence(F.lit(band_lo), F.lit(band_hi))).alias("band_idx"),
         F.col(sig_col).alias("_sig"),
     ).select(
         "id",
@@ -272,18 +286,43 @@ def candidate_pairs_from_buckets(
 
 
 def minhash_candidates(
-    df: DataFrame, cfg: LshConfig, id_col: str = "image_id", text_col: str = "caption"
+    df: DataFrame,
+    cfg: LshConfig,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    band_passes: int = 1,
 ) -> DataFrame:
     """End-to-end: text -> signature -> bands -> salted pair generation.
 
     The bucket table's sole consumer is the groupBy inside
-    ``candidate_pairs_from_buckets``, whose eager checkpoint runs the
-    whole subtree — signature UDF included — exactly once."""
+    ``candidate_pairs_from_buckets``, whose checkpoint runs the whole
+    subtree — signature UDF included — exactly once.
+
+    ``band_passes > 1`` is the peak-shuffle bound for extreme corpus
+    sizes (SCALE.md stage 2): the band table costs ``bands x (id +
+    hash)`` bytes per row — ~0.8 PB at 10^12 rows — and a cluster that
+    cannot absorb that in one exchange runs the bands in ``k``
+    sequential groups of ``ceil(bands/k)``, each pass shuffling 1/k of
+    the volume. Signatures are computed ONCE (checkpointed before the
+    first pass); each pass explodes only its band range, and the final
+    ``distinct`` folds pairs discovered by more than one pass. The
+    result set is bit-identical to the single-pass plan for every k."""
     signed = add_signature(df.select(id_col, text_col), cfg, text_col=text_col)
-    buckets = explode_bands(signed, cfg, id_col=id_col)
-    return candidate_pairs_from_buckets(
-        buckets, cfg.salt_bucket_above, cfg.max_bucket
-    )
+    if band_passes <= 1:
+        buckets = explode_bands(signed, cfg, id_col=id_col)
+        return candidate_pairs_from_buckets(buckets, cfg.salt_bucket_above, cfg.max_bucket)
+    signed = signed.localCheckpoint(eager=True)
+    per = -(-cfg.bands // band_passes)  # ceil
+    out: DataFrame | None = None
+    for p in range(band_passes):
+        lo, hi = p * per, min((p + 1) * per, cfg.bands) - 1
+        if lo > hi:
+            break
+        buckets = explode_bands(signed, cfg, id_col=id_col, band_lo=lo, band_hi=hi)
+        pairs = candidate_pairs_from_buckets(buckets, cfg.salt_bucket_above, cfg.max_bucket)
+        out = pairs if out is None else out.unionByName(pairs)
+    assert out is not None
+    return out.distinct()
 
 
 def exact_jaccard(
