@@ -303,7 +303,11 @@ def main() -> None:
     while i < n_pairs:
         first = i == 0
         spark = restart_spark(SMALL_CORES, app_name=f"bench-small-{i}")
-        t = run_lsh_scaling(spark, SCALING_IMAGES, repeats=1, warmup=first)
+        # retry pairs run un-warmed on a fresh JVM: repeats=2 so the min
+        # absorbs the codegen compile riding on the first sample — a
+        # cold single sample would inflate t_small and bias the gated
+        # efficiency ratio UPWARD (anti-conservative)
+        t = run_lsh_scaling(spark, SCALING_IMAGES, repeats=(1 if first else 2), warmup=first)
         rounds["small"].append(round(t, 3))
         spark = restart_spark(LARGE_CORES, app_name=f"bench-large-{i}")
         t = run_lsh_scaling(spark, SCALING_IMAGES, repeats=(3 if first else 2), warmup=first)
@@ -316,10 +320,7 @@ def main() -> None:
             )
             if untrustworthy and time.monotonic() - t_scaling0 < 420.0:
                 n_pairs += 1
-    pair_eff = [
-        round((s * SMALL_CORES) / (g * LARGE_CORES), 3)
-        for s, g in zip(rounds["small"], rounds["large"])
-    ]
+    pair_eff = [round(e, 3) for e in _pair_effs()]
     t_small, t_large = min(rounds["small"]), min(rounds["large"])
     # full near-dup pipeline throughput, on the last large session
     t_pipeline, recall, pipeline_rounds = run_image_pipeline(spark, N_IMAGES)

@@ -255,6 +255,25 @@ def test_table_ident_heuristic():
     assert _as_table_ident("/tmp/clusters") is None
     assert _as_table_ident("out.parquet") is None
     assert _as_table_ident("clusters") is None
+    # dotted FILENAMES are paths, not catalog idents: only the full
+    # catalog.namespace.table shape routes to writeTo
+    assert _as_table_ident("clusters.v2") is None
+    assert _as_table_ident("out.data") is None
+    assert _as_table_ident("a..b") is None
+
+
+def test_cluster_table_unregistered_catalog_raises(spark, tmp_path):
+    """A table ident whose catalog is not registered on the frame's own
+    session must fail up front with a clear message — not after the
+    pipeline ran (CATALOG_NOT_FOUND), and never by silently writing a
+    parquet directory literally named like the ident."""
+    import pytest as _pytest
+
+    from yadf_spark.sinks import formats as fmts
+
+    df = spark.createDataFrame([("a", 1)], "image_id string, cluster_id long")
+    with _pytest.raises(ValueError, match="not\\s+registered"):
+        fmts.write_cluster_assignments(df, path=str(tmp_path / "x"), table="nope.db.t")
 
 
 @pytest.mark.skipif(

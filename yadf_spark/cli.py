@@ -113,11 +113,17 @@ def build_parser() -> argparse.ArgumentParser:
 def _as_table_ident(dest: str) -> str | None:
     """``--cluster-table`` accepts either a filesystem path (parquet
     stand-in) or a dotted catalog identifier like ``yadf.db.clusters``
-    (Iceberg ``writeTo`` when the runtime jar is present). A dotted name
-    with no path separator and no file extension is a table ident."""
+    (Iceberg ``writeTo`` when the runtime jar is present). Only a full
+    ``catalog.namespace.table`` shape (>= 3 non-empty dot segments, no
+    path separator, no data-file extension) is a table ident — a mere
+    dotted filename like ``clusters.v2`` or ``out.data`` is a path, not
+    a request to resolve a catalog."""
     if os.sep in dest or "/" in dest:
         return None
-    if "." not in dest or dest.endswith((".parquet", ".pq")):
+    if dest.endswith((".parquet", ".pq")):
+        return None
+    parts = dest.split(".")
+    if len(parts) < 3 or not all(parts):
         return None
     return dest
 

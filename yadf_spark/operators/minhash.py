@@ -152,12 +152,7 @@ def _expand_sorted_id_buckets(batches):
         outs_b: list = []
         for ids in pdf["ids"]:
             arr = np.asarray(ids, dtype=object)
-            n = arr.shape[0]
-            if n == 2:  # the overwhelmingly common bucket size
-                outs_a.append(arr[:1])
-                outs_b.append(arr[1:])
-                continue
-            iu, ju = np.triu_indices(n, 1)
+            iu, ju = np.triu_indices(arr.shape[0], 1)
             outs_a.append(arr[iu])
             outs_b.append(arr[ju])
         if outs_a:

@@ -82,7 +82,12 @@ def verify_pairs(
     # persist: blocks are freed by the context cleaner when the frame is
     # collected — no unpersist() obligation a library caller never gets
     # to honor (a persisted frame would pin executor storage for the
-    # session's lifetime; same rationale as exact.exact_assignments)
+    # session's lifetime; same rationale as exact.exact_assignments).
+    # Durability trade, deliberately: checkpoint blocks die with their
+    # executor and lineage is truncated, so an executor loss mid-job
+    # fails the JOB instead of recomputing — on clusters with executor
+    # churn the pipeline Checkpointer's durable workdir stages bound the
+    # blast radius to one stage re-run (see SCALE.md stage 6).
     pairs = pairs.localCheckpoint(eager=True)
     feats = images.select(
         F.col(id_col).alias("id"),

@@ -84,14 +84,6 @@ class Checkpointer:
 
     def stage(self, name: str, config, fn: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.monotonic()
-        if self.workdir is None and not self.eager and self.stride > 1:
-            k = self._boundary_idx
-            self._boundary_idx += 1
-            if (k + 1) % self.stride != 0:
-                return fn()  # pass-through boundary: no truncation
-            df = fn().localCheckpoint(eager=False)
-            self._lazy_stages.append((name, df))
-            return df
         if self.workdir is None and not self.eager:
             # lazy localCheckpoint: lineage truncates in the LOGICAL plan
             # immediately (bounding cross-stage plan growth, see the
@@ -102,6 +94,17 @@ class Checkpointer:
             # Observation-node scheme it cannot deadlock when metrics()
             # is called before the final action (a count simply
             # materializes the checkpoint).
+            k = self._boundary_idx
+            self._boundary_idx += 1
+            if (k + 1) % self.stride != 0:
+                # pass-through boundary (stride > 1): no truncation —
+                # the stage's plan embeds in the next stage's. Still
+                # recorded so metrics() reports every stage; rows are
+                # -1 because counting an un-truncated frame would
+                # re-run its whole (possibly expensive) subtree.
+                df = fn()
+                self._lazy_stages.append((name, None))
+                return df
             df = fn().localCheckpoint(eager=False)
             self._lazy_stages.append((name, df))
             return df
@@ -166,7 +169,9 @@ class Checkpointer:
             for r in self.runs
         ]
         for name, df in self._lazy_stages:
-            out.append(
-                {"stage": name, "rows": df.count(), "seconds": -1.0, "resumed": False}
-            )
+            # df is None for a stride pass-through boundary: the stage
+            # ran (and is listed) but was never materialized on its own,
+            # so a row count would re-run its subtree — reported as -1
+            rows = df.count() if df is not None else -1
+            out.append({"stage": name, "rows": rows, "seconds": -1.0, "resumed": False})
         return out

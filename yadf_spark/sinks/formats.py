@@ -121,18 +121,31 @@ def write_cluster_assignments(
 ) -> None:
     """The K6 sink: full id -> cluster assignment.
 
-    ``table`` given + Iceberg runtime jar on the classpath -> the true
-    form, ``writeTo(table).createOrReplace()`` (atomic snapshot swap on
-    a catalog table — the north_rule's Iceberg cluster-assignment
-    output). Otherwise parquet at ``path`` — the stand-in this container
-    runs (jar absent; seam + skip-if-absent test prove the capability
-    where the jar exists, VERDICT r2 item 6)."""
-    from yadf_spark.session import iceberg_jar_present
-
+    ``table`` given + the ident's catalog registered on the frame's OWN
+    session -> the true form, ``writeTo(table).createOrReplace()``
+    (atomic snapshot swap on a catalog table — the north_rule's Iceberg
+    cluster-assignment output). The check is against the live session
+    config, not the jar on disk: a session built before the jar/env was
+    set (or passed in from outside ``get_spark``) has no catalog
+    registered, and ``getOrCreate`` would not add one — routing on jar
+    presence alone would die with CATALOG_NOT_FOUND after the whole
+    pipeline already ran. ``table`` given but catalog absent raises
+    up front instead of silently writing a parquet directory literally
+    named ``yadf.db.clusters``. No ``table`` -> parquet at ``path`` (the
+    stand-in this container runs; seam + skip-if-absent test prove the
+    capability where the jar exists, VERDICT r2 item 6)."""
     out = clusters
     if partitions:
         out = out.repartition(partitions, "cluster_id")
-    if table is not None and iceberg_jar_present():
+    if table is not None:
+        catalog = table.split(".")[0]
+        if clusters.sparkSession.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise ValueError(
+                f"cluster table {table!r} names catalog {catalog!r}, which is not "
+                "registered on this session (Iceberg runtime jar absent, or the "
+                "session was built before the catalog config was set) — pass a "
+                "filesystem path for parquet output instead"
+            )
         out.writeTo(table).using("iceberg").createOrReplace()
         return
     out.write.mode("overwrite").parquet(path)

@@ -183,7 +183,13 @@ def _recovery_files_local(
         # a Spark job + Python-worker spawn costs seconds, the walk costs
         # milliseconds. The cap bounds driver work; past it, bail to the
         # distributed walk (one executor task per subtree).
-        rows = _driver_walk(units, emit, limit=_DRIVER_WALK_LIMIT)
+        rows = _driver_walk(
+            units,
+            emit,
+            limit=_DRIVER_WALK_LIMIT,
+            recover_non_utf8=recover_non_utf8,
+            max_read_bytes=max_read_bytes,
+        )
         if rows is not None:
             if rows:
                 # via pandas so the Arrow path is used — a plain list of
@@ -282,11 +288,21 @@ def _iter_unit_files(kind: str, p: str):
                     pass
 
 
-def _driver_walk(units, emit, limit: int) -> list | None:
+def _driver_walk(
+    units,
+    emit,
+    limit: int,
+    recover_non_utf8: bool = True,
+    max_read_bytes: int | None = None,
+) -> list | None:
     """Walk all units on the driver, or None once ``limit`` entries are
     seen OR a non-UTF-8-named file above ``_DRIVER_READ_LIMIT`` appears
-    (either way the caller falls back to the distributed walk — the
-    driver never materializes a large recovered payload)."""
+    whose payload ``emit`` would actually read (either way the caller
+    falls back to the distributed walk — the driver never materializes
+    a large recovered payload). When recovery is off, or the scan
+    filter's ``max_read_bytes`` already excludes the file, ``emit``
+    drops it without opening it, so a big badly-named file is no reason
+    to abandon the cheap walk and pay a Spark listing job."""
     rows: list = []
     seen = 0
     for kind, p in units:
@@ -295,7 +311,12 @@ def _driver_walk(units, emit, limit: int) -> list | None:
                 seen += 1
                 if seen > limit:
                     return None
-                if st.st_size > _DRIVER_READ_LIMIT and _lossy_utf8(path) is not None:
+                if (
+                    recover_non_utf8
+                    and st.st_size > _DRIVER_READ_LIMIT
+                    and (max_read_bytes is None or st.st_size <= max_read_bytes)
+                    and _lossy_utf8(path) is not None
+                ):
                     return None
                 r = emit(path, st)
                 if r:
