@@ -335,10 +335,15 @@ def main() -> None:
     # rounds and trigger inputs are all recorded in the JSON).
     extra = 0
     while (
-        extra < 2
+        extra < 3
         and (t_small * SMALL_CORES) / (t_large * LARGE_CORES) < 0.85
-        and time.monotonic() - t_scaling0 < 600.0
+        and time.monotonic() - t_scaling0 < 660.0
     ):
+        # space the samples out: degraded periods last minutes, and
+        # back-to-back retries all land inside the same one (observed:
+        # six large samples over ~10 min at a uniform ~1.3x). Sleeping
+        # costs wall but no compute, and only degraded runs pay it.
+        time.sleep(45.0)
         spark = restart_spark(LARGE_CORES, app_name=f"bench-large-x{extra}")
         t = run_lsh_scaling(spark, SCALING_IMAGES, repeats=2, warmup=False)
         rounds["large"].append(round(t, 3))
