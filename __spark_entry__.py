@@ -742,6 +742,113 @@ def _images_parquet(n: int, seed: int = 42) -> str:
     return path
 
 
+def _videos_parquet(n_videos: int = 8, n_frames: int = 12) -> str:
+    """Deterministic fake-video fixture written ONCE to a parquet file
+    both engines read. Beside the payload the writer stores ground
+    truth it knows from building each container — frame count and the
+    per-frame encoded byte lengths — so the DuckDB oracle can replay
+    the every-Nth sampling arithmetic (row expansion, frame_idx,
+    frame_len) against what Spark's ``frame_sample`` mapInPandas
+    recovers by actually parsing the container. Same stored-truth
+    pattern as the images_metadata oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_videos_{n_videos}_{n_frames}.parquet"
+    if not os.path.exists(path):
+        ids, payloads, counts, lens = [], [], [], []
+        for i in range(n_videos):
+            frames = [
+                np.full((8, 8, 3), (i * 7 + j) % 256, np.uint8) for j in range(n_frames)
+            ]
+            ids.append(f"vid-{i}")
+            payloads.append(mm.encode_fake_video(frames))
+            counts.append(n_frames)
+            lens.append([len(codec.encode_png(fr)) for fr in frames])
+        table = pa.table(
+            {
+                "video_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+                "n_frames": pa.array(counts, pa.int32()),
+                "frame_lens": pa.array(lens, pa.list_(pa.int64())),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _image_embeddings_parquet(n: int, dim: int = 64, seed: int = 42) -> str:
+    """Ground-truth embeddings for the first ``n`` fixture images,
+    computed single-process with the same pure kernel
+    (``multimodal.embed_pixels``) the distributed pandas UDF applies —
+    stored as float64 holding exactly the float32-quantized values, so
+    Spark's ``array<float>`` -> double cast and DuckDB's DOUBLE[] see
+    bit-identical inputs and the cosine/rank replay is exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.fixtures.codec import decode_image
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_image_embs_{n}_{dim}_{seed}.parquet"
+    if not os.path.exists(path):
+        pdf = img.images_pdf(n, seed=seed)
+        embs = [
+            mm.embed_pixels(decode_image(bytes(p)), dim).astype("float64").tolist()
+            for p in pdf["bytes"]
+        ]
+        table = pa.table(
+            {
+                "image_id": pa.array(list(pdf["image_id"]), pa.string()),
+                "embedding": pa.array(embs, pa.list_(pa.float64())),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _image_resize_truth_parquet(n: int, out_w: int, out_h: int, seed: int = 42) -> str:
+    """Ground-truth resized payload lengths for the first ``n`` fixture
+    images: a single-process replay of the same pure kernels
+    (``multimodal.resize_pixels`` + fixture codec) the distributed
+    pandas-UDF path applies — the stored-truth pattern of
+    images_metadata, upgrading images_resize from rows-only to
+    oracle-checked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.fixtures.codec import decode_image, encode_png
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_resize_truth_{n}_{out_w}x{out_h}_{seed}.parquet"
+    if not os.path.exists(path):
+        pdf = img.images_pdf(n, seed=seed)
+        lens = [
+            len(encode_png(mm.resize_pixels(decode_image(bytes(p)), out_w, out_h)))
+            for p in pdf["bytes"]
+        ]
+        table = pa.table(
+            {
+                "image_id": pa.array(list(pdf["image_id"]), pa.string()),
+                "resized_len": pa.array(lens, pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def q_images_exact_dedup(spark, sf_dir):
     """Exact-dup groups over the synthetic image+caption table: the full
     ladder (size -> prefix -> suffix -> full hash) must partition the
@@ -791,14 +898,15 @@ def q_images_metadata(spark, sf_dir):
 
 
 def q_images_resize(spark, sf_dir):
-    """Multimodal resize: nearest-neighbor to 32x32, re-encoded; output
-    is (image_id, resized size) so the check is deterministic."""
+    """Multimodal resize: nearest-neighbor to 32x32, re-encoded.
+    Oracle-checked: the distributed decode->resize->re-encode must
+    reproduce the single-process ground-truth payload lengths
+    (``_image_resize_truth_parquet``)."""
     from pyspark.sql import functions as F
 
-    from yadf_spark.fixtures import images as img
     from yadf_spark.operators import multimodal as mm
 
-    df = img.images_df(spark, 64, seed=42)
+    df = spark.read.parquet(_images_parquet(64))
     return (
         mm.resize_images(df, 32, 32)
         .select("image_id", F.length("bytes").cast("long").alias("resized_len"))
@@ -808,29 +916,29 @@ def q_images_resize(spark, sf_dir):
 
 def q_images_embedding_ann(spark, sf_dir):
     """Decode -> histogram embedding -> brute-force cosine top-3 over the
-    image table (the multimodal ANN composition)."""
-    from yadf_spark.fixtures import images as img
+    image table (the multimodal ANN composition). Oracle-checked: the
+    distributed decode+embed (mapInPandas) and two-phase top-k must
+    reproduce a single-process replay of the same pure kernel
+    (``_image_embeddings_parquet``) ranked by DuckDB — both engines
+    round cosine to 6 dp and tie-break on neighbor_id, as in ann_topk."""
     from yadf_spark.operators import multimodal as mm
 
-    df = img.images_df(spark, 96, seed=42)
+    df = spark.read.parquet(_images_parquet(96))
     emb = mm.image_embedding(df, dim=64).withColumnRenamed("image_id", "vec_id")
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") <= "img-000000007"), k=3).orderBy(
-        "query_id", "rank"
-    )
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") <= "img-000000007"), k=3
+    ).orderBy("query_id", "rank")
 
 
 def q_video_frame_sample(spark, sf_dir):
     """Video frame sampling over the fake container (decode stub for real
-    formats; plumbing — schema, row expansion, batching — is real)."""
-    import numpy as np
-
+    formats; plumbing — schema, row expansion, batching — is real).
+    Oracle-checked: Spark parses each container and samples every 4th
+    frame; DuckDB replays the sampling arithmetic over the fixture's
+    stored per-frame ground truth (``_videos_parquet``)."""
     from yadf_spark.operators import multimodal as mm
 
-    vids = [
-        (f"vid-{i}", mm.encode_fake_video([np.full((8, 8, 3), (i * 7 + j) % 256, np.uint8) for j in range(12)]))
-        for i in range(8)
-    ]
-    df = spark.createDataFrame(vids, "video_id string, bytes binary")
+    df = spark.read.parquet(_videos_parquet()).select("video_id", "bytes")
     return (
         mm.frame_sample(df, every_n=4)
         .select("video_id", "frame_idx", "n_frames", F.length("frame_bytes").cast("long").alias("frame_len"))
@@ -838,9 +946,56 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters_docs(spark, sf_dir):
+    """Caption near-dup CLUSTERS end-to-end, fully oracle-checked: the
+    MinHash+LSH candidate stage (verified at exact Jaccard >= 0.8, same
+    config as minhash_lsh_pairs) feeds connected components, emitting
+    ``(id, cluster_id)`` — the pipeline's pairs->groups contraction
+    (reference analog: the dup-group Bag materialization,
+    src/bag.rs:21-44) replayed in SQL as all-pairs Jaccard edges plus a
+    recursive-CTE min-label closure."""
+    from yadf_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    return components.connected_components(edges).orderBy("id")
+
+
+def _image_truth_pairs_parquet(n: int) -> str:
+    """The fixture's PLANTED duplicate pairs, written once to parquet.
+    The flagship pipeline query is checked against their transitive
+    closure — a planted-truth gate, not an algorithmic replay: it
+    requires cluster-level recall AND precision of exactly 1.0 at the
+    default config (the north rule's 'matching the reference's cluster
+    assignments' criterion, strictly stronger than its >= 0.99 bound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import images as img
+
+    path = f"/tmp/yadf_contract_truth_pairs_{n}.parquet"
+    if not os.path.exists(path):
+        pairs = sorted(img.truth_dup_pairs(n))
+        table = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in pairs], pa.string()),
+                "id_b": pa.array([b for _, b in pairs], pa.string()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def q_images_near_dup_clusters(spark, sf_dir):
     """Full near-dup pipeline (phash bands + MinHash LSH + PSNR verify +
-    connected components) over the synthetic image table."""
+    connected components) over the synthetic image table. Oracle-checked
+    against the planted truth's transitive closure (recursive CTE +
+    singleton backfill) — see ``_image_truth_pairs_parquet``."""
     from yadf_spark.fixtures import images as img
     from yadf_spark.operators import pipeline as pl
 
@@ -899,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_name_pairs": q_source_name_pairs,
         "source_stats": q_source_stats,
         "cc_components": q_cc_components,
+        "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "simhash_docs": q_simhash_docs,
         # video_frame_sample got NO driver verdict in round 2 as the
         # 51st of 51 entries (the sweep apparently never reached it) —
@@ -1178,6 +1334,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id)
             SELECT id, min(lab) AS cluster_id
             FROM reach GROUP BY id ORDER BY id""",
+        # pairs -> clusters composition: all-pairs exact Jaccard edges
+        # (the LSH stage's recall target) closed transitively by the
+        # same recursive-CTE min-label reach as cc_components.
+        "near_dup_clusters_docs": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id)
+            SELECT id, min(lab) AS cluster_id
+            FROM reach GROUP BY id ORDER BY id""",
         "simhash_docs": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -1211,5 +1383,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
                    CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels
             FROM read_parquet('{_images_parquet(128)}')
+            ORDER BY image_id""",
+        # distributed decode->resize->re-encode vs a single-process
+        # replay of the same pure kernels (resize_pixels + codec).
+        "images_resize": f"""
+            SELECT image_id, resized_len
+            FROM read_parquet('{_image_resize_truth_parquet(64, 32, 32)}')
+            ORDER BY image_id""",
+        # sampling arithmetic replayed over the fixture's stored
+        # per-frame ground truth (frame count + encoded byte lengths);
+        # Spark recovers the same numbers by parsing each container.
+        "video_frame_sample": f"""
+            SELECT video_id, CAST(i AS INT) AS frame_idx,
+                   CAST(n_frames AS INT) AS n_frames,
+                   CAST(frame_lens[CAST(i AS INT) + 1] AS BIGINT) AS frame_len
+            FROM (SELECT video_id, n_frames, frame_lens,
+                         unnest(generate_series(0, n_frames - 1)) AS i
+                  FROM read_parquet('{_videos_parquet()}')) u
+            WHERE i % 4 = 0
+            ORDER BY video_id, frame_idx""",
+        # distributed decode+embed+top-k vs a single-process replay of
+        # the same pure kernel (multimodal.embed_pixels), ranked by
+        # DuckDB — same rounding/tie-break contract as ann_topk.
+        "images_embedding_ann": f"""
+            WITH q AS (SELECT image_id AS query_id, embedding AS e
+                       FROM read_parquet('{_image_embeddings_parquet(96)}')
+                       WHERE image_id <= 'img-000000007'),
+            s AS (SELECT q.query_id, c.image_id AS neighbor_id,
+                         round(list_dot_product(q.e, c.embedding) /
+                               (sqrt(list_dot_product(q.e, q.e)) *
+                                sqrt(list_dot_product(c.embedding, c.embedding))), 6) AS cosine
+                  FROM q, read_parquet('{_image_embeddings_parquet(96)}') c
+                  WHERE c.image_id != q.query_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r
+            WHERE rank <= 3 ORDER BY query_id, rank""",
+        # the FLAGSHIP gate: the full 5-stage pipeline's cluster
+        # assignment must equal the planted truth's transitive closure
+        # (min-label components + singleton backfill) — cluster-level
+        # recall AND precision 1.0, the north rule's match criterion.
+        "images_near_dup_clusters": f"""
+            WITH RECURSIVE
+            nodes AS (SELECT printf('img-%09d', CAST(i AS INT)) AS id
+                      FROM range(256) r(i)),
+            e AS (SELECT id_a, id_b
+                  FROM read_parquet('{_image_truth_pairs_parquet(256)}')),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT n.id AS image_id, coalesce(c.cluster_id, n.id) AS cluster_id
+            FROM nodes n LEFT JOIN comp c ON c.id = n.id
             ORDER BY image_id""",
     }

@@ -66,6 +66,7 @@ HEADLINE = [
     "ladder_assignment",
     "ladder_groups",
     "minhash_lsh_pairs",
+    "near_dup_clusters_docs",
     "ngram_jaccard_pairs",
     "containment_pairs",
     "ann_topk",

@@ -87,6 +87,16 @@ def decode_metadata(df: DataFrame, id_col: str = "image_id", bytes_col: str = "b
     )
 
 
+def resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure nearest-neighbor resize of an (h, w, 3) array (index gather).
+    Module-level so the contract harness can replay it single-process as
+    ground truth for the distributed ``resize_images`` path."""
+    h, w, _ = px.shape
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return np.ascontiguousarray(px[yi][:, xi])
+
+
 def resize_images(
     df: DataFrame,
     out_w: int,
@@ -108,16 +118,35 @@ def resize_images(
                 continue
             try:
                 px = decode_image(bytes(payload))
-                h, w, _ = px.shape
-                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                out.append(encode_png(np.ascontiguousarray(px[yi][:, xi])))
+                out.append(encode_png(resize_pixels(px, out_w, out_h)))
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype=object)
 
     resize = F.pandas_udf(kernel, "binary")
     return df.select(F.col(id_col).alias(id_col), resize(F.col(bytes_col)).alias(bytes_col))
+
+
+def embed_pixels(px: np.ndarray, dim: int = 64) -> np.ndarray:
+    """The pure embedding kernel: channel-wise intensity histogram of an
+    (h, w, 3) uint8 array, L2-normalized, quantized to float32. Module-
+    level (not closed over by the UDF) so the contract harness can
+    replay it single-process as ground truth for the distributed
+    ``image_embedding`` path — the same stored-truth pattern the
+    images_metadata oracle uses for w/h/fmt."""
+    bins = dim // 4
+    pxf = px.astype(np.float64)
+    gray = pxf.mean(axis=2)
+    vec = np.concatenate(
+        [
+            np.histogram(pxf[:, :, 0], bins=bins, range=(0, 256))[0],
+            np.histogram(pxf[:, :, 1], bins=bins, range=(0, 256))[0],
+            np.histogram(pxf[:, :, 2], bins=bins, range=(0, 256))[0],
+            np.histogram(gray, bins=bins, range=(0, 256))[0],
+        ]
+    ).astype(np.float64)
+    n = np.linalg.norm(vec)
+    return (vec / n if n else vec).astype(np.float32)
 
 
 def image_embedding(
@@ -130,26 +159,14 @@ def image_embedding(
     histogram, L2-normalized — the decode→feature seam a real CLIP-style
     encoder would occupy. Output ``(image_id, embedding array<float>)``
     feeds the ANN operators (operators/similarity.py) unchanged."""
-    bins = dim // 4
-
     def kernel(series: pd.Series) -> pd.Series:
         from yadf_spark.fixtures.codec import decode_image
 
         out = []
         for payload in series:
             try:
-                px = decode_image(bytes(payload)).astype(np.float64)
-                gray = px.mean(axis=2)
-                vec = np.concatenate(
-                    [
-                        np.histogram(px[:, :, 0], bins=bins, range=(0, 256))[0],
-                        np.histogram(px[:, :, 1], bins=bins, range=(0, 256))[0],
-                        np.histogram(px[:, :, 2], bins=bins, range=(0, 256))[0],
-                        np.histogram(gray, bins=bins, range=(0, 256))[0],
-                    ]
-                ).astype(np.float64)
-                n = np.linalg.norm(vec)
-                out.append((vec / n if n else vec).astype(np.float32).tolist())
+                px = decode_image(bytes(payload))
+                out.append(embed_pixels(px, dim).tolist())
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype=object)
