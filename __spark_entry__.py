@@ -7,10 +7,12 @@ the DuckDB-equivalent ANSI SQL for every SQL-expressible entry. Column
 names and types are aligned on both sides (the driver's compare sorts
 columns by name and value-hashes).
 
-Non-SQL-expressible entries (MinHash signatures themselves, SimHash,
-SRP-ANN, the image fixture pipeline) are exposed rows-only, as the
-contract allows; their semantics are pytest-verified against planted
-truth instead (tests/).
+Every entry is oracle-checked. Algorithms DuckDB cannot replay in SQL
+alone (seeded SRP/IVF ANN, image decode/resize/embed, the flagship
+pipeline) are checked against stored-truth parquet: a single-process
+replay of the same pure kernels (or the fixture's planted truth), which
+DuckDB then joins/ranks — so the oracle verifies the DISTRIBUTED
+plumbing against a sequential run of the identical seeded algorithm.
 """
 
 from __future__ import annotations
@@ -709,11 +711,128 @@ def q_simhash_docs(spark, sf_dir):
     )
 
 
-# --- rows-only entries (non-SQL-expressible; pytest-verified vs truth) ----
+# The driver's correctness harness runs at this scale factor (driver
+# contract: "runs YOUR Spark query AND your oracle SQL side-by-side at
+# sf=0.01"). The seeded-ANN truth replays below read the same parquet
+# the driver registers as the `embeddings` view, so the replayed
+# candidate ids join back against that view inside the oracle SQL.
+# yadf_spark.testing.run_contract overrides this attr when it checks the
+# contract at a different sf (the in-repo sf0.001 replica).
+CONTRACT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sf_slug() -> str:
+    return os.path.basename(CONTRACT_SF_DIR.rstrip("/"))
+
+
+def _srp_truth_pairs_parquet(
+    n_bits: int = 64, n_bands: int = 16, seed: int = 42, max_bucket: int = 100_000
+) -> str:
+    """Single-process replay of ``srp_candidates`` over the contract-sf
+    embeddings table, stored once as (id_a, id_b) parquet. Reuses the
+    pure kernels (``similarity.srp_planes`` / ``srp_signatures``) the
+    distributed pandas UDF applies; the bucket -> distinct-(id_a < id_b)
+    pair expansion (buckets above ``max_bucket`` dropped) is replayed in
+    plain Python. The oracle built on it therefore checks the
+    DISTRIBUTED plumbing — UDF batching, the band explode, the
+    JVM/salted bucket expansion, and the re-rank joins — against a
+    sequential run of the same seeded algorithm (the stored-truth
+    pattern of ``_image_embeddings_parquet``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/yadf_contract_srp_pairs_{_sf_slug()}_{n_bits}_{n_bands}_{seed}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{CONTRACT_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = t.column("vec_id").to_numpy().tolist()
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        sigs = similarity.srp_signatures(mat, similarity.srp_planes(n_bits, EMB_DIM, seed))
+        band_bits = n_bits // n_bands
+        mask = np.uint64((1 << band_bits) - 1)
+        pairs: set[tuple[int, int]] = set()
+        for i in range(n_bands):
+            band = ((sigs >> np.uint64(i * band_bits)) & mask).tolist()
+            buckets: dict[int, list[int]] = {}
+            for vid, bh in zip(ids, band):
+                buckets.setdefault(bh, []).append(vid)
+            for members in buckets.values():
+                if 1 < len(members) <= max_bucket:
+                    members.sort()
+                    for x in range(len(members)):
+                        for y in range(x + 1, len(members)):
+                            pairs.add((members[x], members[y]))
+        ordered = sorted(pairs)
+        table = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in ordered], pa.int64()),
+                "id_b": pa.array([b for _, b in ordered], pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _ivf_truth_pairs_parquet(
+    n_centroids: int = 32, n_probe: int = 4, seed: int = 42, max_bucket: int = 100_000
+) -> str:
+    """Single-process replay of the IVF candidate generation (seeded
+    spherical k-means on the vec_id-ordered sample + n_probe cell
+    assignment + shared-cell pair expansion) over the contract-sf
+    embeddings table — same pure kernels
+    (``similarity.kmeans_cosine_centroids`` / ``probe_top_cells``) the
+    Spark path calls, so the oracle checks the distributed assignment /
+    bucket-join plumbing against a sequential run."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/yadf_contract_ivf_pairs_{_sf_slug()}_{n_centroids}_{n_probe}_{seed}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{CONTRACT_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t.column("vec_id").to_numpy())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        # the Spark path trains on df.orderBy("vec_id").limit(20_000)
+        order = np.argsort(ids, kind="stable")
+        sample = mat[order][:20_000]
+        cents = similarity.kmeans_cosine_centroids(sample, n_centroids, 10, seed)
+        cells = similarity.probe_top_cells(mat, cents, n_probe)
+        buckets: dict[int, list[int]] = {}
+        for vid, row in zip(ids.tolist(), cells):
+            for c in row.tolist():
+                buckets.setdefault(c, []).append(vid)
+        pairs: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            if 1 < len(members) <= max_bucket:
+                members.sort()
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        pairs.add((members[x], members[y]))
+        ordered = sorted(pairs)
+        table = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in ordered], pa.int64()),
+                "id_b": pa.array([b for _, b in ordered], pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def q_ann_topk_srp(spark, sf_dir):
-    """SRP-LSH approximate top-3 neighbors (bucketed ANN scale path)."""
+    """SRP-LSH approximate top-3 neighbors (bucketed ANN scale path).
+    Oracle-checked: the distributed signature/band/bucket/re-rank plan
+    must reproduce a single-process replay of the same seeded kernels
+    (``_srp_truth_pairs_parquet``), ranked by DuckDB with the ann_topk
+    rounding/tie-break contract."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16).orderBy(
         "query_id", "rank"
@@ -866,8 +985,10 @@ def q_images_exact_dedup(spark, sf_dir):
 def q_ivf_near_dup(spark, sf_dir):
     """IVF-bucketed embedding near-dup pairs (coarse k-means cells +
     salted self-join + exact cosine verify — the ANN scale path beside
-    SRP-LSH). Rows-only: k-means is not SQL-expressible; determinism via
-    ordered sampling + seeded init is pytest-verified."""
+    SRP-LSH). Oracle-checked: the distributed train/assign/bucket-join
+    plan must reproduce a single-process replay of the same seeded
+    k-means + probe kernels (``_ivf_truth_pairs_parquet``), with DuckDB
+    re-deriving the cosine filter over the same embeddings."""
     e = _t(spark, sf_dir, "embeddings").orderBy("vec_id")
     cents = similarity.train_ivf_centroids(e, EMB_DIM, n_centroids=32)
     return similarity.ivf_near_dup_pairs(
@@ -1419,6 +1540,43 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)
             SELECT query_id, neighbor_id, cosine, rank FROM r
             WHERE rank <= 3 ORDER BY query_id, rank""",
+        # seeded-ANN replays: the candidate SET comes from a
+        # single-process run of the same seeded kernels (stored-truth
+        # parquet); cosine/rank re-derived by DuckDB over the registered
+        # embeddings view with the ann_topk rounding/tie-break contract.
+        "ann_topk_srp": f"""
+            WITH p AS (SELECT id_a, id_b
+                       FROM read_parquet('{_srp_truth_pairs_parquet()}')),
+            sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM p
+                    UNION ALL
+                    SELECT id_b AS query_id, id_a AS neighbor_id FROM p),
+            s AS (SELECT sym.query_id, sym.neighbor_id,
+                         round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                      CAST(q.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+                  FROM sym JOIN embeddings q ON q.vec_id = sym.query_id
+                           JOIN embeddings c ON c.vec_id = sym.neighbor_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r
+            WHERE rank <= 3 ORDER BY query_id, rank""",
+        "ivf_near_dup": f"""
+            WITH p AS (SELECT id_a, id_b
+                       FROM read_parquet('{_ivf_truth_pairs_parquet()}')),
+            c AS (SELECT p.id_a, p.id_b,
+                         round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                      CAST(a.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+                  FROM p JOIN embeddings a ON a.vec_id = p.id_a
+                         JOIN embeddings b ON b.vec_id = p.id_b)
+            SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45
+            ORDER BY id_a, id_b""",
         # the FLAGSHIP gate: the full 5-stage pipeline's cluster
         # assignment must equal the planted truth's transitive closure
         # (min-label components + singleton backfill) — cluster-level

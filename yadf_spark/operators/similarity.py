@@ -207,21 +207,34 @@ def exact_near_dup_candidates(
     return src.mapInPandas(kernel, out_schema)
 
 
+def srp_planes(n_bits: int, dim: int, seed: int) -> np.ndarray:
+    """The seeded hyperplane matrix (dim x n_bits). Module-level pure
+    kernel so the distributed UDF and single-process truth replays (the
+    contract oracle for ann_topk_srp) draw bit-identical planes."""
+    return np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+
+def srp_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows x dim) float64 -> unsigned 64-bit SRP signatures. Pure
+    kernel shared by ``make_srp_udf`` and the oracle truth replay; the
+    sign of a matmul is batching-invariant, so distributed and
+    single-process signatures agree exactly."""
+    bits = (mat @ planes) > 0  # (rows, n_bits)
+    shifts = np.arange(planes.shape[1], dtype=np.uint64)
+    return (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def make_srp_udf(n_bits: int, dim: int, seed: int):
     """pandas UDF: embedding -> 64-bit signed-random-projection signature.
     One matmul per Arrow batch — fully vectorized."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_bits))
+    planes = srp_planes(n_bits, dim, seed)
 
     @F.pandas_udf("long")
     def srp_sig(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="int64")
         mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
-        bits = (mat @ planes) > 0  # (rows, n_bits)
-        shifts = np.arange(n_bits, dtype=np.uint64)
-        vals = (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        return pd.Series(vals.astype(np.int64))
+        return pd.Series(srp_signatures(mat, planes).astype(np.int64))
 
     return srp_sig
 
@@ -331,6 +344,16 @@ def train_ivf_centroids(
     Deterministic: seeded init, fixed Lloyd iterations."""
     sample = df.select(emb_col).limit(sample_rows).toPandas()[emb_col]
     mat = np.vstack([np.asarray(e, dtype=np.float64) for e in sample])
+    return kmeans_cosine_centroids(mat, n_centroids, iterations, seed)
+
+
+def kmeans_cosine_centroids(
+    mat: np.ndarray, n_centroids: int, iterations: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Seeded spherical Lloyd iterations over a (rows x dim) float64
+    matrix. Module-level pure kernel so ``train_ivf_centroids`` (Spark
+    sample) and the single-process oracle truth replay for ivf_near_dup
+    compute bit-identical centroids from the same sample rows."""
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.maximum(norms, 1e-12)  # cosine IVF: cluster on the sphere
     rng = np.random.default_rng(seed)
@@ -347,6 +370,15 @@ def train_ivf_centroids(
     return centroids
 
 
+def probe_top_cells(mat: np.ndarray, centroids: np.ndarray, n_probe: int) -> np.ndarray:
+    """(rows x dim) -> (rows x n_probe) nearest-centroid cell ids. Pure
+    kernel shared by ``make_ivf_assign_udf`` and the oracle truth
+    replay; per-row argsort is batching-invariant."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = (mat / np.maximum(norms, 1e-12)) @ centroids.T
+    return np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+
+
 def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int):
     """pandas UDF: embedding -> the ids of its ``n_probe`` nearest
     centroid cells (one matmul per Arrow batch)."""
@@ -356,10 +388,7 @@ def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int):
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = (mat / np.maximum(norms, 1e-12)) @ centroids.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
+        return pd.Series(list(probe_top_cells(mat, centroids, n_probe)))
 
     return assign
 

@@ -70,11 +70,22 @@ def compare(spark_df, con, sql: str) -> dict:
 
 
 def run_contract(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
-    """Run every queries()/oracle_sql() pair like the driver does."""
+    """Run every queries()/oracle_sql() pair like the driver does.
+
+    Points the entry module's CONTRACT_SF_DIR at ``sf_dir`` while
+    building the oracle SQL, so the seeded-ANN stored-truth replays
+    (ann_topk_srp / ivf_near_dup) regenerate against the same tables the
+    Spark queries read — the driver itself runs at the module default
+    (sf0.01) and never needs the override."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    prev_sf = entrymod.CONTRACT_SF_DIR
+    entrymod.CONTRACT_SF_DIR = sf_dir
+    try:
+        oracles = entrymod.oracle_sql()
+    finally:
+        entrymod.CONTRACT_SF_DIR = prev_sf
     con = duckdb_con(sf_dir)
     results: dict[str, dict] = {}
     for name, fn in qs.items():
