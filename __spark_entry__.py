@@ -1067,6 +1067,181 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def _audios_parquet(n_clips: int = 48) -> str:
+    """Deterministic fake-audio fixture written ONCE to a parquet file
+    both engines read — mixed sample rates, mono/stereo, ragged lengths.
+    Beside the payload the writer stores ground truth: the container
+    parameters it chose (rate/channels/length) plus the signal features
+    computed single-process by the SAME pure kernel
+    (``audio.audio_feature_values``) the distributed mapInPandas path
+    applies — the stored-truth pattern of images_metadata /
+    images_embedding_ann, extended to the audio modality."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.operators import audio as au
+
+    path = f"/tmp/yadf_contract_audios_{n_clips}.parquet"
+    if not os.path.exists(path):
+        cols: dict[str, list] = {k: [] for k in (
+            "audio_id", "bytes", "sample_rate", "n_channels", "n_samples",
+            "duration_s", "rms", "peak", "zero_crossings",
+        )}
+        for i in range(n_clips):
+            rate = (8_000, 16_000, 44_100)[i % 3]
+            ch = 1 if i % 2 == 0 else 2
+            n = 3_000 + i * 517  # ragged vs the 4000-sample segment size
+            rng = np.random.RandomState(1_000 + i)
+            t = np.arange(n, dtype=np.float64) / rate
+            base = 6_000.0 * np.sin(2.0 * np.pi * (100.0 + 13.0 * i) * t)
+            sig = base + rng.randint(-500, 501, size=n)
+            if ch == 2:
+                samples = np.stack([sig, np.roll(sig, 7)], axis=1)
+            else:
+                samples = sig[:, None]
+            samples = np.clip(samples, -32768, 32767).astype(np.int16)
+            dur, rms, peak, zcr = au.audio_feature_values(samples, rate)
+            cols["audio_id"].append(f"aud-{i:06d}")
+            cols["bytes"].append(au.encode_fake_audio(samples, rate))
+            cols["sample_rate"].append(rate)
+            cols["n_channels"].append(ch)
+            cols["n_samples"].append(n)
+            cols["duration_s"].append(dur)
+            cols["rms"].append(rms)
+            cols["peak"].append(peak)
+            cols["zero_crossings"].append(zcr)
+        table = pa.table(
+            {
+                "audio_id": pa.array(cols["audio_id"], pa.string()),
+                "bytes": pa.array(cols["bytes"], pa.binary()),
+                "sample_rate": pa.array(cols["sample_rate"], pa.int32()),
+                "n_channels": pa.array(cols["n_channels"], pa.int32()),
+                "n_samples": pa.array(cols["n_samples"], pa.int64()),
+                "duration_s": pa.array(cols["duration_s"], pa.float64()),
+                "rms": pa.array(cols["rms"], pa.float64()),
+                "peak": pa.array(cols["peak"], pa.int32()),
+                "zero_crossings": pa.array(cols["zero_crossings"], pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio decode + feature extraction (mapInPandas) checked against
+    ground truth: the DECODED rate/channels/length and the signal
+    features (duration, RMS, peak, zero crossings) must equal the
+    fixture's stored truth — computed single-process by the same pure
+    kernel (``audio.audio_feature_values``), so the oracle verifies the
+    distributed plumbing against a sequential run of identical code."""
+    from yadf_spark.operators import audio as au
+
+    df = spark.read.parquet(_audios_parquet()).select("audio_id", "bytes")
+    return (
+        au.audio_features(df)
+        .select(
+            "audio_id", "sample_rate", "n_channels", "n_samples",
+            "duration_s", "rms", "peak", "zero_crossings",
+        )
+        .orderBy("audio_id")
+    )
+
+
+def q_audio_segments(spark, sf_dir):
+    """Audio segment sampling (row-expanding mapInPandas, the audio
+    analog of video frame sampling): every 3rd 4000-sample segment.
+    Oracle-checked: DuckDB replays the segmentation arithmetic over the
+    fixture's stored clip lengths; Spark recovers the same numbers by
+    actually parsing and slicing each container."""
+    from yadf_spark.operators import audio as au
+
+    df = spark.read.parquet(_audios_parquet()).select("audio_id", "bytes")
+    return (
+        au.segment_sample(df, seg_samples=4_000, every_n=3)
+        .select("audio_id", "seg_idx", "seg_n_samples", "n_segments")
+        .orderBy("audio_id", "seg_idx")
+    )
+
+
+def _audio_near_dup_parquet(n_bases: int = 12) -> str:
+    """Fixture for the audio near-dup query: amplitude-modulated clips
+    where even-numbered bases also get two near-identical variants
+    (small extra noise; amplitude quantization) and odd bases are
+    singletons. Stored truth: each clip's energy fingerprint and its
+    four 16-bit Hamming bands, computed single-process by the SAME pure
+    kernel (``audio.audio_fingerprint_bits``) the distributed path
+    applies — DuckDB then replays the band-OR candidate join and the
+    Hamming filter in SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.operators import audio as au
+
+    path = f"/tmp/yadf_contract_audio_neardup_{n_bases}.parquet"
+    if not os.path.exists(path):
+        ids, payloads, afps = [], [], []
+
+        def add(cid: str, samples: np.ndarray, rate: int) -> None:
+            ids.append(cid)
+            payloads.append(au.encode_fake_audio(samples, rate))
+            afps.append(au.audio_fingerprint_bits(samples))
+
+        for base in range(n_bases):
+            rng = np.random.RandomState(7_000 + base)
+            rate = 16_000
+            n = 48_000 + base * 1_000
+            amps = rng.uniform(500.0, 12_000.0, size=64)
+            amp = np.empty(n)
+            for w, ix in enumerate(np.array_split(np.arange(n), 64)):
+                amp[ix] = amps[w]
+            t = np.arange(n, dtype=np.float64) / rate
+            sig = amp * np.sin(2.0 * np.pi * 440.0 * t) + rng.randint(-50, 51, size=n)
+            clip = np.clip(sig, -32768, 32767).astype(np.int16)[:, None]
+            add(f"snd-{base:04d}", clip, rate)
+            if base % 2 == 0:
+                noisy = np.clip(
+                    clip[:, 0].astype(np.int32)
+                    + np.random.RandomState(8_000 + base).randint(-100, 101, size=n),
+                    -32768, 32767,
+                ).astype(np.int16)[:, None]
+                add(f"snd-{base:04d}-noise", noisy, rate)
+                quant = (clip[:, 0] // 8 * 8).astype(np.int16)[:, None]
+                add(f"snd-{base:04d}-quant", quant, rate)
+        bands = {f"band{i}": [] for i in range(4)}
+        for afp in afps:
+            u = afp & 0xFFFFFFFFFFFFFFFF
+            for i in range(4):
+                bands[f"band{i}"].append((u >> (16 * i)) & 0xFFFF)
+        table = pa.table(
+            {
+                "audio_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(payloads, pa.binary()),
+                "afp": pa.array(afps, pa.int64()),
+                **{k: pa.array(v, pa.int64()) for k, v in bands.items()},
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_audio_near_dup(spark, sf_dir):
+    """Audio near-duplicate pairs: energy fingerprint → Hamming bands →
+    the shared salted/capped bucket expansion → exact-Hamming verify
+    (JVM bit_count). Oracle-checked: DuckDB replays the band-OR
+    candidate join + Hamming filter over the fixture's stored-truth
+    fingerprints (same pure kernel, run single-process)."""
+    from yadf_spark.operators import audio as au
+
+    df = spark.read.parquet(_audio_near_dup_parquet()).select("audio_id", "bytes")
+    return au.audio_near_dup_pairs(df, max_hamming=6).orderBy("id_a", "id_b")
+
+
 def q_near_dup_clusters_docs(spark, sf_dir):
     """Caption near-dup CLUSTERS end-to-end, fully oracle-checked: the
     MinHash+LSH candidate stage (verified at exact Jaccard >= 0.8, same
@@ -1182,6 +1357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cheap fixture queries now run BEFORE the expensive ones,
         # and the full image pipeline goes last.
         "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
+        "audio_segments": q_audio_segments,
+        "audio_near_dup": q_audio_near_dup,
         "images_metadata": q_images_metadata,
         "images_resize": q_images_resize,
         "images_exact_dedup": q_images_exact_dedup,
@@ -1523,6 +1701,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{_videos_parquet()}')) u
             WHERE i % 4 = 0
             ORDER BY video_id, frame_idx""",
+        # distributed audio decode+features vs the fixture's stored
+        # truth (same pure kernel, audio.audio_feature_values, run
+        # single-process at fixture-build time).
+        "audio_features": f"""
+            SELECT audio_id, sample_rate, n_channels, n_samples,
+                   duration_s, rms, peak, zero_crossings
+            FROM read_parquet('{_audios_parquet()}')
+            ORDER BY audio_id""",
+        # segmentation arithmetic replayed over the stored clip lengths;
+        # Spark recovers the same numbers by parsing + slicing each
+        # container (every 3rd 4000-sample segment, ragged tail).
+        "audio_segments": f"""
+            SELECT audio_id, CAST(i AS INT) AS seg_idx,
+                   CAST(least(4000, n_samples - i * 4000) AS INT) AS seg_n_samples,
+                   CAST(nseg AS INT) AS n_segments
+            FROM (SELECT audio_id, n_samples,
+                         CAST(ceil(n_samples / 4000.0) AS BIGINT) AS nseg,
+                         unnest(generate_series(0, CAST(ceil(n_samples / 4000.0) AS BIGINT) - 1)) AS i
+                  FROM read_parquet('{_audios_parquet()}')) u
+            WHERE i % 3 = 0
+            ORDER BY audio_id, seg_idx""",
+        # audio near-dup: band-OR candidate join + Hamming filter
+        # replayed over stored-truth fingerprints (same pure kernel).
+        "audio_near_dup": f"""
+            WITH f AS (SELECT audio_id, afp, band0, band1, band2, band3
+                       FROM read_parquet('{_audio_near_dup_parquet()}')),
+            cand AS (SELECT DISTINCT a.audio_id AS id_a, b.audio_id AS id_b,
+                            a.afp AS fa, b.afp AS fb
+                     FROM f a JOIN f b ON a.audio_id < b.audio_id
+                      AND (a.band0 = b.band0 OR a.band1 = b.band1
+                           OR a.band2 = b.band2 OR a.band3 = b.band3))
+            SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+            ORDER BY id_a, id_b""",
         # distributed decode+embed+top-k vs a single-process replay of
         # the same pure kernel (multimodal.embed_pixels), ranked by
         # DuckDB — same rounding/tie-break contract as ann_topk.

@@ -81,6 +81,96 @@ def test_frame_sample_max_frames(spark):
     assert list(out.frame_idx) == [0, 2]
 
 
+# ---------------------------------------------------------------- audio
+def _clip(n, rate=16_000, ch=1, seed=0):
+    rng = np.random.RandomState(seed)
+    sig = (
+        4_000.0 * np.sin(2.0 * np.pi * 220.0 * np.arange(n) / rate)
+        + rng.randint(-300, 301, size=n)
+    )
+    samples = np.stack([sig] * ch, axis=1) if ch > 1 else sig[:, None]
+    return np.clip(samples, -32768, 32767).astype(np.int16)
+
+
+def test_audio_roundtrip_and_features(spark):
+    from yadf_spark.operators import audio as au
+
+    mono = _clip(5_000, rate=8_000, ch=1, seed=1)
+    stereo = _clip(7_321, rate=44_100, ch=2, seed=2)
+    rate_m, dec_m = au.decode_audio(au.encode_fake_audio(mono, 8_000))
+    assert rate_m == 8_000 and np.array_equal(dec_m, mono)
+
+    df = spark.createDataFrame(
+        [
+            ("m", au.encode_fake_audio(mono, 8_000)),
+            ("s", au.encode_fake_audio(stereo, 44_100)),
+            ("bad", b"\x00not-audio"),
+        ],
+        "audio_id string, bytes binary",
+    )
+    feats = {r["audio_id"]: r for r in au.audio_features(df).collect()}
+    assert feats["bad"]["ok"] is False and feats["bad"]["n_samples"] is None
+    for rid, samples, rate in (("m", mono, 8_000), ("s", stereo, 44_100)):
+        row = feats[rid]
+        dur, rms, peak, zcr = au.audio_feature_values(samples, rate)
+        assert row["ok"] is True
+        assert row["sample_rate"] == rate
+        assert row["n_channels"] == samples.shape[1]
+        assert row["n_samples"] == samples.shape[0]
+        assert row["duration_s"] == dur and row["rms"] == rms
+        assert row["peak"] == peak and row["zero_crossings"] == zcr
+
+
+def test_audio_segment_sample_composes(spark):
+    from yadf_spark.operators import audio as au
+
+    clip = _clip(10_000, seed=3)  # 3 segments of 4000: lens 4000/4000/2000
+    df = spark.createDataFrame(
+        [("a", au.encode_fake_audio(clip, 16_000)), ("bad", b"\xffgarbage")],
+        "audio_id string, bytes binary",
+    )
+    out = au.segment_sample(df, seg_samples=4_000, every_n=2).toPandas()
+    a = out[out.audio_id == "a"].sort_values("seg_idx")
+    assert list(a.seg_idx) == [0, 2]
+    assert list(a.seg_n_samples) == [4_000, 2_000]
+    assert (a.n_segments == 3).all()
+    # segments are themselves valid payloads carrying the planted PCM —
+    # the composition contract with audio_features downstream
+    rate, seg2 = au.decode_audio(bytes(a.iloc[1].seg_bytes))
+    assert rate == 16_000 and np.array_equal(seg2, clip[8_000:])
+    bad = out[out.audio_id == "bad"]
+    assert len(bad) == 1 and bad.iloc[0].seg_bytes is None
+
+
+def test_audio_near_dup_pairs_planted(spark):
+    """Planted near-identical clips (noise/quantization variants) must
+    pair up within a few Hamming bits; unrelated amplitude profiles must
+    not survive the Hamming verify."""
+    from yadf_spark.operators import audio as au
+
+    rows = []
+    for base in range(3):
+        rng = np.random.RandomState(100 + base)
+        n = 16_000
+        amps = rng.uniform(500.0, 12_000.0, size=64)
+        amp = np.empty(n)
+        for w, ix in enumerate(np.array_split(np.arange(n), 64)):
+            amp[ix] = amps[w]
+        sig = amp * np.sin(2.0 * np.pi * 440.0 * np.arange(n) / 16_000)
+        clip = np.clip(sig, -32768, 32767).astype(np.int16)[:, None]
+        rows.append((f"b{base}", au.encode_fake_audio(clip, 16_000)))
+        if base == 0:
+            noisy = np.clip(
+                clip[:, 0].astype(np.int32) + rng.randint(-100, 101, size=n), -32768, 32767
+            ).astype(np.int16)[:, None]
+            rows.append(("b0-noise", au.encode_fake_audio(noisy, 16_000)))
+    rows.append(("bad", b"\x01nope"))
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in au.audio_near_dup_pairs(df).collect()}
+    assert ("b0", "b0-noise") in pairs and pairs[("b0", "b0-noise")] <= 6
+    assert all({a, b} == {"b0", "b0-noise"} for a, b in pairs)  # no cross-base pairs
+
+
 # ---------------------------------------------------------------- streaming
 def _write_batches(tmp_path, spark, batches):
     """Write image micro-batch parquet files that a file-source stream
