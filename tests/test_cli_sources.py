@@ -368,6 +368,43 @@ def test_near_dup_mode_on_filesystem_images(spark, tmp_path):
     assert "b.img" not in flat and "not_an_image.txt" not in flat
 
 
+def test_audio_near_dup_mode_on_filesystem_clips(spark, tmp_path):
+    """CLI audio-near-dup over a directory of audio files: a clip and its
+    small-noise variant cluster together; an unrelated amplitude profile
+    and a non-audio file stay out."""
+    import numpy as np
+
+    from yadf_spark.operators import audio as au
+
+    d = tmp_path / "clips"
+    d.mkdir()
+
+    def amp_clip(seed):
+        rng = np.random.RandomState(seed)
+        n = 16_000
+        amps = rng.uniform(500.0, 12_000.0, size=64)
+        amp = np.empty(n)
+        for w, ix in enumerate(np.array_split(np.arange(n), 64)):
+            amp[ix] = amps[w]
+        sig = amp * np.sin(2.0 * np.pi * 440.0 * np.arange(n) / 16_000)
+        return np.clip(sig, -32768, 32767).astype(np.int16)[:, None]
+
+    base = amp_clip(21)
+    noisy = np.clip(
+        base[:, 0].astype(np.int32)
+        + np.random.RandomState(22).randint(-100, 101, size=base.shape[0]),
+        -32768, 32767,
+    ).astype(np.int16)[:, None]
+    (d / "a_orig.aud").write_bytes(au.encode_fake_audio(base, 16_000))
+    (d / "a_noise.aud").write_bytes(au.encode_fake_audio(noisy, 16_000))
+    (d / "b.aud").write_bytes(au.encode_fake_audio(amp_clip(23), 16_000))
+    (d / "not_audio.txt").write_bytes(b"plain text payload xxxxxxxxxxxx")
+
+    out = json.loads(_cli(spark, ["-f", "json", "--mode", "audio-near-dup", str(d)]))
+    groups = [sorted(os.path.basename(p) for p in g) for g in out]
+    assert groups == [["a_noise.aud", "a_orig.aud"]]
+
+
 def test_output_dir_distributed_write(spark, tree, tmp_path):
     """--output-dir writes the formatted groups as a text dataset
     (distributed sink) instead of a driver-side file."""

@@ -93,8 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="image_id")
     p.add_argument("--payload-col", default="bytes")
     p.add_argument(
-        "--mode", default="exact", choices=["exact", "near-dup"],
-        help="exact: the reference's dup-group scan; near-dup: phash bands + "
+        "--mode", default="exact", choices=["exact", "near-dup", "audio-near-dup"],
+        help="exact: the reference's dup-group scan; audio-near-dup: energy-"
+        "fingerprint Hamming bands over audio payloads; near-dup: phash bands + "
         "MinHash LSH + PSNR verify + connected components (north_rule)",
     )
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume directory")
@@ -186,6 +187,33 @@ def run(args: argparse.Namespace, spark=None) -> int:
             .filter(exact.factor_predicate(F.col("n"), args.rfactor))
         )
         metrics = out["metrics"] if "metrics" in out else None
+    elif args.mode == "audio-near-dup":
+        from yadf_spark.operators import audio as au
+        from yadf_spark.operators import components
+
+        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
+        clips = exact.apply_scan_filters(df, flt)
+        pairs = ck.stage(
+            "audio_pairs",
+            {"filter": flt},
+            lambda: au.audio_near_dup_pairs(clips, id_col="image_id").select("id_a", "id_b"),
+        )
+        # singleton clips never form a group, so the components output
+        # (edge-bearing nodes only) is the complete cluster assignment
+        # for display purposes
+        clusters = components.connected_components(pairs).select(
+            F.col("id").alias("image_id"), "cluster_id"
+        )
+        if args.cluster_table:
+            fmts.write_cluster_assignments(
+                clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
+            )
+        groups = (
+            clusters.groupBy(F.col("cluster_id").alias("group_key"))
+            .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
+            .filter(exact.factor_predicate(F.col("n"), args.rfactor))
+        )
+        metrics = ck.metrics() if eager else None
     else:
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         assignments = ck.stage(
