@@ -121,6 +121,16 @@ def test_audio_roundtrip_and_features(spark):
         assert row["peak"] == peak and row["zero_crossings"] == zcr
 
 
+def test_audio_peak_handles_int16_min():
+    """np.abs on raw int16 wraps -32768 to -32768; the kernel must widen
+    first so hard-clipped audio reports its true peak."""
+    from yadf_spark.operators import audio as au
+
+    samples = np.array([[-32768], [1000]], dtype=np.int16)
+    _, _, peak, _ = au.audio_feature_values(samples, 16_000)
+    assert peak == 32768
+
+
 def test_audio_segment_sample_composes(spark):
     from yadf_spark.operators import audio as au
 

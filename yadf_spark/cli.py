@@ -129,6 +129,27 @@ def _as_table_ident(dest: str) -> str | None:
     return dest
 
 
+def _clusters_to_groups(clusters, args: argparse.Namespace):
+    """Shared tail of every clustering mode: optionally persist the
+    ``(image_id, cluster_id)`` assignment to ``--cluster-table``, then
+    aggregate a groups view (sorted members + rfactor filter) for the
+    text output formats."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.operators import exact
+    from yadf_spark.sinks import formats as fmts
+
+    if args.cluster_table:
+        fmts.write_cluster_assignments(
+            clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
+        )
+    return (
+        clusters.groupBy(F.col("cluster_id").alias("group_key"))
+        .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
+        .filter(exact.factor_predicate(F.col("n"), args.rfactor))
+    )
+
+
 def run(args: argparse.Namespace, spark=None) -> int:
     from pyspark.sql import functions as F
 
@@ -175,17 +196,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         images = pl.prepare_images(exact.apply_scan_filters(df, flt))
         out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
-        clusters = out["clusters"]
-        if args.cluster_table:
-            fmts.write_cluster_assignments(
-                clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
-            )
-        # groups view of the clusters for the text formats
-        groups = (
-            clusters.groupBy(F.col("cluster_id").alias("group_key"))
-            .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
-            .filter(exact.factor_predicate(F.col("n"), args.rfactor))
-        )
+        groups = _clusters_to_groups(out["clusters"], args)
         metrics = out["metrics"] if "metrics" in out else None
     elif args.mode == "audio-near-dup":
         from yadf_spark.operators import audio as au
@@ -204,15 +215,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         clusters = components.connected_components(pairs).select(
             F.col("id").alias("image_id"), "cluster_id"
         )
-        if args.cluster_table:
-            fmts.write_cluster_assignments(
-                clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
-            )
-        groups = (
-            clusters.groupBy(F.col("cluster_id").alias("group_key"))
-            .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
-            .filter(exact.factor_predicate(F.col("n"), args.rfactor))
-        )
+        groups = _clusters_to_groups(clusters, args)
         metrics = ck.metrics() if eager else None
     else:
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)

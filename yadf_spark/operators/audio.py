@@ -88,7 +88,9 @@ def audio_feature_values(samples: np.ndarray, sample_rate: int) -> tuple[float, 
     n = mono.shape[0]
     duration_s = n / float(sample_rate)
     rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
-    peak = int(np.max(np.abs(samples))) if n else 0
+    # widen before abs: np.abs(int16 -32768) silently wraps to -32768,
+    # under-reporting the peak of hard-clipped real audio
+    peak = int(np.max(np.abs(samples.astype(np.int32)))) if n else 0
     signs = np.signbit(mono)
     zero_crossings = int(np.count_nonzero(signs[1:] != signs[:-1])) if n > 1 else 0
     return duration_s, rms, peak, zero_crossings
@@ -186,29 +188,22 @@ def audio_near_dup_pairs(
     hamming int)`` with ``id_a < id_b``. Mirrors the image phash-band
     path (operators/pipeline.py candidate_buckets), extending the
     near-dup machinery to the audio modality."""
+    from yadf_spark.functions.hashes import band_columns, hamming64
     from yadf_spark.operators import minhash
 
-    mask = (1 << band_bits) - 1
     fps = audio_fingerprints(df, id_col, bytes_col).filter(F.col("afp").isNotNull())
     fps = fps.localCheckpoint(eager=False)  # fingerprint once: bands + verify both read it
     bands = fps.select(
         F.col("audio_id").alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
-        F.col("afp").alias("_h"),
-    ).select(
-        "id",
-        "band_idx",
-        F.expr(f"shiftrightunsigned(_h, band_idx * {band_bits})")
-        .bitwiseAND(F.lit(mask))
-        .alias("band_hash"),
-    )
+        F.posexplode(F.array(*band_columns(F.col("afp"), n_bands, band_bits))),
+    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
     cand = minhash.candidate_pairs_from_buckets(bands)
     a = fps.select(F.col("audio_id").alias("id_a"), F.col("afp").alias("_fa"))
     b = fps.select(F.col("audio_id").alias("id_b"), F.col("afp").alias("_fb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("hamming", F.expr("cast(bit_count(_fa ^ _fb) as int)"))
+        .withColumn("hamming", hamming64(F.col("_fa"), F.col("_fb")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -231,7 +226,10 @@ def segment_sample(
     (``mapInPandas`` row-expanding map). Each ``seg_bytes`` is a valid
     fake-audio payload, so the operator composes with ``audio_features``
     downstream exactly like video frames compose with the image
-    pipeline. Undecodable clips emit one null quarantine row."""
+    pipeline. Undecodable clips emit one null quarantine row; a
+    DECODABLE zero-length clip has zero segments and emits no rows
+    (same posture as ``multimodal.frame_sample`` — use
+    ``audio_features``' ``ok`` flag for per-clip accounting)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
