@@ -285,6 +285,51 @@ def test_streaming_near_dup_replayed_batch_is_idempotent(spark, tmp_path):
     all_imgs.unpersist()
 
 
+def test_streaming_audio_near_dup_matches_batch_candidates(spark, tmp_path):
+    """The SAME incremental band index, fed audio fingerprint bands via
+    band_fn, must produce the batch path's candidate set regardless of
+    micro-batch split — the modality plugs into the machinery unchanged."""
+    from yadf_spark.operators import audio as au
+    from yadf_spark.operators import minhash
+
+    rows = []
+    for base in range(4):
+        rng = np.random.RandomState(300 + base)
+        n = 16_000
+        amps = rng.uniform(500.0, 12_000.0, size=64)
+        amp = np.empty(n)
+        for w, ix in enumerate(np.array_split(np.arange(n), 64)):
+            amp[ix] = amps[w]
+        sig = amp * np.sin(2.0 * np.pi * 440.0 * np.arange(n) / 16_000)
+        clip = np.clip(sig, -32768, 32767).astype(np.int16)[:, None]
+        rows.append((f"c{base}", au.encode_fake_audio(clip, 16_000)))
+        noisy = np.clip(
+            clip[:, 0].astype(np.int32) + rng.randint(-80, 81, size=n), -32768, 32767
+        ).astype(np.int16)[:, None]
+        rows.append((f"c{base}-v", au.encode_fake_audio(noisy, 16_000)))
+    all_clips = spark.createDataFrame(rows, "audio_id string, bytes binary").persist()
+    # split so some near-dup pairs straddle the batch boundary
+    b1 = all_clips.filter(F.col("audio_id") < "c2")
+    b2 = all_clips.filter(F.col("audio_id") >= "c2")
+
+    index_dir = str(tmp_path / "aidx")
+    pairs_dir = str(tmp_path / "apairs")
+    sd.incremental_near_dup_batch(b1, 0, index_dir, pairs_dir, band_fn=au.audio_band_table)
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, band_fn=au.audio_band_table)
+
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
+    }
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash.candidate_pairs_from_buckets(au.audio_band_table(all_clips)).collect()
+    }
+    assert streamed == batch_pairs
+    assert ("c0", "c0-v") in streamed  # planted variants really banded together
+    all_clips.unpersist()
+
+
 def test_compacted_band_index_equivalent(spark, tmp_path):
     """Compaction folds the per-batch index subdirs into one layer; a
     subsequent batch joined against the compacted index must produce

@@ -172,6 +172,35 @@ def audio_fingerprints(df: DataFrame, id_col: str = "audio_id", bytes_col: str =
     )
 
 
+def fingerprint_band_table(fps: DataFrame, n_bands: int = 4, band_bits: int = 16) -> DataFrame:
+    """``(audio_id, afp)`` → the bucket-membership table ``(id, band_idx,
+    band_hash)`` every candidate source shares (operators/pipeline.py
+    candidate_buckets shape). With ``n_bands * band_bits == 64`` the
+    bands partition the fingerprint exactly, so the table is also a
+    lossless encoding of ``afp``."""
+    from yadf_spark.functions.hashes import band_columns
+
+    return fps.select(
+        F.col("audio_id").alias("id"),
+        F.posexplode(F.array(*band_columns(F.col("afp"), n_bands, band_bits))),
+    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
+
+
+def audio_band_table(
+    df: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Payloads → fingerprint bands, the audio ``band_fn`` for the
+    incremental streaming index (streaming/dedup.py): each micro-batch's
+    clips band into the same persistent ``(id, band_idx, band_hash)``
+    index the image pipeline uses."""
+    fps = audio_fingerprints(df, id_col, bytes_col).filter(F.col("afp").isNotNull())
+    return fingerprint_band_table(fps, n_bands, band_bits)
+
+
 def audio_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 6,
@@ -188,16 +217,12 @@ def audio_near_dup_pairs(
     hamming int)`` with ``id_a < id_b``. Mirrors the image phash-band
     path (operators/pipeline.py candidate_buckets), extending the
     near-dup machinery to the audio modality."""
-    from yadf_spark.functions.hashes import band_columns, hamming64
+    from yadf_spark.functions.hashes import hamming64
     from yadf_spark.operators import minhash
 
     fps = audio_fingerprints(df, id_col, bytes_col).filter(F.col("afp").isNotNull())
     fps = fps.localCheckpoint(eager=False)  # fingerprint once: bands + verify both read it
-    bands = fps.select(
-        F.col("audio_id").alias("id"),
-        F.posexplode(F.array(*band_columns(F.col("afp"), n_bands, band_bits))),
-    ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
-    cand = minhash.candidate_pairs_from_buckets(bands)
+    cand = minhash.candidate_pairs_from_buckets(fingerprint_band_table(fps, n_bands, band_bits))
     a = fps.select(F.col("audio_id").alias("id_a"), F.col("afp").alias("_fa"))
     b = fps.select(F.col("audio_id").alias("id_b"), F.col("afp").alias("_fb"))
     return (

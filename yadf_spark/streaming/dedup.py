@@ -72,10 +72,17 @@ def incremental_near_dup_batch(
     index_dir: str,
     pairs_dir: str,
     cfg: NearDupConfig | None = None,
+    band_fn=None,
 ) -> None:
     """One ``foreachBatch`` tick: join the new batch's bands against the
     persistent index, verify candidates, emit pairs, write the batch's
     bands into its own ``batch_id=`` index subdir.
+
+    ``band_fn`` maps the batch to its ``(id, band_idx, band_hash)``
+    bucket-membership table; the default is the image pipeline's
+    phash+MinHash bands. Any modality banding into that shape reuses the
+    whole incremental index unchanged — e.g.
+    ``operators.audio.audio_band_table`` for audio clips.
 
     Replay safety: if the previous attempt wrote the index but lost the
     checkpoint commit, the replayed batch (a) sees its own ids in the
@@ -85,7 +92,7 @@ def incremental_near_dup_batch(
     cfg = cfg or NearDupConfig()
     spark = batch.sparkSession
     batch = batch.persist()
-    new_bands = _band_table(batch, cfg).persist()
+    new_bands = (band_fn(batch) if band_fn else _band_table(batch, cfg)).persist()
 
     pair_frames = []
     if _index_exists(spark, index_dir):
@@ -203,13 +210,16 @@ def streaming_near_dup(
     pairs_dir: str,
     checkpoint_dir: str,
     cfg: NearDupConfig | None = None,
+    band_fn=None,
 ):
     """Wire the incremental near-dup loop onto a streaming DataFrame.
     Returns the started ``StreamingQuery``; callers own its lifecycle
-    (``processAllAvailable``/``stop`` in tests, run-forever in prod)."""
+    (``processAllAvailable``/``stop`` in tests, run-forever in prod).
+    ``band_fn`` selects the modality's banding (see
+    ``incremental_near_dup_batch``)."""
     return (
         stream.writeStream.foreachBatch(
-            lambda df, bid: incremental_near_dup_batch(df, bid, index_dir, pairs_dir, cfg)
+            lambda df, bid: incremental_near_dup_batch(df, bid, index_dir, pairs_dir, cfg, band_fn)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
