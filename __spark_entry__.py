@@ -1067,6 +1067,46 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def q_asof_clicks_last_error(spark, sf_dir):
+    """Backward as-of join (no native Spark equivalent): each click
+    event gets the most recent prior error by the same user — one
+    union + window carry-forward, no join (operators/temporal.py).
+    Oracle: DuckDB replays it as a left join + row_number pick with the
+    same (ts DESC, event_id DESC) tie-break."""
+    from yadf_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("prev_error_id"),
+        F.col("value").alias("prev_error_value"),
+    )
+    out = temporal.asof_join(
+        clicks, errors, on="ts", by="user_id",
+        value_cols=["prev_error_id", "prev_error_value"], tiebreak_col="prev_error_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("prev_error_id_right").alias("prev_error_id"),
+        F.col("prev_error_value_right").alias("prev_error_value"),
+    ).orderBy("event_id")
+
+
+def q_sessionized_events(spark, sf_dir):
+    """Gap sessionization (30-min inactivity) over the event stream:
+    per-user lag + running-sum windows, microsecond-exact arithmetic
+    (operators/temporal.py). Oracle: the same two stacked ANSI window
+    expressions in DuckDB."""
+    from yadf_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = temporal.sessionize(e, "ts", "user_id", gap_seconds=1_800, id_col="event_id")
+    return out.select(
+        "event_id", "user_id", F.col("session_idx").cast("long").alias("session_idx"),
+        "session_id",
+    ).orderBy("event_id")
+
+
 def _audios_parquet(n_clips: int = 48) -> str:
     """Deterministic fake-audio fixture written ONCE to a parquet file
     both engines read — mixed sample rates, mono/stereo, ragged lengths.
@@ -1360,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_segments": q_audio_segments,
         "audio_near_dup": q_audio_near_dup,
+        "asof_clicks_last_error": q_asof_clicks_last_error,
+        "sessionized_events": q_sessionized_events,
         "images_metadata": q_images_metadata,
         "images_resize": q_images_resize,
         "images_exact_dedup": q_images_exact_dedup,
@@ -1722,6 +1764,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{_audios_parquet()}')) u
             WHERE i % 3 = 0
             ORDER BY audio_id, seg_idx""",
+        # as-of join replayed as left join + deterministic row_number
+        # pick (Spark side is the union+window carry-forward).
+        "asof_clicks_last_error": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            errors AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'error'),
+            j AS (SELECT c.event_id, c.user_id, c.ts,
+                         e.event_id AS prev_error_id, e.value AS prev_error_value,
+                         row_number() OVER (PARTITION BY c.event_id
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+                  FROM clicks c LEFT JOIN errors e
+                    ON e.user_id = c.user_id AND e.ts <= c.ts)
+            SELECT event_id, user_id, ts, prev_error_id, prev_error_value
+            FROM j WHERE rn = 1 ORDER BY event_id""",
+        "sessionized_events": """
+            WITH b AS (SELECT event_id, user_id, ts,
+                              lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_us
+                       FROM events),
+            s AS (SELECT event_id, user_id,
+                         CAST(sum(CASE WHEN prev_us IS NULL
+                                        OR epoch_us(ts) - prev_us > 1800000000
+                                       THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS session_idx
+                  FROM b)
+            SELECT event_id, user_id, session_idx,
+                   CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR)
+                     AS session_id
+            FROM s ORDER BY event_id""",
         # audio near-dup: band-OR candidate join + Hamming filter
         # replayed over stored-truth fingerprints (same pure kernel).
         "audio_near_dup": f"""

@@ -1,0 +1,103 @@
+"""Temporal operators: as-of join + sessionization planted cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yadf_spark.operators import temporal
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+def test_asof_join_planted_cases(spark):
+    """Backward inclusive match, tie-break at equal right ts, no-match
+    null, and per-user isolation — the merge_asof contract."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts(5)),   # after two errors -> latest (ts=4) wins
+            (2, 10, _ts(2)),   # equal-ts error matches (inclusive)
+            (3, 10, _ts(1)),   # before every error -> null
+            (4, 20, _ts(9)),   # tie: two errors at ts=8 -> max id (102) wins
+            (5, 30, _ts(9)),   # user with no errors at all -> null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts(2), 1.0),
+            (101, 10, _ts(4), 2.0),
+            (102, 20, _ts(8), 3.0),
+            (103, 20, _ts(8), 4.0),
+        ],
+        "err_id long, user_id long, ts timestamp, val double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in temporal.asof_join(
+            left, right, on="ts", by="user_id", value_cols=["err_id", "val"],
+            tiebreak_col="err_id",
+        ).collect()
+    }
+    assert out[1]["err_id_right"] == 101 and out[1]["val_right"] == 2.0
+    assert out[2]["err_id_right"] == 100  # inclusive at equal ts
+    assert out[3]["err_id_right"] is None and out[3]["val_right"] is None
+    assert out[4]["err_id_right"] == 103  # max tiebreak among equal ts
+    assert out[5]["err_id_right"] is None
+    # left columns pass through unchanged
+    assert out[1]["user_id"] == 10 and out[1]["ts"] == _ts(5)
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of join must be union + ONE window exchange — no Join
+    operator, no per-row Python."""
+    left = spark.createDataFrame([(1, 1, _ts(1))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(2, 1, _ts(0), 1.0)], "err_id long, user_id long, ts timestamp, val double"
+    )
+    out = temporal.asof_join(left, right, on="ts", by="user_id", value_cols=["err_id", "val"])
+    plan = str(out._jdf.queryExecution().optimizedPlan())
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Strictly-greater-than-gap starts a new session; exactly-gap does
+    not; users are independent; ids are 1-based per user."""
+    rows = [
+        (1, 7, _ts(0)),
+        (2, 7, _ts(30)),          # gap == 1800s exactly -> same session
+        (3, 7, _ts(30, 0, 1)),    # 1 microsecond later -> same session
+        (4, 7, _ts(0) + dt.timedelta(seconds=3601)),  # > gap from #3? compute below
+        (5, 8, _ts(59)),          # other user: own session numbering
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: r
+        for r in temporal.sessionize(df, "ts", "user_id", 1_800, id_col="event_id").collect()
+    }
+    assert out[1]["session_idx"] == 1
+    assert out[2]["session_idx"] == 1  # 1800.000000s gap: not > gap
+    assert out[3]["session_idx"] == 1  # 0.000001s gap
+    # event 4 is 3601s after t0 = 1800.999999s after event 3 -> > gap
+    assert out[4]["session_idx"] == 2
+    assert out[4]["session_id"] == "7-2"
+    assert out[5]["session_idx"] == 1 and out[5]["session_id"] == "8-1"
+
+
+def test_sessionize_tie_determinism(spark):
+    """Two events with identical (user, ts): the id_col tie-break makes
+    ordering — and therefore session assignment — deterministic."""
+    base = _ts(10)
+    far = base + dt.timedelta(hours=2)
+    df = spark.createDataFrame(
+        [(2, 1, far), (1, 1, far), (0, 1, base)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = temporal.sessionize(df, "ts", "user_id", 1_800, id_col="event_id")
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {0: 1, 1: 2, 2: 2}

@@ -1,0 +1,109 @@
+"""Temporal operators — as-of join and gap sessionization.
+
+Neither exists in the reference (strictly batch dup-scan, SURVEY.md
+§2.8) and Spark has no native as-of join; both are bread-and-butter
+operations for aligning training-data streams (attach the latest prior
+state to each observation; group events into sessions).
+
+Scale posture: each operator is ONE shuffle on the ``by`` key followed
+by an in-partition sort window — the canonical distributed shape. No
+joins, no Python: the carry-forward trick keeps the whole plan in JVM
+window expressions. Skewed ``by`` keys (a viral user) concentrate one
+partition's sort; AQE's skew handling does not split windows, so
+pathological keys should be pre-filtered or salted by the caller — the
+same caveat pandas ``merge_asof`` users hit at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach ``value_cols``
+    from the right row with the greatest ``on`` <= the left row's ``on``
+    within the same ``by`` group (inclusive match at equal ``on``); null
+    when no prior right row exists — pandas ``merge_asof`` semantics,
+    distributed.
+
+    NOT implemented as a join: both sides are tagged and unioned, then a
+    single window per ``by`` group carries the last-seen right-row
+    struct forward (``last(..., ignorenulls=True)`` over rows between
+    unbounded preceding and current). One shuffle, no per-row Python,
+    no O(left x right) candidate blowup within a group.
+
+    Determinism under ties: right rows sharing (by, on) are ordered by
+    ``tiebreak_col`` ascending, so the carried row is the one with the
+    GREATEST tiebreak value — replayable in plain SQL as a
+    row_number() pick ordered by (on DESC, tiebreak DESC)."""
+    tiebreak = tiebreak_col or value_cols[0]
+    lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    r = right.select(
+        F.col(by).alias(by),
+        F.col(on).alias(on),
+        F.col(tiebreak).alias("_tb"),
+        payload.alias("_rv"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    l = left.select(
+        F.col(by).alias(by),
+        F.col(on).alias(on),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    # right rows sort BEFORE left rows at equal `on` (inclusive match);
+    # among equal-ts right rows the last in order is the max tiebreak
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_is_left").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn("_match", F.last("_rv", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col("_match").getField(c).alias(f"{c}_right") for c in value_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: str,
+    gap_seconds: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: within each ``by`` group (ordered by
+    ``ts_col``, ties broken by ``id_col``), a new session starts when
+    the gap to the previous event exceeds ``gap_seconds``. Adds
+    ``session_idx`` (1-based per group) and ``session_id``
+    (``"{by}-{session_idx}"``). Microsecond-exact gap arithmetic
+    (``unix_micros``) so an oracle replays it bit-for-bit.
+
+    One shuffle (the ``by`` partition), two stacked window expressions
+    (lag + running sum) — the batch analog of Structured Streaming's
+    ``session_window`` aggregation, but row-preserving."""
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    gap_us = int(gap_seconds) * 1_000_000
+    # parquet timestamps read as TIMESTAMP_NTZ, which unix_micros rejects;
+    # the session timezone is pinned to UTC (session.py) so the cast is
+    # value-preserving — and only gap DIFFERENCES matter here anyway
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    new_session = F.when(prev.isNull() | ((micros - prev) > F.lit(gap_us)), 1).otherwise(0)
+    out = df.withColumn("session_idx", F.sum(new_session).over(w))
+    return out.withColumn(
+        "session_id", F.concat_ws("-", F.col(by).cast("string"), F.col("session_idx"))
+    )
