@@ -1092,6 +1092,30 @@ def q_asof_clicks_last_error(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_clicks_within_error_window(spark, sf_dir):
+    """Point-in-interval range join without the nested-loop trap: every
+    click within 30 minutes AFTER a same-user error. Both sides bin to
+    30-min epoch buckets and equi-join on (user, bin); the exact
+    containment predicate filters bin-mates (operators/temporal.py
+    interval_join). Oracle: DuckDB runs the plain inequality join."""
+    from yadf_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("err_end"),
+    )
+    out = temporal.interval_join(
+        clicks, errors, point_ts="click_ts", start_ts="err_start", end_ts="err_end",
+        by="user_id", bin_seconds=1_800,
+    )
+    return out.select("click_id", "error_id", "user_id").orderBy("click_id", "error_id")
+
+
 def q_sessionized_events(spark, sf_dir):
     """Gap sessionization (30-min inactivity) over the event stream:
     per-user lag + running-sum windows, microsecond-exact arithmetic
@@ -1402,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "asof_clicks_last_error": q_asof_clicks_last_error,
         "sessionized_events": q_sessionized_events,
+        "clicks_within_error_window": q_clicks_within_error_window,
         "images_metadata": q_images_metadata,
         "images_resize": q_images_resize,
         "images_exact_dedup": q_images_exact_dedup,
@@ -1779,6 +1804,18 @@ def oracle_sql() -> dict[str, str]:
                     ON e.user_id = c.user_id AND e.ts <= c.ts)
             SELECT event_id, user_id, ts, prev_error_id, prev_error_value
             FROM j WHERE rn = 1 ORDER BY event_id""",
+        # binned range join replayed as the plain inequality join
+        "clicks_within_error_window": """
+            WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                            FROM events WHERE event_type = 'click'),
+            errors AS (SELECT event_id AS error_id, user_id, ts AS err_start,
+                              ts + INTERVAL 30 MINUTE AS err_end
+                       FROM events WHERE event_type = 'error')
+            SELECT c.click_id, e.error_id, c.user_id
+            FROM clicks c JOIN errors e
+              ON c.user_id = e.user_id
+             AND c.click_ts >= e.err_start AND c.click_ts <= e.err_end
+            ORDER BY click_id, error_id""",
         "sessionized_events": """
             WITH b AS (SELECT event_id, user_id, ts,
                               lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -65,6 +65,35 @@ def test_asof_join_single_shuffle_plan(spark):
     assert "PythonUDF" not in plan and "MapInPandas" not in plan
 
 
+def test_interval_join_planted_cases(spark):
+    """Inclusive endpoints, multi-bin intervals, per-key isolation, and
+    1-microsecond misses — and the plan must be an equi-join, never a
+    nested loop."""
+    points = spark.createDataFrame(
+        [
+            (1, 7, _ts(10)),                 # == start -> match
+            (2, 7, _ts(40)),                 # == end -> match
+            (3, 7, _ts(40, 0, 1)),           # 1 us past end -> miss
+            (4, 7, _ts(9, 59, 999_999)),     # 1 us before start -> miss
+            (5, 8, _ts(20)),                 # wrong user -> miss
+            (6, 7, _ts(25)),                 # interior, crosses a bin boundary
+        ],
+        "point_id long, user_id long, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 7, _ts(10), _ts(40))],  # 30-min interval spanning two 900s bins
+        "iv_id long, user_id long, ivs timestamp, ive timestamp",
+    )
+    out = temporal.interval_join(
+        points, intervals, point_ts="pts", start_ts="ivs", end_ts="ive",
+        by="user_id", bin_seconds=900,
+    )
+    assert sorted(r["point_id"] for r in out.collect()) == [1, 2, 6]
+    assert len(out.columns) == 6  # all point + interval columns survive
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_sessionize_gap_boundaries(spark):
     """Strictly-greater-than-gap starts a new session; exactly-gap does
     not; users are independent; ids are 1-based per user."""

@@ -77,6 +77,41 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    by: str,
+    bin_seconds: int = 1_800,
+) -> DataFrame:
+    """Point-in-interval equi-binned range join: every (point, interval)
+    pair in the same ``by`` group with ``start <= point_ts <= end``.
+
+    A naive ``ON p.ts BETWEEN i.start AND i.end`` theta-join falls back
+    to a broadcast-nested-loop in Spark (O(|points| x |intervals|) per
+    group). Instead both sides bin to ``bin_seconds`` epoch buckets:
+    each interval EXPLODES into the bins it covers, the join is a plain
+    equi-join on (by, bin) — one hash shuffle, codegen-friendly — and
+    the exact containment predicate filters bin-mates. Correctness does
+    not depend on ``bin_seconds``; cost does: pick it near the typical
+    interval length so intervals cover O(1) bins.
+
+    Output: all columns of ``points`` + all columns of ``intervals``
+    (callers project/rename; the two frames must not share column names
+    other than ``by``)."""
+    p_bin = F.floor(F.unix_micros(F.col(point_ts).cast("timestamp")) / (bin_seconds * 1_000_000))
+    s_bin = F.floor(F.unix_micros(F.col(start_ts).cast("timestamp")) / (bin_seconds * 1_000_000))
+    e_bin = F.floor(F.unix_micros(F.col(end_ts).cast("timestamp")) / (bin_seconds * 1_000_000))
+    p = points.withColumn("_bin", p_bin)
+    i = intervals.withColumn("_bin", F.explode(F.sequence(s_bin, e_bin)))
+    joined = p.join(i, [by, "_bin"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bin")
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,
