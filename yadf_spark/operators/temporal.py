@@ -1,17 +1,19 @@
-"""Temporal operators — as-of join and gap sessionization.
+"""Temporal operators — as-of join, point-in-interval range join, and
+gap sessionization.
 
-Neither exists in the reference (strictly batch dup-scan, SURVEY.md
-§2.8) and Spark has no native as-of join; both are bread-and-butter
-operations for aligning training-data streams (attach the latest prior
-state to each observation; group events into sessions).
+None exist in the reference (strictly batch dup-scan, SURVEY.md §2.8)
+and Spark natively plans none of them well (no merge_asof; BETWEEN
+theta-joins fall back to nested loops); all three are bread-and-butter
+operations for aligning training-data streams.
 
-Scale posture: each operator is ONE shuffle on the ``by`` key followed
-by an in-partition sort window — the canonical distributed shape. No
-joins, no Python: the carry-forward trick keeps the whole plan in JVM
-window expressions. Skewed ``by`` keys (a viral user) concentrate one
-partition's sort; AQE's skew handling does not split windows, so
-pathological keys should be pre-filtered or salted by the caller — the
-same caveat pandas ``merge_asof`` users hit at scale.
+Scale posture: each operator is ONE hash shuffle on the ``by`` key —
+the window operators (asof_join, sessionize) follow it with an
+in-partition sort and stay entirely in JVM window expressions (no join,
+no Python); interval_join turns the range predicate into an equi-join
+on epoch buckets. Skewed ``by`` keys (a viral user) concentrate one
+partition's window sort — AQE's skew handling does not split windows,
+so pathological keys should be pre-filtered or salted by the caller
+(the equi-join in interval_join DOES get AQE skew splitting).
 """
 
 from __future__ import annotations
