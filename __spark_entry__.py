@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from yadf_spark.config import Factor, LadderConfig, LshConfig
 from yadf_spark.functions import text as T
-from yadf_spark.operators import containment, exact, minhash, similarity, simhash
+from yadf_spark.operators import containment, curation, exact, minhash, similarity, simhash
 
 # Portable (md5/sha256) ladder configuration for string payloads — the
 # DuckDB oracle replicates every hash bit-for-bit. Thresholds are scaled
@@ -455,6 +455,58 @@ def q_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 over normalized text."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def q_hash_split_docs(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split (90/5/5).
+
+    Pure function of doc_id (md5 bucket) — stable under repartitioning
+    and incremental ingest, unlike rand()-based randomSplit. Narrow
+    map, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.hash_split(d, "doc_id", {"train": 90, "val": 5, "test": 5})
+    return out.select("doc_id", "bucket", "split").orderBy("doc_id")
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sample: 50% of src1, 10% of src2, 20%
+    of every other source — a pure function of doc_id (reproducible on
+    any cluster size, unlike sampleBy's partition-dependent rand)."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.stratified_sample(
+        d, "doc_id", "source", {"src1": 50, "src2": 10}, default_pct=20
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_pack_sequences_docs(spark, sf_dir):
+    """Token-budget sequence packing (budget 500) per source shard:
+    offset packing via an in-shard cumulative-token window — one
+    shuffle, never a global ORDER BY."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", T.token_count(F.col("text")).cast("long")
+    )
+    out = curation.pack_sequences(d, "doc_id", "n_tokens", "source", budget=500)
+    return out.select("doc_id", "source", "n_tokens", "pack_id").orderBy("doc_id")
+
+
+def q_vocab_top_tokens(spark, sf_dir):
+    """Top-20 vocabulary tokens by document frequency (explode →
+    partial-agg groupBy → TakeOrderedAndProject top-k; total-ordered
+    tie-break on the token string — 20 < the corpus vocabulary, so the
+    limit boundary and its tie-break are actually exercised)."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.vocabulary(d, "doc_id", "text", top_n=20)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by smoothed TF-IDF (vocabulary-sized
+    document-frequency side broadcast back onto per-doc counts)."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.tf_idf(d, "doc_id", "text", top_per_doc=3)
+    return out.select(
+        F.col("doc").alias("doc_id"), "token", "tf", "doc_freq", "tfidf", "rank"
+    ).orderBy("doc_id", "rank")
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -1398,6 +1450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "hash_split_docs": q_hash_split_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "join_agg": q_join_agg,
@@ -1600,6 +1657,62 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                                            ' +', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id""",
+        "hash_split_docs": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                              1, 8)) AS BIGINT) % 100 AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id""",
+        "stratified_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':sample'),
+                                           1, 8)) AS BIGINT) % 100
+                  < CASE source WHEN 'src1' THEN 50 WHEN 'src2' THEN 10 ELSE 20 END
+            ORDER BY doc_id""",
+        "pack_sequences_docs": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents)
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor(COALESCE(sum(n_tokens) OVER (
+                          PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 500.0) AS BIGINT) AS pack_id
+            FROM t ORDER BY doc_id""",
+        "vocab_top_tokens": """
+            WITH tok AS (
+              SELECT doc_id AS doc,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            per_doc AS (SELECT doc, token, count(*) AS n FROM tok GROUP BY 1, 2)
+            SELECT token, count(*) AS doc_freq, CAST(sum(n) AS BIGINT) AS term_freq
+            FROM per_doc GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20""",
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+                     round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0),
+                           6) AS tfidf
+              FROM tf, dfreq, n WHERE tf.token = dfreq.token),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+              FROM scored)
+            SELECT doc_id, token, tf, doc_freq, tfidf, rank
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
         "winnow_fingerprints": f"""
             WITH {WINNOW_CTE}
             SELECT doc_id, array_to_string(fps, '|') AS fps FROM m ORDER BY doc_id""",

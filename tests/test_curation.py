@@ -1,0 +1,122 @@
+"""Curation operators: deterministic splits/samples, sequence packing,
+vocabulary/TF-IDF — planted-truth cases plus the invariances that
+justify the content-addressed design (stability under repartitioning)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from yadf_spark.operators import curation
+
+
+def _bucket(key: str, n: int = 100) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"src{i % 3}", " ".join(f"w{j % 7}" for j in range(i % 11 + 1))) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_hash_split_matches_reference_hash_and_weights(spark):
+    df = curation.hash_split(_docs(spark), "doc_id", {"train": 90, "val": 5, "test": 5})
+    for r in df.collect():
+        b = _bucket(f"{r.doc_id}:split")
+        assert r.bucket == b
+        assert r.split == ("train" if b < 90 else "val" if b < 95 else "test")
+
+
+def test_hash_split_stable_under_repartition(spark):
+    base = _docs(spark)
+    a = curation.hash_split(base, "doc_id", {"train": 50, "test": 50})
+    b = curation.hash_split(base.repartition(7), "doc_id", {"train": 50, "test": 50})
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == sorted(
+        map(tuple, b.select("doc_id", "split").collect())
+    )
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.hash_split(_docs(spark), "doc_id", {"train": 80, "val": 10})
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    df = _docs(spark, n=300)
+    out = curation.stratified_sample(
+        df, "doc_id", "source", {"src0": 100, "src1": 0}, default_pct=50
+    ).collect()
+    by_src = {s: [r.doc_id for r in out if r.source == s] for s in ("src0", "src1", "src2")}
+    assert len(by_src["src0"]) == 100  # every src0 row kept
+    assert by_src["src1"] == []  # no src1 rows
+    # default stratum keeps exactly the rows whose sample bucket < 50
+    expect = [i for i in range(300) if i % 3 == 2 and _bucket(f"{i}:sample") < 50]
+    assert sorted(by_src["src2"]) == expect
+
+
+def test_split_and_sample_buckets_are_decorrelated(spark):
+    """The salt must make the split bucket and the sample bucket
+    different hash draws — otherwise sampling eats one split."""
+    ids = range(1000)
+    split_b = [_bucket(f"{i}:split") for i in ids]
+    sample_b = [_bucket(f"{i}:sample") for i in ids]
+    agree = sum(a == b for a, b in zip(split_b, sample_b))
+    assert agree < 40  # ~10 expected under independence; 1000 if correlated
+
+
+def test_pack_sequences_budget_and_order(spark):
+    rows = [(i, "s", 100) for i in range(10)]  # 100 tokens each, budget 250
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = curation.pack_sequences(df, "doc_id", "n_tokens", "source", budget=250)
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    # cumulative-before: 0,100,200,300,... -> floor(/250): 0,0,0,1,1,2,2,(600)2,3,3
+    assert got == {i: (i * 100) // 250 for i in range(10)}
+    # packs are contiguous in doc order and overflow by at most one doc
+    sizes: dict[int, int] = {}
+    for i in range(10):
+        sizes[got[i]] = sizes.get(got[i], 0) + 100
+    assert all(s < 250 + 100 for s in sizes.values())
+
+
+def test_pack_sequences_is_per_shard(spark):
+    rows = [(1, "a", 200), (2, "b", 200), (3, "a", 200), (4, "b", 200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = curation.pack_sequences(df, "doc_id", "n_tokens", "source", budget=300)
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    # each shard packs independently: second doc of each shard starts at 200
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_vocabulary_counts_and_topk(spark):
+    rows = [(1, "a b a"), (2, "a c"), (3, "b b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: (r.doc_freq, r.term_freq) for r in
+           curation.vocabulary(df, "doc_id", "text", top_n=2).collect()}
+    # top-2 by doc_freq with token tie-break: a (2 docs), b (2 docs)
+    assert out == {"a": (2, 3), "b": (2, 3)}
+
+
+def test_tf_idf_scores_and_ranks(spark):
+    rows = [(1, "rare common common"), (2, "common"), (3, "common other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.tf_idf(df, "doc_id", "text", top_per_doc=2)
+    r1 = {r.token: r for r in out.where(F.col("doc") == 1).collect()}
+    idf = lambda df_: math.log(4.0 / (df_ + 1)) + 1.0  # N=3
+    assert r1["rare"].tfidf == round(1 * idf(1), 6)
+    assert r1["common"].tfidf == round(2 * idf(3), 6)
+    # 'rare' (idf 1.693) outranks 2x'common' (2*1.0=2.0)? 2.0 > 1.693:
+    assert r1["common"].rank == 1 and r1["rare"].rank == 2
+
+
+def test_pack_window_is_partitioned_not_global(spark):
+    """Plan check: the packing window must sort within shard partitions,
+    not pull everything into one task via a global ORDER BY."""
+    df = _docs(spark).withColumn("n_tokens", F.lit(10))
+    out = curation.pack_sequences(df, "doc_id", "n_tokens", "source", budget=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan or True  # textual form varies; key check below
+    assert "hashpartitioning(source" in plan, plan

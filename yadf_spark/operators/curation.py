@@ -1,0 +1,198 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+splits, stratified sampling, sequence packing, and vocabulary / TF-IDF.
+
+None of these exist in the reference (a strictly batch dup-scan,
+SURVEY.md §2.8) — they are the operations that sit immediately
+downstream of dedup in a real 100 TB curation pipeline: carve the
+deduped corpus into train/val/test, subsample per source, pack
+documents into context-window-sized bins, and score terms.
+
+Scale posture, operator by operator:
+
+* ``hash_split`` / ``stratified_sample`` are **narrow maps** — a
+  content-addressed md5 bucket per row, zero shuffles, fully pushed
+  into whole-stage codegen. Content addressing is the load-bearing
+  design choice: Spark's own ``randomSplit``/``sampleBy`` draw from
+  ``rand(seed)`` whose stream depends on partition layout, so the
+  "same" split changes whenever the file count, AQE coalescing, or
+  cluster size changes — a classic train/test-contamination trap at
+  scale. A hash of the row id is invariant under repartitioning and
+  incremental re-ingestion: a document keeps its split forever.
+* ``pack_sequences`` is **one shuffle** (hash partition on the shard
+  column) followed by an in-partition sort window. Packing is done
+  per shard, never via a global ``ORDER BY`` window — a single
+  unpartitioned window is a one-task serial bottleneck at any scale.
+  Shards (e.g. ``source``, or a hash-derived shard id) scale out with
+  the data; each executor packs its own shards independently, which is
+  also how downstream training reads them.
+* ``vocabulary`` / ``tf_idf`` are the canonical explode → groupBy
+  shape: partial aggregation combines token counts map-side, so hot
+  stopword tokens ship one partial row per partition rather than one
+  row per occurrence (the same skew posture as the dedup ladder's
+  group counts, operators/exact.py). The top-k vocabulary uses
+  ``ORDER BY ... LIMIT n``, which Spark plans as TakeOrderedAndProject
+  — per-partition top-k then a driver merge of k·p rows, never a full
+  sort.
+
+All bucket math uses the md5-prefix portable hash (the same trick as
+simhash's ``md5_32`` mode, operators/simhash.py) so a DuckDB oracle can
+replay every assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+#: bucket space for split/sample fractions — percentages, effectively
+BUCKETS = 100
+
+
+def md5_bucket(col: Column, n_buckets: int = BUCKETS, salt: str = "") -> Column:
+    """Deterministic content-addressed bucket in ``[0, n_buckets)``.
+
+    First 8 hex chars of md5 → 32-bit int → mod. Portable: DuckDB
+    replays it as ``CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+    % n``. The optional ``salt`` decorrelates independent decisions
+    made over the same id space (e.g. the split bucket must not reuse
+    the sampling bucket, or sampling would preferentially eat one
+    split).
+    """
+    key = col.cast("string") if not salt else F.concat(col.cast("string"), F.lit(":" + salt))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign a stable train/val/test-style ``split`` label per row.
+
+    ``weights`` maps label → integer percentage; they must sum to
+    ``BUCKETS`` (100). The label is a pure function of the id, so the
+    assignment survives repartitioning, reruns, and incremental ingest
+    — rows added next month cannot move today's rows between splits.
+    Narrow map: no shuffle, no Python.
+    """
+    if sum(weights.values()) != BUCKETS:
+        raise ValueError(f"split weights must sum to {BUCKETS}, got {weights}")
+    bucket = md5_bucket(F.col(id_col), BUCKETS, salt=salt)
+    expr: Column | None = None
+    lo = 0
+    for label, w in weights.items():
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+        lo += w
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum percentage of rows.
+
+    ``fractions`` maps stratum value → integer percentage kept; strata
+    not listed keep ``default_pct``. Unlike ``df.sampleBy`` (Bernoulli
+    on ``rand(seed)``, partition-layout-dependent), the kept set is a
+    pure function of the id — the property that makes the sample
+    reproducible on a 1000-executor rerun. Narrow map, no shuffle.
+    """
+    bucket = md5_bucket(F.col(id_col), BUCKETS, salt=salt)
+    pct: Column = F.lit(default_pct)
+    for value, p in fractions.items():
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.where(bucket < pct)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    shard_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each document to a token-budgeted pack within its shard.
+
+    Offset packing: documents are laid out in deterministic ``id``
+    order within each shard and ``pack_id = floor(tokens_before /
+    budget)`` — the streaming concat-then-chunk discipline used for
+    sequence packing in practice. Packs target ``budget`` tokens and a
+    pack can overflow by at most one document (documents are atomic
+    here; a true first-fit bin pack needs sequential state and buys
+    little over this at corpus scale). One shuffle on the shard key;
+    the window sorts within partitions only — never a global order.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))
+    return df.withColumn("pack_id", F.floor(tokens_before / F.lit(budget)))
+
+
+def _lower_tokens(text_col: Column) -> Column:
+    """Lower-cased whitespace tokens (vocabulary normalization)."""
+    return T.tokens(F.lower(text_col))
+
+
+def vocabulary(df: DataFrame, id_col: str, text_col: str, top_n: int = 50) -> DataFrame:
+    """Top-``top_n`` tokens by document frequency.
+
+    Output: ``(token, doc_freq, term_freq)`` — documents containing the
+    token, and total occurrences. Explode → two-level agg (distinct
+    doc per token via a pre-distinct, then count) with map-side partial
+    aggregation; the limit plans as TakeOrderedAndProject. Ties break
+    on the token string so the rank-``top_n`` boundary is total-ordered
+    and deterministic.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(_lower_tokens(F.col(text_col))).alias("token")
+    )
+    per_doc = tok.groupBy("doc", "token").agg(F.count("*").alias("n"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"), F.sum("n").alias("term_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(top_n)
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str, top_per_doc: int = 3) -> DataFrame:
+    """Top-``top_per_doc`` terms per document by smoothed TF-IDF.
+
+    ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` (the sklearn smoothing), N
+    = corpus document count, rounded to 6 decimals so the value is
+    robust to last-ulp libm differences between engines. Shape: explode
+    → per-(doc, token) counts → token document-frequency agg →
+    broadcast-friendly join back → per-doc top-k window. The df table
+    is vocabulary-sized (≪ corpus), so Catalyst broadcasts it; the
+    window partitions by document — millions of small partitions, no
+    skew beyond a single document's vocabulary.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(_lower_tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.count()
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_per_doc)
+        .select("doc", "token", "tf", "doc_freq", "tfidf", "rank")
+    )
