@@ -490,6 +490,34 @@ def q_pack_sequences_docs(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens", "pack_id").orderBy("doc_id")
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Domain-cap curation: keep at most 20 docs per source, chosen by
+    content-hash order (stable pseudo-random sample per group, not
+    first-k-by-ingestion)."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.cap_per_group(d, "doc_id", "source", k=20)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition quality signals: distinct-token ratio +
+    top-bigram coverage per document."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.repetition_features(d, "doc_id", "text")
+    return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id")
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Train-test decontamination: flag corpus docs sharing any word
+    5-gram with a 'benchmark' slice (doc_id % 10 == 7); the benchmark
+    shingle set broadcasts, the corpus side never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 7)
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    out = curation.decontaminate(corpus, bench, "doc_id", "text", k=5)
+    return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id")
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Top-20 vocabulary tokens by document frequency (explode →
     partial-agg groupBy → TakeOrderedAndProject top-k; total-ordered
@@ -1453,6 +1481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
+        "cap_per_source": q_cap_per_source,
+        "repetition_features": q_repetition_features,
+        "decontaminate_docs": q_decontaminate_docs,
         "vocab_top_tokens": q_vocab_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1686,6 +1717,45 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         / 500.0) AS BIGINT) AS pack_id
             FROM t ORDER BY doc_id""",
+        "cap_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20 ORDER BY doc_id""",
+        "repetition_features": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                     len(list_distinct(w)) AS n_distinct
+              FROM toks),
+            bg AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+              FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+            bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens,
+                   round(b.n_distinct / b.n_tokens, 6) AS distinct_token_ratio,
+                   CAST(COALESCE(t.top_c, 0) AS BIGINT) AS top_bigram_count,
+                   round(COALESCE(t.top_c, 0) * 2.0 / b.n_tokens, 6) AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id) ORDER BY b.doc_id""",
+        "decontaminate_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                          || ' ' || w[i+4] AS g
+              FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)),
+            bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 7)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM g JOIN bench USING (g)
+            WHERE g.doc_id % 10 <> 7
+            GROUP BY g.doc_id ORDER BY g.doc_id""",
         "vocab_top_tokens": """
             WITH tok AS (
               SELECT doc_id AS doc,

@@ -112,6 +112,65 @@ def test_tf_idf_scores_and_ranks(spark):
     assert r1["common"].rank == 1 and r1["rare"].rank == 2
 
 
+def test_cap_per_group_keeps_k_and_is_stable(spark):
+    df = _docs(spark, n=90)  # 30 docs per source
+    out = curation.cap_per_group(df, "doc_id", "source", k=5)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in per.values())
+    # deterministic: the kept set is the 5 smallest md5(id:cap) per group
+    for src, kept in per.items():
+        grp = [i for i in range(90) if f"src{i % 3}" == src]
+        expect = sorted(grp, key=lambda i: (hashlib.md5(f"{i}:cap".encode()).hexdigest(), i))[:5]
+        assert sorted(kept) == sorted(expect)
+    # stable under repartition
+    again = curation.cap_per_group(_docs(spark, n=90).repartition(13), "doc_id", "source", k=5)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in rows)
+
+
+def test_repetition_features_planted(spark):
+    rows = [(1, "a a a a"), (2, "a b c d"), (3, "x y x y x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc: r for r in curation.repetition_features(df, "doc_id", "text").collect()}
+    # doc 1: 4 tokens, 1 distinct, top bigram 'a a' x3 -> frac 1.5 (overlapping)
+    assert out[1].n_tokens == 4 and out[1].distinct_token_ratio == 0.25
+    assert out[1].top_bigram_count == 3 and out[1].top_bigram_frac == 1.5
+    # doc 2: all distinct, every bigram once
+    assert out[2].distinct_token_ratio == 1.0 and out[2].top_bigram_count == 1
+    # doc 3: 'x y' twice out of 5 tokens -> 2*2/5
+    assert out[3].top_bigram_count == 2 and out[3].top_bigram_frac == 0.8
+
+
+def test_decontaminate_flags_only_shared_5grams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx the quick brown fox jumps yy"),  # shares 'the quick brown fox jumps'
+            (2, "quick brown fox only four"),  # no shared 5-gram
+            (3, "completely unrelated text with many words here"),
+            (4, "tiny"),  # < 5 words: no grams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r.n_hits for r in
+           curation.decontaminate(corpus, bench, "doc_id", "text", k=5).collect()}
+    assert out == {1: 1}
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    bench = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    corpus = _docs(spark)
+    plan = (
+        curation.decontaminate(corpus, bench, "doc_id", "text", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_pack_window_is_partitioned_not_global(spark):
     """Plan check: the packing window must sort within shard partitions,
     not pull everything into one task via a global ORDER BY."""

@@ -141,6 +141,106 @@ def pack_sequences(
     return df.withColumn("pack_id", F.floor(tokens_before / F.lit(budget)))
 
 
+def cap_per_group(df: DataFrame, id_col: str, group_col: str, k: int, salt: str = "cap") -> DataFrame:
+    """Keep at most ``k`` rows per group, deterministically.
+
+    The web-curation "domain cap": bound any one source's share of the
+    corpus. Rows are chosen by content-hash order (md5 of the id), so
+    the kept set is a stable pseudo-random sample of the group — not
+    "first k by ingestion order", which over-samples whatever happened
+    to arrive first — and identical on every rerun and cluster size.
+    One shuffle (window on the group key); a mega-group costs one
+    partition's sort, the same skew posture as the dedup ladder's
+    windows.
+    """
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(group_col).orderBy(order, id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+def _word_kgrams(text_col: Column, k: int) -> Column:
+    """Distinct word k-grams (no short-text fallback: a doc with fewer
+    than ``k`` words has no k-gram). Zip-of-shifted-slices form — see
+    functions/text.word_shingles for why not element_at-in-a-lambda."""
+    w = T.tokens(text_col)
+    n = F.size(w)
+    cnt = n - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(w, i + 1, cnt).alias(f"g{i}") for i in range(k)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"g{i}"] for i in range(k)]))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array().cast("array<string>")))
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    ``distinct_token_ratio`` (low → the doc repeats itself) and
+    ``top_bigram_count`` / ``top_bigram_frac`` (fraction of tokens
+    covered by the most frequent bigram — boilerplate and generated
+    spam score high). Shape: explode bigrams → per-(doc, bigram)
+    partial-agg counts → per-doc max → join back onto the narrow
+    per-doc stats; nothing wider than (id, bigram) crosses a shuffle.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        T.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(T.tokens(F.col(text_col)))).cast("long").alias("n_distinct"),
+    )
+    bg = df.select(
+        F.col(id_col).alias("doc"), F.explode(_bigrams(F.col(text_col))).alias("bigram")
+    )
+    top = (
+        bg.groupBy("doc", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("top_c"))
+    )
+    out = base.join(top, "doc", "left")
+    top_c = F.coalesce(F.col("top_c"), F.lit(0))
+    return out.select(
+        "doc",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_token_ratio"),
+        top_c.cast("long").alias("top_bigram_count"),
+        F.round(top_c * 2.0 / F.col("n_tokens"), 6).alias("top_bigram_frac"),
+    )
+
+
+def _bigrams(text_col: Column) -> Column:
+    """All word bigrams (NOT distinct — repetition counting needs the
+    multiset)."""
+    w = T.tokens(text_col)
+    n = F.size(w)
+    cnt = n - 1
+    zipped = F.arrays_zip(F.slice(w, 1, cnt).alias("g0"), F.slice(w, 2, cnt).alias("g1"))
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", s["g0"], s["g1"]))
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame, bench_df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``k``-gram with a
+    benchmark set — train-test decontamination, the step every
+    evaluation-honest training pipeline runs after dedup.
+
+    Returns ``(doc, n_hits)`` for contaminated documents only. The
+    benchmark shingle set is tiny relative to the corpus (evaluation
+    suites are thousands of documents, the corpus is 10^12), so the
+    join side is explicitly broadcast: the corpus-side explode never
+    shuffles — each partition streams its grams past the in-memory
+    benchmark set, a map-side semi-join.
+    """
+    corpus = df.select(
+        F.col(id_col).alias("doc"), F.explode(_word_kgrams(F.col(text_col), k)).alias("g")
+    )
+    bench = bench_df.select(F.explode(_word_kgrams(F.col(text_col), k)).alias("g")).distinct()
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))  # grams are distinct per doc
+    )
+
+
 def _lower_tokens(text_col: Column) -> Column:
     """Lower-cased whitespace tokens (vocabulary normalization)."""
     return T.tokens(F.lower(text_col))
