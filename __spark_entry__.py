@@ -518,6 +518,55 @@ def q_decontaminate_docs(spark, sf_dir):
     return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id")
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (emails / IPv4 / phone numbers) with per-kind counts.
+
+    The corpus text carries no PII, so the query plants some first — a
+    deterministic function of doc_id, mirrored verbatim in the oracle —
+    making every count column non-vacuous. The scrub itself is chained
+    regexp_replace/extract_all: pure JVM narrow map, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    out = curation.redact_pii(planted, "doc_id", "text")
+    return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id")
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking: 50-token windows, 10-token overlap
+    (stride 40) — sequence → explode → slice, a shuffle-free narrow map
+    whose row amplification is bounded per row."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.chunk_text(d, "doc_id", "text", chunk=50, overlap=10)
+    return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id", "chunk_id")
+
+
+def q_shuffle_shards_docs(spark, sf_dir):
+    """Deterministic sharded training-order shuffle: content-addressed
+    shard in [0,8) plus an in-shard position ordered by an independent
+    content hash — a stable pseudo-random total order with one shuffle
+    and no global ORDER BY."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.shuffle_shards(d, "doc_id", n_shards=8)
+    return out.select("doc_id", "shard", "pos").orderBy("doc_id")
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Top-20 vocabulary tokens by document frequency (explode →
     partial-agg groupBy → TakeOrderedAndProject top-k; total-ordered
@@ -1484,6 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "repetition_features": q_repetition_features,
         "decontaminate_docs": q_decontaminate_docs,
+        "pii_redaction": q_pii_redaction,
+        "chunk_docs": q_chunk_docs,
+        "shuffle_shards_docs": q_shuffle_shards_docs,
         "vocab_top_tokens": q_vocab_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1756,6 +1808,50 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN bench USING (g)
             WHERE g.doc_id % 10 <> 7
             GROUP BY g.doc_id ORDER BY g.doc_id""",
+        "pii_redaction": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+                       AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+            FROM planted ORDER BY doc_id""",
+        "chunk_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE trim(text) <> '')
+            SELECT doc_id, CAST(i // 40 AS BIGINT) AS chunk_id,
+                   array_to_string(w[i + 1 : i + 50], ' ') AS chunk,
+                   CAST(len(w[i + 1 : i + 50]) AS BIGINT) AS n_tokens
+            FROM toks, unnest(generate_series(0, len(w) - 1, 40)) AS t(i)
+            ORDER BY doc_id, chunk_id""",
+        "shuffle_shards_docs": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'),
+                                              1, 8)) AS BIGINT) % 8 AS shard,
+                     md5(CAST(doc_id AS VARCHAR) || ':shuffle:pos') AS ord
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                        AS BIGINT) AS pos
+            FROM s ORDER BY doc_id""",
         "vocab_top_tokens": """
             WITH tok AS (
               SELECT doc_id AS doc,

@@ -179,3 +179,83 @@ def test_pack_window_is_partitioned_not_global(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partitionBy" not in plan or True  # textual form varies; key check below
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@ex-ample.co.uk and bob@host.org now"),
+            (2, "server at 10.0.0.1 and 192.168.001.255 up"),
+            (3, "call 555-867-5309 or 555-000-1111 today"),
+            (4, "no pii here at all"),
+            (5, "mix a@b.io 1.2.3.4 999-999-9999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in curation.redact_pii(df, "doc_id", "text").collect()}
+    assert out[1].redacted == "mail <EMAIL> and <EMAIL> now"
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (2, 0, 0)
+    assert out[2].redacted == "server at <IP> and <IP> up"
+    assert out[2].n_ipv4 == 2
+    assert out[3].redacted == "call <PHONE> or <PHONE> today"
+    assert out[3].n_phones == 2
+    assert out[4].redacted == "no pii here at all"
+    assert (out[4].n_emails, out[4].n_ipv4, out[4].n_phones) == (0, 0, 0)
+    assert out[5].redacted == "mix <EMAIL> <IP> <PHONE>"
+
+
+def test_redact_pii_is_a_narrow_jvm_map(spark):
+    """No shuffle and no Python in the PII pass — it must stream at
+    scan speed over 10^12 rows."""
+    plan = (
+        curation.redact_pii(_docs(spark), "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_chunk_text_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "solo"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = curation.chunk_text(df, "doc_id", "text", chunk=4, overlap=1).collect()
+    got = {(r.doc, r.chunk_id): (r.chunk, r.n_tokens) for r in rows}
+    # stride 3: starts 0,3,6,9 over 10 tokens
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)
+    assert got[(2, 0)] == ("solo", 1)
+    assert len(rows) == 5  # whitespace-only doc 3 yields no chunks
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.chunk_text(_docs(spark), "doc_id", "text", chunk=4, overlap=4)
+    with pytest.raises(ValueError):
+        curation.chunk_text(_docs(spark), "doc_id", "text", chunk=4, overlap=-1)
+
+
+def test_shuffle_shards_is_a_stable_permutation(spark):
+    df = _docs(spark, n=60)
+    out = curation.shuffle_shards(df, "doc_id", n_shards=8).collect()
+    for r in out:
+        assert r.shard == _bucket(f"{r.doc_id}:shuffle", 8)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+    # the (shard, pos) order is a pure function of ids: repartitioning
+    # the input cannot move any row
+    again = curation.shuffle_shards(df.repartition(11), "doc_id", n_shards=8)
+    assert sorted((r.doc_id, r.shard, r.pos) for r in out) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in again.collect()
+    )
+    # and it actually reorders: shard-order read differs from id order
+    read_order = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
+    assert read_order != sorted(read_order)

@@ -241,6 +241,101 @@ def decontaminate(
     )
 
 
+# PII patterns shared with the SQL oracle. Deliberately restricted to
+# the regex subset with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b, \d — no
+# backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers,
+    returning ``(doc, redacted, n_emails, n_ipv4, n_phones)``.
+
+    The web-curation PII pass that runs between dedup and packing in a
+    real training pipeline. Everything is chained ``regexp_replace`` /
+    ``regexp_extract_all`` — pure JVM expressions inside whole-stage
+    codegen, a narrow map with zero shuffles and zero Python, so it
+    streams at scan speed over 10^12 rows. Counts are taken BEFORE
+    redaction; replacement order (email → ip → phone) matters only in
+    that the email pattern may contain digits/dots the later patterns
+    could otherwise partially match inside the placeholder-free text.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0))).cast("long").alias(name)
+        for name, p in (("n_emails", EMAIL_RE), ("n_ipv4", IPV4_RE), ("n_phones", PHONE_RE))
+    ]
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return df.select(F.col(id_col).alias("doc"), red.alias("redacted"), *counts)
+
+
+def chunk_text(
+    df: DataFrame, id_col: str, text_col: str, chunk: int, overlap: int = 0
+) -> DataFrame:
+    """Split each document into overlapping token windows —
+    ``(doc, chunk_id, chunk, n_tokens)`` — the context-window chunking
+    step that feeds embedding and training jobs.
+
+    Windows are ``chunk`` tokens long with ``chunk - overlap`` stride;
+    the final window may be shorter. Built entirely from array
+    higher-order functions (``sequence`` → ``explode`` → ``slice`` →
+    ``array_join``): a narrow map followed by the explode's row
+    amplification — no shuffle, no Python, and the amplification factor
+    (≈ n_tokens / stride) is bounded per row, so partition sizing is
+    unchanged from the source scan. Empty documents produce no chunks.
+    """
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got chunk={chunk} overlap={overlap}")
+    stride = chunk - overlap
+    toks = T.tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    piece = F.slice(F.col("toks"), F.col("start") + 1, chunk)
+    return (
+        df.select(F.col(id_col).alias("doc"), toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc",
+            F.floor(F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded.
+
+    Adds ``shard`` (content-addressed bucket in ``[0, n_shards)``) and
+    ``pos`` (1-based position within the shard, ordered by a second
+    independent content hash). Together ``(shard, pos)`` is a stable
+    pseudo-random total order over the corpus — the order a training
+    run reads — that is a pure function of the ids: invariant under
+    repartitioning, rerun, and cluster size, unlike ``orderBy(rand())``.
+
+    Scale: one shuffle (the per-shard window); shards are hash-balanced
+    so every shard is ≈ n/n_shards rows and the windows sort in
+    parallel. No global ``ORDER BY`` — a total order is never
+    materialized through one task; readers consume shard files in shard
+    order, which is how sharded training data is laid out in practice.
+    """
+    shard = md5_bucket(F.col(id_col), n_shards, salt=salt)
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":pos")))
+    w = Window.partitionBy("shard").orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
 def _lower_tokens(text_col: Column) -> Column:
     """Lower-cased whitespace tokens (vocabulary normalization)."""
     return T.tokens(F.lower(text_col))
