@@ -780,6 +780,37 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column (get_json_object — JVM-side Jackson path, no Python) and
+    aggregate per event type. The extraction is a narrow map feeding a
+    map-side partial agg; at 10^12 rows only (event_type, partials)
+    cross the exchange."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    """Exact per-label embedding centroids — dim parallel sum aggregates
+    (one map-side partial agg; no posexplode row amplification), then a
+    tiny unpivot of the label x dim means."""
+    em = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(em, "label", "embedding", dim=64).orderBy(
+        "label", "pos"
+    )
+
+
 def q_source_name_pairs(spark, sf_dir):
     """Edit-distance (Levenshtein) pairs over the source dimension —
     the fuzzy-name-match primitive of dedup over metadata columns.
@@ -1551,6 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_percentiles": q_order_percentiles,
         "monthly_orders": q_monthly_orders,
         "distinct_users": q_distinct_users,
+        "json_props_stats": q_json_props_stats,
+        "label_centroids": q_label_centroids,
         "source_name_pairs": q_source_name_pairs,
         "source_stats": q_source_stats,
         "cc_components": q_cc_components,
@@ -1951,6 +1984,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY 1 ORDER BY 1""",
+        "json_props_stats": """
+            WITH k AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM k GROUP BY 1 ORDER BY 1""",
+        "label_centroids": """
+            SELECT label, CAST(i - 1 AS INT) AS pos,
+                   round(sum(CAST(embedding[i] AS DOUBLE))
+                         / count(*), 6) AS mean_x,
+                   count(*) AS n
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "source_name_pairs": """
             WITH s AS (SELECT DISTINCT source FROM documents)
             SELECT a.source AS src_a, b.source AS src_b,

@@ -143,3 +143,29 @@ def test_ivf_deterministic_with_fixed_centroids(spark):
     p1 = sorted(map(tuple, sim.ivf_near_dup_pairs(df, 16, 0.2, centroids=cents).collect()))
     p2 = sorted(map(tuple, sim.ivf_near_dup_pairs(df, 16, 0.2, centroids=cents).collect()))
     assert p1 == p2
+
+
+def test_label_centroids_exact_means_and_plan(spark):
+    from yadf_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 2.0, 1.0]),
+        (1, [10.0, 0.0, -4.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r.label, r.pos): (r.mean_x, r.n)
+           for r in sim.label_centroids(df, "label", "embedding", dim=3).collect()}
+    assert out[(0, 0)] == (2.0, 2) and out[(0, 1)] == (2.0, 2) and out[(0, 2)] == (2.0, 2)
+    assert out[(1, 0)] == (10.0, 1) and out[(1, 2)] == (-4.0, 1)
+    # scale shape: the dim sums must partial-aggregate map-side; the
+    # posexplode unpivot runs on the tiny aggregated frame AFTER the
+    # exchange, never amplifying the corpus-side shuffle
+    plan = (
+        sim.label_centroids(df, "label", "embedding", dim=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    gen_pos = plan.find("Generate")
+    ex_pos = plan.find("Exchange")
+    assert gen_pos != -1 and ex_pos != -1 and gen_pos < ex_pos, plan[:2000]
