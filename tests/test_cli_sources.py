@@ -413,3 +413,38 @@ def test_output_dir_distributed_write(spark, tree, tmp_path):
     lines = [r["value"] for r in spark.read.text(str(out_dir)).collect()]
     groups = [json.loads(ln) for ln in lines if ln.strip()]
     assert len(groups) == 1 and len(groups[0]) == 4
+
+
+def test_text_near_dup_mode_over_files(spark, tmp_path):
+    """--mode text-near-dup clusters UTF-8 files whose shingle sets are
+    near-identical, without requiring byte equality."""
+    d = tmp_path / "texts"
+    d.mkdir()
+    base = "the quick brown fox jumps over the lazy dog and runs far away today " * 4
+    (d / "a.txt").write_text(base)
+    (d / "b.txt").write_text(base + "extra tail word")  # near-dup of a
+    (d / "c.txt").write_text(
+        "completely different content about spark shuffles and partitions "
+        "with nothing shared at all between these two documents whatsoever " * 4
+    )
+    out = _cli(spark, ["-f", "json", "--mode", "text-near-dup", str(d)])
+    groups = json.loads(out)
+    assert len(groups) == 1
+    assert sorted(os.path.basename(p) for p in groups[0]) == ["a.txt", "b.txt"]
+
+
+def test_text_near_dup_mode_over_table(spark, tmp_path):
+    tbl = str(tmp_path / "docs.parquet")
+    rows = [
+        ("d1", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("d2", "alpha beta gamma delta epsilon zeta eta theta " * 6 + "iota"),
+        ("d3", "unrelated words entirely separate vocabulary here now " * 6),
+    ]
+    spark.createDataFrame(rows, "doc_id string, caption string").write.parquet(tbl)
+    out = _cli(
+        spark,
+        ["-f", "json", "--mode", "text-near-dup", "--table", tbl, "--id-col", "doc_id"],
+    )
+    groups = json.loads(out)
+    assert len(groups) == 1
+    assert sorted(groups[0]) == ["d1", "d2"]

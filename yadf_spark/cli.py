@@ -93,10 +93,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-col", default="image_id")
     p.add_argument("--payload-col", default="bytes")
     p.add_argument(
-        "--mode", default="exact", choices=["exact", "near-dup", "audio-near-dup"],
+        "--mode", default="exact",
+        choices=["exact", "near-dup", "audio-near-dup", "text-near-dup"],
         help="exact: the reference's dup-group scan; audio-near-dup: energy-"
         "fingerprint Hamming bands over audio payloads; near-dup: phash bands + "
-        "MinHash LSH + PSNR verify + connected components (north_rule)",
+        "MinHash LSH + PSNR verify + connected components (north_rule); "
+        "text-near-dup: MinHash LSH over shingles of --text-col (or UTF-8 "
+        "decoded payloads) verified at exact Jaccard >= --jaccard",
+    )
+    p.add_argument(
+        "--text-col", default="caption",
+        help="text column for --mode text-near-dup (table sources); filesystem "
+        "sources decode the file payload as UTF-8 instead",
+    )
+    p.add_argument(
+        "--jaccard", type=float, default=0.8,
+        help="exact-Jaccard verification threshold for text-near-dup",
     )
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume directory")
     p.add_argument(
@@ -198,6 +210,38 @@ def run(args: argparse.Namespace, spark=None) -> int:
         out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
         groups = _clusters_to_groups(out["clusters"], args)
         metrics = out["metrics"] if "metrics" in out else None
+    elif args.mode == "text-near-dup":
+        from yadf_spark.config import LshConfig
+        from yadf_spark.operators import components
+        from yadf_spark.operators import minhash as mh
+
+        ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
+        docs = exact.apply_scan_filters(df, flt)
+        if args.text_col in docs.columns:
+            docs = docs.select("image_id", F.col(args.text_col).alias("text"))
+        else:
+            # filesystem corpora carry raw payloads — treat them as
+            # UTF-8 text files (the narrow-map decode never shuffles)
+            docs = docs.select("image_id", F.decode(F.col("bytes"), "UTF-8").alias("text"))
+        cfg = LshConfig()
+        pairs = ck.stage(
+            "text_pairs",
+            {"lsh": cfg, "jaccard": args.jaccard, "filter": flt},
+            lambda: mh.exact_jaccard(
+                mh.minhash_candidates(docs, cfg, id_col="image_id", text_col="text"),
+                docs,
+                "image_id",
+                "text",
+                k=cfg.shingle_k,
+            )
+            .filter(F.col("jaccard") >= args.jaccard)
+            .select("id_a", "id_b"),
+        )
+        clusters = components.connected_components(pairs).select(
+            F.col("id").alias("image_id"), "cluster_id"
+        )
+        groups = _clusters_to_groups(clusters, args)
+        metrics = ck.metrics() if eager else None
     elif args.mode == "audio-near-dup":
         from yadf_spark.operators import audio as au
         from yadf_spark.operators import components
