@@ -567,6 +567,58 @@ def q_shuffle_shards_docs(spark, sf_dir):
     return out.select("doc_id", "shard", "pos").orderBy("doc_id")
 
 
+def q_quantile_filter_docs(spark, sf_dir):
+    """Per-source quality gate: keep docs at or above their source's
+    exact 25th-percentile length — one partial-agg pass for the
+    thresholds, broadcast back, corpus side never shuffles."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    out = curation.quantile_threshold_filter(d, "score", "source", q=0.25)
+    return out.select(
+        "doc_id", "source", "score", F.round("thr", 6).alias("thr")
+    ).orderBy("doc_id")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Corpus-overlap matrix: pairwise shingle-set Jaccard between
+    sources (hashed 8 B shingle keys; per-key join fanout bounded by
+    the source count, not doc count). md5_32 mode so DuckDB replays
+    the hash bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.source_overlap(d, "source", "text", k=3, algo="md5_32").orderBy(
+        "src_a", "src_b"
+    )
+
+
+def q_snapshot_diff_docs(spark, sf_dir):
+    """Snapshot diff: v2 of the corpus is derived in-query (doc_id%11==5
+    removed, doc_id%5==0 rewritten, doc_id%13==1 re-added under new
+    ids — mirrored in the oracle), then diffed by (id, fingerprint)
+    full-outer join; payload text never crosses an exchange."""
+    from yadf_spark.operators import snapshots
+
+    d = _t(spark, sf_dir, "documents")
+    v2 = (
+        d.where(F.col("doc_id") % 11 != 5)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                *[c for c in d.columns if c not in ("doc_id", "text")],
+            )
+        )
+    )
+    out = snapshots.snapshot_diff(d, v2, "doc_id", ["text"], algo="md5")
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Top-20 vocabulary tokens by document frequency (explode →
     partial-agg groupBy → TakeOrderedAndProject top-k; total-ordered
@@ -1567,6 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "chunk_docs": q_chunk_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
+        "quantile_filter_docs": q_quantile_filter_docs,
+        "source_overlap": q_source_overlap,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
         "vocab_top_tokens": q_vocab_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1885,6 +1940,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
                         AS BIGINT) AS pos
             FROM s ORDER BY doc_id""",
+        "quantile_filter_docs": """
+            WITH thr AS (
+              SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS thr
+              FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS DOUBLE) AS score,
+                   round(thr.thr, 6) AS thr
+            FROM documents d JOIN thr USING (source)
+            WHERE CAST(d.n_chars AS DOUBLE) >= thr.thr
+            ORDER BY d.doc_id""",
+        "source_overlap": r"""
+            WITH toks AS (
+              SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source,
+                     CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                                              1, 8)) AS BIGINT) AS h
+              FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+            sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (h) WHERE a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, inter,
+                   round(inter / (na.n + nb.n - inter), 6) AS jaccard
+            FROM inter JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
+            ORDER BY src_a, src_b""",
+        "snapshot_diff_docs": """
+            WITH v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 5
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 13 = 1),
+            o AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),
+            n AS (SELECT doc_id AS id, md5(text) AS fp FROM v2),
+            j AS (
+              SELECT COALESCE(o.id, n.id) AS doc_id,
+                     CASE WHEN o.fp IS NULL THEN 'added'
+                          WHEN n.fp IS NULL THEN 'removed'
+                          WHEN o.fp <> n.fp THEN 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.id = n.id)
+            SELECT doc_id, status FROM j WHERE status IS NOT NULL
+            ORDER BY doc_id""",
         "vocab_top_tokens": """
             WITH tok AS (
               SELECT doc_id AS doc,

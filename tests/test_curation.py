@@ -259,3 +259,52 @@ def test_shuffle_shards_is_a_stable_permutation(spark):
     # and it actually reorders: shard-order read differs from id order
     read_order = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
     assert read_order != sorted(read_order)
+
+
+def test_quantile_threshold_filter_exact_quartile(spark):
+    # scores 1..8 in one group: q=0.25 -> thr = 1 + 7*0.25 = 2.75
+    rows = [(i, "g", float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = curation.quantile_threshold_filter(df, "score", "source", q=0.25)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [3, 4, 5, 6, 7, 8]
+    assert out.select("thr").distinct().collect()[0].thr == 2.75
+
+
+def test_quantile_threshold_filter_is_per_group_and_broadcast(spark):
+    rows = [(i, "lo", float(i)) for i in range(4)] + [
+        (10 + i, "hi", float(100 + i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = curation.quantile_threshold_filter(df, "score", "source", q=0.5)
+    got = {r.source: sorted(x.doc_id for x in out.collect() if x.source == r.source)
+           for r in out.select("source").distinct().collect()}
+    assert got == {"lo": [2, 3], "hi": [12, 13]}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_source_overlap_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b c d"),          # shingles: 'a b c', 'b c d'
+            ("s2", "a b c"),            # shingles: 'a b c'
+            ("s2", "x y z w"),          # 'x y z', 'y z w'
+            ("s3", "p q r"),            # 'p q r' (disjoint)
+        ],
+        "source string, text string",
+    )
+    out = {(r.src_a, r.src_b): r for r in
+           curation.source_overlap(df, "source", "text", k=3).collect()}
+    r = out[("s1", "s2")]
+    # |s1|=2, |s2|=3, inter={'a b c'} -> 1/(2+3-1)
+    assert (r.n_a, r.n_b, r.inter) == (2, 3, 1)
+    assert r.jaccard == 0.25
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out  # zero overlap omitted
+
+
+def test_source_overlap_portable_hash_matches_xxhash_pairs(spark):
+    df = _docs(spark, n=60).withColumn("source", F.col("source"))
+    a = curation.source_overlap(df, "source", "text", k=3, algo="xxhash64")
+    b = curation.source_overlap(df, "source", "text", k=3, algo="md5_32")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -391,3 +391,75 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, top_per_doc: int = 3) -> D
         .where(F.col("rank") <= top_per_doc)
         .select("doc", "token", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame, score_col: str, group_col: str, q: float = 0.25
+) -> DataFrame:
+    """Keep rows whose score is at or above their group's exact
+    ``q``-quantile, attaching the threshold as ``thr``.
+
+    The per-group threshold frame has one row per group — it broadcasts
+    back onto the corpus, so the filter is a map-side join: the 10^12-row
+    side is never shuffled. The quantile itself is Spark's exact
+    ``percentile`` aggregate (linear interpolation, the same formula as
+    SQL ``quantile_cont``), computed in one partial-agg pass.
+    """
+    score = F.col(score_col).cast("double")
+    thr = df.groupBy(group_col).agg(F.percentile(score, F.lit(q)).alias("thr"))
+    return df.join(F.broadcast(thr), group_col).where(score >= F.col("thr"))
+
+
+def source_overlap(
+    df: DataFrame, group_col: str, text_col: str, k: int = 3, algo: str = "xxhash64"
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard BETWEEN groups (sources, crawls,
+    snapshots) — ``(src_a, src_b, n_a, n_b, inter, jaccard)`` — the
+    corpus-overlap matrix that decides which sources to keep, cap, or
+    drop before training.
+
+    Scale shape: shingles are hashed map-side (8 B keys, never the
+    strings), deduped per group — the one big shuffle, narrow
+    (group, hash) rows — then self-joined on the hash. Per-hash fanout
+    is bounded by the GROUP count (a shingle appears once per group
+    after the distinct), not document count, so there is no hot-key
+    quadratic blowup no matter how common a shingle is. Group sizes
+    broadcast. ``algo="md5_32"`` makes the hash DuckDB-replayable.
+    """
+    w = df.select(F.col(group_col).alias("grp"), T.tokens(F.col(text_col)).alias("w"))
+    idx = F.when(
+        F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(F.col("w"), i + j) for j in range(k)])
+    )
+    if algo == "md5_32":
+        h = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("g"))
+    sh = (
+        w.select("grp", F.explode(gram).alias("g"))
+        .select("grp", h.alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("grp").alias("src_a"), "h")
+    b = sh.select(F.col("grp").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "inter",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
