@@ -557,6 +557,27 @@ def q_chunk_docs(spark, sf_dir):
     return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id", "chunk_id")
 
 
+def q_dedup_lines_docs(spark, sf_dir):
+    """Corpus-wide line-level dedup (the C4/RefinedWeb boilerplate
+    pass) composed with the chunker: documents re-lined into 3-token
+    spans, then every span appearing in more than 2 distinct documents
+    is dropped and documents reassembled from the survivors. md5 line
+    keys so DuckDB replays the frequency decision bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = curation.chunk_text(d, "doc_id", "text", chunk=3)
+    lined = chunks.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = curation.dedup_lines(lined, "doc", "text", max_docs=2, algo="md5")
+    return out.orderBy("doc")
+
+
 def q_shuffle_shards_docs(spark, sf_dir):
     """Deterministic sharded training-order shuffle: content-addressed
     shard in [0,8) plus an in-shard position ordered by an independent
@@ -1618,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redaction": q_pii_redaction,
         "chunk_docs": q_chunk_docs,
+        "dedup_lines_docs": q_dedup_lines_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
         "quantile_filter_docs": q_quantile_filter_docs,
         "source_overlap": q_source_overlap,
@@ -1929,6 +1951,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(w[i + 1 : i + 50]) AS BIGINT) AS n_tokens
             FROM toks, unnest(generate_series(0, len(w) - 1, 40)) AS t(i)
             ORDER BY doc_id, chunk_id""",
+        "dedup_lines_docs": r"""
+            WITH toks AS (
+              SELECT doc_id AS doc, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            l AS (
+              SELECT doc, i AS pos, array_to_string(w[i + 1 : i + 3], ' ') AS line
+              FROM toks, unnest(generate_series(0, len(w) - 1, 3)) AS t(i)),
+            c AS (
+              SELECT md5(trim(line)) AS k, count(DISTINCT doc) AS nd
+              FROM l WHERE trim(line) <> '' GROUP BY 1),
+            f AS (
+              SELECT l.doc, l.pos, l.line,
+                     coalesce(c.nd > 2, FALSE) AS dropped
+              FROM l LEFT JOIN c
+                ON trim(l.line) <> '' AND md5(trim(l.line)) = c.k)
+            SELECT doc,
+                   coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM f GROUP BY doc ORDER BY doc""",
         "shuffle_shards_docs": """
             WITH s AS (
               SELECT doc_id,

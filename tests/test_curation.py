@@ -308,3 +308,54 @@ def test_source_overlap_portable_hash_matches_xxhash_pairs(spark):
     a = curation.source_overlap(df, "source", "text", k=3, algo="xxhash64")
     b = curation.source_overlap(df, "source", "text", k=3, algo="md5_32")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dedup_lines_drops_boilerplate_and_keeps_order(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"{boiler}\nalpha beta\n\n  \ngamma delta"),
+        (2, f"intro text\n{boiler}\nunique two"),
+        (3, f"{boiler}\nclosing remarks"),
+        (4, "standalone doc\nno shared lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc: r
+        for r in curation.dedup_lines(df, "doc_id", "text", max_docs=1).collect()
+    }
+    # the boilerplate line appears in 3 docs -> dropped everywhere;
+    # blank/whitespace lines are structural and survive untouched
+    assert out[1].clean_text == "alpha beta\n\n  \ngamma delta"
+    assert out[1].n_lines == 5 and out[1].n_dropped == 1
+    assert out[2].clean_text == "intro text\nunique two"
+    assert out[3].clean_text == "closing remarks"
+    assert out[4].n_dropped == 0 and out[4].clean_text == "standalone doc\nno shared lines"
+
+
+def test_dedup_lines_max_docs_threshold_and_trim_keying(spark):
+    # "  shared  " and "shared" must key identically (trimmed content);
+    # with max_docs=2 a line needs >2 distinct docs to be dropped, and
+    # repeats WITHIN one doc do not count toward the threshold
+    rows = [
+        (1, "shared\nshared\nshared"),  # one distinct doc, repeated line
+        (2, "  shared  \nkeep me"),
+        (3, "other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out2 = {
+        r.doc: r for r in curation.dedup_lines(df, "doc_id", "text", max_docs=2).collect()
+    }
+    assert out2[1].n_dropped == 0 and out2[2].n_dropped == 0
+    out1 = {
+        r.doc: r for r in curation.dedup_lines(df, "doc_id", "text", max_docs=1).collect()
+    }
+    # 2 distinct docs > 1 -> dropped in both, whitespace variant included
+    assert out1[1].clean_text == "" and out1[1].n_dropped == 3
+    assert out1[2].clean_text == "keep me" and out1[2].n_dropped == 1
+    assert out1[3].n_dropped == 0
+
+
+def test_dedup_lines_md5_mode_matches_duckdb_keys(spark):
+    df = spark.createDataFrame([(1, "a b\nc d"), (2, "a b")], "doc_id long, text string")
+    out = {r.doc: r for r in curation.dedup_lines(df, "doc_id", "text", 1, "md5").collect()}
+    assert out[1].clean_text == "c d" and out[2].clean_text == ""

@@ -393,6 +393,70 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str, top_per_doc: int = 3) -> D
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    algo: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb boilerplate
+    pass): drop every line whose trimmed content appears in more than
+    ``max_docs`` distinct documents, and reassemble each document from
+    its surviving lines in original order.
+
+    Output: ``(doc, clean_text, n_lines, n_dropped)``. Blank /
+    whitespace-only lines are structural, not content — they are never
+    counted and never dropped. ``algo="md5"`` keys lines by the portable
+    md5 hex digest so a DuckDB oracle replays the decision bit-for-bit;
+    the default ``xxhash64`` stays 8 bytes wide JVM-side.
+
+    Scale shape: lines explode map-side into ``(doc, pos, key)`` rows;
+    the frequency table is one partial-agg ``groupBy(key)`` over hashed
+    keys (never line text); the hot-line set — lines in > ``max_docs``
+    docs, i.e. the boilerplate dictionary, tiny relative to the corpus —
+    comes back as a join that AQE converts to broadcast when it fits.
+    Reassembly is one ``groupBy(doc)`` whose payload is exactly the
+    surviving line text (bounded by the input document size). Nothing
+    ever compares line strings across documents: all matching is on the
+    fixed-width key.
+    """
+    trimmed = F.trim(F.col("line"))
+    if algo == "md5":
+        key = F.md5(trimmed)
+    else:
+        key = F.xxhash64(trimmed).cast("string")
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("k", F.when(trimmed != "", key))
+    hot = (
+        lines.where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+        .select("k", F.lit(True).alias("hot"))
+    )
+    flagged = lines.join(hot, "k", "left").withColumn(
+        "drop", F.coalesce(F.col("hot"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("drop"), F.struct("pos", "line"))
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select("doc", "clean_text", "n_lines", "n_dropped")
+    )
+
+
 def quantile_threshold_filter(
     df: DataFrame, score_col: str, group_col: str, q: float = 0.25
 ) -> DataFrame:
