@@ -1557,6 +1557,28 @@ def q_near_dup_clusters_docs(spark, sf_dir):
     return components.connected_components(edges).orderBy("id")
 
 
+def q_near_dup_representatives(spark, sf_dir):
+    """Survivor selection over the near-dup clusters: keep each
+    cluster's highest-quality member (quality = caption length, ties →
+    smallest doc_id) — the canonicalization step downstream of
+    clustering (reference analog: examples/clean.rs keep-oldest,
+    generalized to a quality axis). Single partial-agg shuffle via
+    ``min_by`` over a (-quality, id) struct; the oracle replays the
+    policy as max-quality filter + min-id."""
+    from yadf_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    clusters = components.connected_components(edges)
+    reps = curation.cluster_representatives(
+        d, clusters, id_col="doc_id", quality_col=F.length("text")
+    )
+    return reps.orderBy("cluster_id")
+
+
 def _image_truth_pairs_parquet(n: int) -> str:
     """The fixture's PLANTED duplicate pairs, written once to parquet.
     The flagship pipeline query is checked against their transitive
@@ -1665,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "cc_components": q_cc_components,
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "near_dup_representatives": q_near_dup_representatives,
         "simhash_docs": q_simhash_docs,
         # video_frame_sample got NO driver verdict in round 2 as the
         # 51st of 51 entries (the sweep apparently never reached it) —
@@ -2187,6 +2210,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id)
             SELECT id, min(lab) AS cluster_id
             FROM reach GROUP BY id ORDER BY id""",
+        # survivor selection on top of the same closure: max quality
+        # (caption length) per cluster, ties broken by min doc_id —
+        # replayed as a max-filter + min-id instead of Spark's
+        # single-pass min_by((-q, id)) struct aggregate.
+        "near_dup_representatives": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            mem AS (SELECT cl.cluster_id, d.doc_id,
+                           CAST(length(d.text) AS BIGINT) AS q
+                    FROM cl JOIN documents d ON d.doc_id = cl.id),
+            mx AS (SELECT cluster_id, max(q) AS rep_quality,
+                          count(*) AS n_members
+                   FROM mem GROUP BY 1)
+            SELECT m.cluster_id, min(m.doc_id) AS rep_id,
+                   mx.rep_quality, mx.n_members
+            FROM mem m JOIN mx USING (cluster_id)
+            WHERE m.q = mx.rep_quality
+            GROUP BY m.cluster_id, mx.rep_quality, mx.n_members
+            ORDER BY cluster_id""",
         "simhash_docs": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok

@@ -359,3 +359,46 @@ def test_dedup_lines_md5_mode_matches_duckdb_keys(spark):
     df = spark.createDataFrame([(1, "a b\nc d"), (2, "a b")], "doc_id long, text string")
     out = {r.doc: r for r in curation.dedup_lines(df, "doc_id", "text", 1, "md5").collect()}
     assert out[1].clean_text == "c d" and out[2].clean_text == ""
+
+
+def test_cluster_representatives_max_quality_min_id_ties(spark):
+    """Survivor selection: highest quality wins; equal quality → the
+    SMALLEST id, deterministically, regardless of partition layout."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),   # cluster 10: len 4
+            (2, "bbbbbb"), # cluster 10: len 6  <- rep (unique max)
+            (3, "cccccc"), # cluster 10: len 6 but id 3 > 2? tie with 2
+            (7, "dd"),     # cluster 20: len 2, tie with 8
+            (8, "ee"),     # cluster 20: len 2 -> rep is 7 (min id)
+            (9, "loner"),  # cluster 30: singleton
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 20), (8, 20), (9, 30)],
+        "id long, cluster_id long",
+    )
+    reps = curation.cluster_representatives(
+        docs.repartition(5), clusters.repartition(3),
+        id_col="doc_id", quality_col=F.length("text"),
+    )
+    got = {r.cluster_id: (r.rep_id, r.rep_quality, r.n_members) for r in reps.collect()}
+    assert got == {10: (2, 6, 3), 20: (7, 2, 2), 30: (9, 5, 1)}
+
+
+def test_cluster_representatives_single_partial_agg_no_window(spark):
+    """One partially-aggregated shuffle, no Window: a viral cluster
+    ships one candidate row per upstream partition, not its members."""
+    docs = _docs(spark)
+    clusters = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 4).alias("cluster_id")
+    )
+    reps = curation.cluster_representatives(
+        docs, clusters, id_col="doc_id", quality_col=F.length("text")
+    )
+    plan = reps._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        reps._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "min_by" in plan

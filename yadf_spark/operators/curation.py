@@ -527,3 +527,54 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    quality_col: Column,
+    cluster_id_col: str = "cluster_id",
+    cluster_member_col: str = "id",
+) -> DataFrame:
+    """One survivor per duplicate cluster — the canonicalization step
+    every curation pipeline runs right after near-dup clustering: of
+    each cluster's members, keep the highest-``quality`` one (longest
+    caption, largest resolution, best quality score), breaking ties on
+    the smallest id so the choice is deterministic under any partition
+    layout. Returns ``(cluster_id, rep_id, rep_quality, n_members)``.
+
+    The reference keeps dup GROUPS and leaves victim selection to its
+    example cleaner, which hard-codes keep-OLDEST (examples/clean.rs —
+    mtime order); this is that policy generalized to an arbitrary
+    quality axis, which is what an image+caption corpus actually ranks
+    by (resolution, caption length, model-scored quality).
+
+    Scale shape: ``clusters`` is the narrow ``(id, cluster_id)``
+    assignment output of connected components; the corpus joins to it
+    on id projecting ONLY (id, quality) — the payload never moves —
+    then one groupBy(cluster_id) with ``min_by`` over a
+    ``(-quality, id)`` struct resolves max-quality/min-id in a single
+    partially-aggregated shuffle (no window, no second pass, no skew:
+    partial aggregation combines each partition's candidate to one row
+    per cluster before the exchange, so even a 10^8-member viral
+    cluster ships one row per upstream partition).
+    """
+    mem = clusters.select(
+        F.col(cluster_member_col).alias("__id"), F.col(cluster_id_col)
+    ).join(
+        df.select(
+            F.col(id_col).alias("__id"),
+            quality_col.cast("long").alias("__q"),
+        ),
+        "__id",
+    )
+    order = F.struct((-F.col("__q")).alias("nq"), F.col("__id").alias("id"))
+    return (
+        mem.groupBy(cluster_id_col)
+        .agg(
+            F.min_by(F.col("__id"), order).alias("rep_id"),
+            F.max("__q").alias("rep_quality"),
+            F.count("*").alias("n_members"),
+        )
+    )
