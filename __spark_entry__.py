@@ -1619,6 +1619,28 @@ def q_images_near_dup_clusters(spark, sf_dir):
     return out["clusters"].orderBy("image_id")
 
 
+def q_images_representatives(spark, sf_dir):
+    """Survivor selection over the IMAGE pipeline's clusters: keep each
+    cluster's highest-resolution member (quality = w*h pixels, ties →
+    smallest image_id) — the keep-best-copy policy an image corpus
+    actually wants (reference analog: examples/clean.rs keep-oldest,
+    re-ranked on a quality axis). Oracle: the planted truth closure
+    joined to the same images parquet, max-filter + min-id."""
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import pipeline as pl
+
+    df = img.images_df(spark, 256, seed=42)
+    out = pl.near_dup_pipeline(df)
+    reps = curation.cluster_representatives(
+        df,
+        out["clusters"],
+        id_col="image_id",
+        quality_col=F.col("w").cast("long") * F.col("h"),
+        cluster_member_col="image_id",
+    )
+    return reps.orderBy("cluster_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the staged dedup ladder assignment on sf0.001."""
     return q_ladder_assignment(spark, "/root/testdata/sf0.001")
@@ -1707,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_srp": q_ann_topk_srp,
         "ivf_near_dup": q_ivf_near_dup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
+        "images_representatives": q_images_representatives,
     }
 
 
@@ -2444,4 +2467,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id AS image_id, coalesce(c.cluster_id, n.id) AS cluster_id
             FROM nodes n LEFT JOIN comp c ON c.id = n.id
             ORDER BY image_id""",
+        # keep-best-copy over the same closure: max w*h per cluster,
+        # ties broken by min image_id (Spark: one min_by((-q, id))
+        # partial agg; here: max-filter + min-id over the closure
+        # joined back to the images parquet).
+        "images_representatives": f"""
+            WITH RECURSIVE
+            nodes AS (SELECT printf('img-%09d', CAST(i AS INT)) AS id
+                      FROM range(256) r(i)),
+            e AS (SELECT id_a, id_b
+                  FROM read_parquet('{_image_truth_pairs_parquet(256)}')),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            cl AS (SELECT n.id AS image_id, coalesce(c.cluster_id, n.id) AS cluster_id
+                   FROM nodes n LEFT JOIN comp c ON c.id = n.id),
+            mem AS (SELECT cl.cluster_id, i.image_id,
+                           CAST(i.w AS BIGINT) * CAST(i.h AS BIGINT) AS q
+                    FROM cl JOIN read_parquet('{_images_parquet(256)}') i
+                    USING (image_id)),
+            mx AS (SELECT cluster_id, max(q) AS rep_quality,
+                          count(*) AS n_members
+                   FROM mem GROUP BY 1)
+            SELECT m.cluster_id, min(m.image_id) AS rep_id,
+                   mx.rep_quality, mx.n_members
+            FROM mem m JOIN mx USING (cluster_id)
+            WHERE m.q = mx.rep_quality
+            GROUP BY m.cluster_id, mx.rep_quality, mx.n_members
+            ORDER BY cluster_id""",
     }
