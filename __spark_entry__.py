@@ -884,6 +884,18 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Mislabeled-pair sweep: rows whose embedding points away from
+    their own label's exact centroid (cosine < -0.05). Centroid = the
+    label_centroids partial-agg trick; scoring = broadcast join +
+    zero-shuffle JVM dot product; round-6 contract so DuckDB replays
+    the arithmetic bit-for-bit."""
+    em = _t(spark, sf_dir, "embeddings")
+    return similarity.label_outliers(
+        em, "vec_id", "label", "embedding", dim=64, max_cosine=-0.05
+    ).orderBy("vec_id")
+
+
 def q_source_name_pairs(spark, sf_dir):
     """Edit-distance (Levenshtein) pairs over the source dimension —
     the fuzzy-name-match primitive of dedup over metadata columns.
@@ -1705,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "json_props_stats": q_json_props_stats,
         "label_centroids": q_label_centroids,
+        "embedding_outliers": q_embedding_outliers,
         "source_name_pairs": q_source_name_pairs,
         "source_stats": q_source_stats,
         "cc_components": q_cc_components,
@@ -2189,6 +2202,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        # same centroid arithmetic as label_centroids, then cosine of
+        # each row against its own label's centroid; outliers below the
+        # threshold are the mislabeled-pair suspects.
+        "embedding_outliers": """
+            WITH c0 AS (
+              SELECT label, i,
+                     round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS m
+              FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+              GROUP BY 1, 2),
+            cent AS (SELECT label, list(m ORDER BY i) AS c FROM c0 GROUP BY 1),
+            s AS (SELECT e.vec_id, e.label,
+                         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c) /
+                               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(c.c, c.c))), 6) AS cosine
+                  FROM embeddings e JOIN cent c USING (label))
+            SELECT vec_id, label, cosine FROM s
+            WHERE cosine < -0.05 ORDER BY vec_id""",
         "source_name_pairs": """
             WITH s AS (SELECT DISTINCT source FROM documents)
             SELECT a.source AS src_a, b.source AS src_b,

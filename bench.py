@@ -230,15 +230,17 @@ def run_image_pipeline(spark, n_images: int) -> tuple[float, float, list[float]]
     # dup-pair recall vs the fixture's planted truth — the north rule's
     # primary gate (>= 0.99), computed on the final run's clusters
     # (cheap: every stage is already checkpointed)
-    recall = pl.dup_pair_recall(out["clusters"], img.truth_dup_pairs(n_images))
+    truth = img.truth_dup_pairs(n_images)
+    recall = pl.dup_pair_recall(out["clusters"], truth)
+    precision = pl.dup_pair_precision(out["clusters"], truth)
     spark.catalog.clearCache()
-    return min(rounds), recall, rounds
+    return min(rounds), recall, precision, rounds
 
 
-def run_recall_at(spark, n_images: int) -> float:
-    """Dup-pair recall of the full pipeline at a SECOND corpus size, so
-    the >= 0.99 gate is not a single-point measurement (VERDICT r2
-    item 8). Untimed — correctness evidence only."""
+def run_recall_at(spark, n_images: int) -> tuple[float, float]:
+    """Dup-pair recall AND precision of the full pipeline at a SECOND
+    corpus size, so the >= 0.99 gate is not a single-point measurement
+    (VERDICT r2 item 8). Untimed — correctness evidence only."""
     from yadf_spark.fixtures import images as img
     from yadf_spark.operators import pipeline as pl
     from yadf_spark.plans.checkpoint import Checkpointer
@@ -246,9 +248,11 @@ def run_recall_at(spark, n_images: int) -> float:
     df = _images_cached(spark, n_images)
     ck = Checkpointer(spark=spark, workdir=None, eager=False)
     out = pl.near_dup_pipeline(df, checkpointer=ck)
-    recall = pl.dup_pair_recall(out["clusters"], img.truth_dup_pairs(n_images))
+    truth = img.truth_dup_pairs(n_images)
+    recall = pl.dup_pair_recall(out["clusters"], truth)
+    precision = pl.dup_pair_precision(out["clusters"], truth)
     spark.catalog.clearCache()
-    return recall
+    return recall, precision
 
 
 #: second (smaller) corpus size for the recall gate's second data point
@@ -351,8 +355,8 @@ def main() -> None:
         t_large = min(t_large, t)
         extra += 1
     # full near-dup pipeline throughput, on the last large session
-    t_pipeline, recall, pipeline_rounds = run_image_pipeline(spark, N_IMAGES)
-    recall2 = run_recall_at(spark, RECALL_2_IMAGES)
+    t_pipeline, recall, precision, pipeline_rounds = run_image_pipeline(spark, N_IMAGES)
+    recall2, precision2 = run_recall_at(spark, RECALL_2_IMAGES)
 
     efficiency = (t_small * SMALL_CORES) / (t_large * LARGE_CORES)
     result.update(
@@ -368,6 +372,14 @@ def main() -> None:
             "dup_pair_recall_by_size": {
                 str(N_IMAGES): round(recall, 6),
                 str(RECALL_2_IMAGES): round(recall2, 6),
+            },
+            # precision vs the planted truth's transitive closure: the
+            # verify stage (caption + PSNR) is what makes LSH candidates
+            # safe to merge, and this is its measured output quality
+            "dup_pair_precision": round(precision, 6),
+            "dup_pair_precision_by_size": {
+                str(N_IMAGES): round(precision, 6),
+                str(RECALL_2_IMAGES): round(precision2, 6),
             },
             "n_images": N_IMAGES,
             "scaling": {

@@ -448,3 +448,43 @@ def test_text_near_dup_mode_over_table(spark, tmp_path):
     groups = json.loads(out)
     assert len(groups) == 1
     assert sorted(groups[0]) == ["d1", "d2"]
+
+
+def test_survivors_sink_text_mode(spark, tmp_path):
+    """--survivors writes one keep-best row per cluster: the longer of
+    two near-dup texts wins (quality = text length)."""
+    tbl = str(tmp_path / "docs.parquet")
+    rows = [
+        ("d1", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("d2", "alpha beta gamma delta epsilon zeta eta theta " * 6 + "iota"),
+        ("d3", "unrelated words entirely separate vocabulary here now " * 6),
+    ]
+    spark.createDataFrame(rows, "doc_id string, caption string").write.parquet(tbl)
+    sv = tmp_path / "survivors"
+    _cli(
+        spark,
+        [
+            "-f", "json", "--mode", "text-near-dup", "--table", tbl,
+            "--id-col", "doc_id", "--survivors", str(sv),
+        ],
+    )
+    reps = spark.read.parquet(str(sv)).collect()
+    assert len(reps) == 1  # components emit edge-bearing nodes only
+    r = reps[0]
+    assert r.rep_id == "d2" and r.n_members == 2  # d2 is longer
+
+
+def test_survivors_sink_exact_mode_keeps_min_id(spark, tree, tmp_path):
+    """Exact groups hold identical payloads — the survivor is the
+    smallest id (deterministic keep-first)."""
+    sv = tmp_path / "survivors"
+    _cli(spark, ["-f", "json", "--survivors", str(sv), str(tree)])
+    reps = spark.read.parquet(str(sv)).collect()
+    assert len(reps) == 1
+    r = reps[0]
+    assert r.n_members == 4
+    assert os.path.basename(r.rep_id) in {"bar", "deep_foo", "foo", "qix"}
+    # identical payloads -> quality ties -> the lexicographically
+    # smallest full path must win
+    members = json.loads(_cli(spark, ["-f", "json", str(tree)]))[0]
+    assert r.rep_id == min(members)

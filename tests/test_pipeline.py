@@ -183,3 +183,25 @@ def test_viral_caption_star_verification(spark):
     # not n(n-1)/2 — check via the star-pair count emitted
     n_star = len([p for p in got])
     assert n_star <= len(ids)
+
+
+def test_dup_pair_precision_helper(result, spark):
+    """The bench's precision metric: 1.0 on the planted corpus (the
+    verify stage rejects every decoy), and strictly below 1.0 on a
+    deliberately over-merged assignment."""
+    truth = images.truth_dup_pairs(N)
+    assert pipeline.dup_pair_precision(result["clusters"], truth) == 1.0
+
+    one_cluster = spark.createDataFrame(
+        [(f"img-{i:09d}", "all") for i in range(N)], "image_id string, cluster_id string"
+    )
+    p = pipeline.dup_pair_precision(one_cluster, truth)
+    assert 0.0 < p < 0.01, f"one-giant-cluster precision should be ~0, got {p}"
+
+    # transitive credit: closure pairs count as correct even when not
+    # planted verbatim — a-b, b-c planted; cluster {a,b,c} is perfect
+    planted = {("a", "b"), ("b", "c")}
+    perfect = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x")], "image_id string, cluster_id string"
+    )
+    assert pipeline.dup_pair_precision(perfect, planted) == 1.0

@@ -169,3 +169,37 @@ def test_label_centroids_exact_means_and_plan(spark):
     gen_pos = plan.find("Generate")
     ex_pos = plan.find("Exchange")
     assert gen_pos != -1 and ex_pos != -1 and gen_pos < ex_pos, plan[:2000]
+
+
+def test_label_outliers_flags_flipped_vector(spark):
+    """Planted case: two tight label clusters, one row carries the
+    OPPOSITE of its label's direction — it must be the only outlier,
+    with a strongly negative cosine to its own centroid."""
+    rng = np.random.default_rng(7)
+    rows = []
+    base0 = np.zeros(8); base0[0] = 1.0
+    base1 = np.zeros(8); base1[1] = 1.0
+    for i in range(20):
+        base = base0 if i % 2 == 0 else base1
+        v = base + rng.normal(0, 0.01, 8)
+        rows.append((i, [float(x) for x in v], i % 2))
+    # row 100: labeled 0 but pointing along -base0
+    rows.append((100, [float(x) for x in (-base0 + rng.normal(0, 0.01, 8))], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.label_outliers(df, "vec_id", "label", "embedding", dim=8, max_cosine=0.0)
+    got = {r.vec_id: r.cosine for r in out.collect()}
+    assert set(got) == {100}
+    assert got[100] < -0.8
+
+
+def test_label_outliers_plan_broadcasts_centroids(spark):
+    """The (labels x dim) centroid frame must broadcast — the corpus
+    side is scored in a zero-shuffle narrow map."""
+    rows = [(i, [float(i % 3), 1.0, 0.0], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.label_outliers(df, "vec_id", "label", "embedding", dim=3, max_cosine=0.5)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

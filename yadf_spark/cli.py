@@ -118,6 +118,16 @@ def build_parser() -> argparse.ArgumentParser:
         "catalog name (e.g. yadf.db.clusters) -> Iceberg writeTo when the "
         "runtime jar is on the classpath",
     )
+    p.add_argument(
+        "--survivors",
+        default=None,
+        help="write one keep-best row per cluster (cluster_id, rep_id, "
+        "rep_quality, n_members) to this parquet path — quality is w*h "
+        "for image tables, text length in text mode, payload byte "
+        "length otherwise; ties keep the smallest id (the reference "
+        "cleaner's keep-first policy, examples/clean.rs, re-ranked on "
+        "a quality axis)",
+    )
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism (ignored under spark-submit)")
     p.add_argument("--report", action="store_true", help="print per-stage metrics to stderr")
     return p
@@ -141,11 +151,31 @@ def _as_table_ident(dest: str) -> str | None:
     return dest
 
 
-def _clusters_to_groups(clusters, args: argparse.Namespace):
+def _survivor_quality(source_df, payload_col: str):
+    """Quality axis for --survivors, inferred from the corpus shape:
+    pixel count for image tables, text length for text corpora, payload
+    byte length otherwise, constant 0 (pure keep-min-id) as the last
+    resort."""
+    from pyspark.sql import functions as F
+
+    cols = set(source_df.columns)
+    if {"w", "h"} <= cols:
+        return F.col("w").cast("long") * F.col("h")
+    if "text" in cols:
+        return F.length("text").cast("long")
+    if payload_col in cols:
+        return F.length(F.col(payload_col)).cast("long")
+    if "size" in cols:
+        return F.col("size").cast("long")
+    return F.lit(0).cast("long")
+
+
+def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
     """Shared tail of every clustering mode: optionally persist the
-    ``(image_id, cluster_id)`` assignment to ``--cluster-table``, then
-    aggregate a groups view (sorted members + rfactor filter) for the
-    text output formats."""
+    ``(image_id, cluster_id)`` assignment to ``--cluster-table`` and the
+    per-cluster keep-best rows to ``--survivors``, then aggregate a
+    groups view (sorted members + rfactor filter) for the text output
+    formats."""
     from pyspark.sql import functions as F
 
     from yadf_spark.operators import exact
@@ -155,6 +185,16 @@ def _clusters_to_groups(clusters, args: argparse.Namespace):
         fmts.write_cluster_assignments(
             clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
         )
+    if args.survivors and source_df is not None:
+        from yadf_spark.operators import curation
+
+        curation.cluster_representatives(
+            source_df,
+            clusters,
+            id_col="image_id",
+            quality_col=_survivor_quality(source_df, args.payload_col),
+            cluster_member_col="image_id",
+        ).write.mode("overwrite").parquet(args.survivors)
     return (
         clusters.groupBy(F.col("cluster_id").alias("group_key"))
         .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
@@ -208,7 +248,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         images = pl.prepare_images(exact.apply_scan_filters(df, flt))
         out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
-        groups = _clusters_to_groups(out["clusters"], args)
+        groups = _clusters_to_groups(out["clusters"], args, source_df=images)
         metrics = out["metrics"] if "metrics" in out else None
     elif args.mode == "text-near-dup":
         from yadf_spark.config import LshConfig
@@ -240,7 +280,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         clusters = components.connected_components(pairs).select(
             F.col("id").alias("image_id"), "cluster_id"
         )
-        groups = _clusters_to_groups(clusters, args)
+        groups = _clusters_to_groups(clusters, args, source_df=docs)
         metrics = ck.metrics() if eager else None
     elif args.mode == "audio-near-dup":
         from yadf_spark.operators import audio as au
@@ -259,7 +299,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
         clusters = components.connected_components(pairs).select(
             F.col("id").alias("image_id"), "cluster_id"
         )
-        groups = _clusters_to_groups(clusters, args)
+        groups = _clusters_to_groups(clusters, args, source_df=clips)
         metrics = ck.metrics() if eager else None
     else:
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
@@ -280,6 +320,22 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 args.cluster_table,
                 table=_as_table_ident(args.cluster_table),
             )
+        if args.survivors:
+            from yadf_spark.operators import curation
+
+            # exact groups hold byte-identical payloads, so quality is
+            # a constant within each group and the policy degrades to
+            # keep-min-id — the deterministic analog of the reference
+            # cleaner's keep-first
+            curation.cluster_representatives(
+                df,
+                groups.select(
+                    F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
+                ),
+                id_col="image_id",
+                quality_col=_survivor_quality(df, args.payload_col),
+                cluster_member_col="image_id",
+            ).write.mode("overwrite").parquet(args.survivors)
 
     if args.output_dir:
         liners = {

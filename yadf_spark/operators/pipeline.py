@@ -190,3 +190,47 @@ def dup_pair_recall(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> f
         return 1.0
     hit = sum(1 for a, b in truth_pairs if assign.get(a) == assign.get(b))
     return hit / len(truth_pairs)
+
+
+def dup_pair_precision(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> float:
+    """Fraction of co-clustered pairs that are true duplicates, judged
+    against the TRANSITIVE CLOSURE of the planted pairs (a pipeline that
+    co-clusters a-b and b-c has also asserted a-c; the closure is what
+    makes that assertion correct rather than a false positive).
+
+    Counted without materializing any pair list: a union-find over the
+    planted pairs labels each id with its truth component, then per
+    emitted cluster the correct pairs are sum-over-components C(k, 2)
+    and the emitted pairs C(n, 2) — linear in corpus size even when a
+    (buggy) pipeline emits one giant cluster."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in truth_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    by_cluster: dict = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(r["image_id"])
+
+    emitted = 0
+    correct = 0
+    for members in by_cluster.values():
+        n = len(members)
+        if n < 2:
+            continue
+        emitted += n * (n - 1) // 2
+        roots: dict[str, int] = {}
+        for m in members:
+            root = find(m) if m in parent else m
+            roots[root] = roots.get(root, 0) + 1
+        correct += sum(k * (k - 1) // 2 for k in roots.values())
+    return 1.0 if emitted == 0 else correct / emitted

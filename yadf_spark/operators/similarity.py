@@ -457,3 +457,46 @@ def label_centroids(
     return agg.select(
         "label", "n", F.posexplode(means).alias("pos", "mean_x")
     ).select("label", "pos", "mean_x", "n")
+
+
+def label_outliers(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    emb_col: str,
+    dim: int,
+    max_cosine: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rows whose embedding points AWAY from their own label's exact
+    centroid (``cosine < max_cosine``) — the mislabeled/noisy-pair sweep
+    an image+caption corpus runs before training: a row whose embedding
+    disagrees with everything sharing its label is evidence the label
+    (or the pairing) is wrong. Returns ``(id, label, cosine)``.
+
+    Scale shape: the centroid aggregate is the ``label_centroids``
+    partial-agg trick — ``dim`` parallel sums in ONE map-side combine,
+    so the exchange carries (partitions x labels) rows of dim doubles,
+    independent of corpus size; the (labels x dim) centroid frame then
+    broadcasts, making the scoring pass a zero-shuffle narrow map in
+    whole-stage codegen (``zip_with``/``aggregate`` dot product, no
+    Python). Centroid means and the final cosine round to ``round_to``
+    so any engine (the DuckDB oracle replays this bit-for-bit) agrees
+    despite float summation order. A row's own embedding is included in
+    its centroid — at curation corpus sizes the self-term is noise, and
+    excluding it would need a second per-row pass for no extra signal.
+    """
+    sums = [
+        F.sum(F.element_at(_as_double(F.col(emb_col)), i + 1)).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    cent = df.groupBy(F.col(label_col).alias("_lbl")).agg(F.count("*").alias("_n"), *sums)
+    centroid = F.array(*[F.round(F.col(f"s{i}") / F.col("_n"), round_to) for i in range(dim)])
+    cent = cent.select("_lbl", centroid.alias("_c"))
+    e = _as_double(F.col(emb_col))
+    cos = F.round(_dot(e, F.col("_c")) / (_norm(e) * _norm(F.col("_c"))), round_to)
+    return (
+        df.join(F.broadcast(cent), F.col(label_col) == F.col("_lbl"))
+        .select(F.col(id_col), F.col(label_col), cos.alias("cosine"))
+        .filter(F.col("cosine") < max_cosine)
+    )
