@@ -1653,6 +1653,72 @@ def q_images_representatives(spark, sf_dir):
     return reps.orderBy("cluster_id")
 
 
+def _flip_images_parquet(n_bases: int = 48) -> str:
+    """Fixture for flip-invariant near-dup: deterministic images with
+    8-multiple dims (where the dihedral bit-permutation is exact);
+    every 4th base gains a mirrored copy and every 8th a 180-rotated
+    copy. Stored truth: each image's four 16-bit bands over the
+    canonical dihedral phash, computed single-process by the SAME pure
+    kernels (codec.perceptual_hash -> multimodal.canonical_phash_kernel)
+    the distributed path applies — DuckDB replays the band-OR join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_flip_images_{n_bases}.parquet"
+    if not os.path.exists(path):
+        ids: list[str] = []
+        payloads: list[bytes] = []
+        phashes: list[int] = []
+
+        def add(iid: str, px) -> None:
+            ids.append(iid)
+            payloads.append(codec.encode_png(px))
+            phashes.append(codec.perceptual_hash(px))
+
+        for i in range(n_bases):
+            rng = np.random.RandomState(9_000 + i)
+            h, w = 8 * rng.randint(4, 9), 8 * rng.randint(4, 9)
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            add(f"base-{i:04d}", px)
+            if i % 4 == 0:
+                add(f"flip-{i:04d}", px[:, ::-1])
+            if i % 8 == 0:
+                add(f"rot-{i:04d}", px[::-1, ::-1])
+        canon = mm.canonical_phash_kernel(np.array(phashes, dtype=np.int64))
+        cu = canon.view(np.uint64)
+        cols = {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+        }
+        for j in range(4):
+            cols[f"band{j}"] = pa.array(
+                ((cu >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_images_flip_near_dup(spark, sf_dir):
+    """Mirror/rotation-invariant near-dup candidates: decode -> phash ->
+    canonical dihedral phash (orbit minimum over 4 bit permutations —
+    no extra decode per transform) -> 4x16-bit bands -> the shared
+    salted bucket expansion. Catches mirrored/rotated reposts the plain
+    phash bands miss; oracle replays the band-OR join over stored-truth
+    bands from the same pure kernels."""
+    from yadf_spark.operators import multimodal as mm
+    from yadf_spark.operators import pipeline as pl
+
+    df = spark.read.parquet(_flip_images_parquet()).select("image_id", "bytes")
+    bands = mm.flip_invariant_bands(pl.prepare_images(df))
+    return minhash.candidate_pairs_from_buckets(bands).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the staged dedup ladder assignment on sf0.001."""
     return q_ladder_assignment(spark, "/root/testdata/sf0.001")
@@ -1743,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_near_dup": q_ivf_near_dup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
         "images_representatives": q_images_representatives,
+        "images_flip_near_dup": q_images_flip_near_dup,
     }
 
 
@@ -2532,4 +2599,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.q = mx.rep_quality
             GROUP BY m.cluster_id, mx.rep_quality, mx.n_members
             ORDER BY cluster_id""",
+        # flip-invariant candidates: band-OR join over the stored-truth
+        # canonical-dihedral-phash bands (same pure kernels, computed
+        # single-process at fixture-build time).
+        "images_flip_near_dup": f"""
+            WITH f AS (SELECT image_id, band0, band1, band2, band3
+                       FROM read_parquet('{_flip_images_parquet()}')),
+            p AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b
+                  FROM f a JOIN f b ON a.image_id < b.image_id
+                   AND (a.band0 = b.band0 OR a.band1 = b.band1
+                        OR a.band2 = b.band2 OR a.band3 = b.band3))
+            SELECT id_a, id_b FROM p ORDER BY id_a, id_b""",
     }

@@ -461,3 +461,41 @@ def test_stateful_dedup_counts(spark, tmp_path):
     assert sum(r["batch_rows"] for r in by_group["srcA"]) == 5
     assert sum(r["batch_new"] for r in by_group["srcA"]) == 3
     assert sum(r["batch_dups"] for r in by_group["srcA"]) == 2
+
+
+def test_dihedral_phash_orbit_invariance():
+    """canonical_phash is identical for an image and its mirror /
+    vertical flip / 180-rotation (exact when dims are multiples of 8):
+    the transform lifts from pixels to a pure bit permutation."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (56, 40, 3), dtype=np.uint8)
+    variants = [px, px[:, ::-1], px[::-1, :], px[::-1, ::-1]]
+    phs = np.array([codec.perceptual_hash(v) for v in variants], dtype=np.int64)
+    assert len(set(phs.tolist())) == 4  # plain phash misses all of them
+    canon = mm.canonical_phash_kernel(phs)
+    assert len(set(canon.tolist())) == 1
+    # the orbit of the base phash covers every transform's phash
+    orbit = set(mm.dihedral_phash_orbit(phs[:1])[0].view(np.int64).tolist())
+    assert set(phs.tolist()) <= orbit
+
+
+def test_flip_invariant_bands_finds_mirrored_pair(spark):
+    """End-to-end: a mirrored repost collides in every canonical band
+    and surfaces as a candidate pair; unrelated images do not; null
+    phash rows are dropped, not crashed on."""
+    from yadf_spark.operators.minhash import candidate_pairs_from_buckets
+
+    rng = np.random.default_rng(12)
+    px_a = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    px_c = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    rows = [
+        ("a", int(codec.perceptual_hash(px_a))),
+        ("a-mirror", int(codec.perceptual_hash(px_a[:, ::-1]))),
+        ("c", int(codec.perceptual_hash(px_c))),
+        ("bad", None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = candidate_pairs_from_buckets(mm.flip_invariant_bands(df))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ("a", "a-mirror") in got
+    assert all("bad" not in p for p in got)

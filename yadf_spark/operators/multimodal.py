@@ -250,3 +250,98 @@ def frame_sample(
     return df.select(F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
         kernel, FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# flip/rotation-invariant phash (mirrored-repost dedup)
+# ---------------------------------------------------------------------------
+
+def dihedral_phash_orbit(phash_arr: np.ndarray) -> np.ndarray:
+    """The 4 phash values an image's Klein-group transforms (identity,
+    mirror, vertical flip, 180-degree rotation) would produce — computed
+    as pure BIT permutations of the stored 64-bit phash, no pixel decode.
+
+    The block-mean phash grid of ``fliplr(img)`` IS the column-reversed
+    grid of ``img`` (mean pooling commutes with the flip and the median
+    threshold is permutation-invariant), so the transform lifts to a
+    bit shuffle — exact when w and h are multiples of the 8x8 grid, a
+    recall heuristic (verification still gates) otherwise, since the
+    crop-to-multiple-of-8 then trims opposite edges.
+
+    Vectorized: (n,) int64 -> (n, 4) uint64, a few numpy reshapes."""
+    n = len(phash_arr)
+    u = phash_arr.astype(np.int64).view(np.uint64)
+    # little-endian uint64 -> MSB-first bit matrix = the flattened 8x8
+    # grid in perceptual_hash's row-major fill order
+    grid = (
+        np.unpackbits(u.view(np.uint8).reshape(n, 8)[:, ::-1], axis=1)
+        .reshape(n, 8, 8)
+    )
+    variants = (
+        grid,
+        grid[:, :, ::-1],          # fliplr: columns reverse
+        grid[:, ::-1, :],          # flipud: rows reverse
+        grid[:, ::-1, ::-1],       # rot180: both
+    )
+    out = np.empty((n, 4), dtype=np.uint64)
+    for j, v in enumerate(variants):
+        b8 = np.packbits(np.ascontiguousarray(v).reshape(n, 64), axis=1)
+        val = np.zeros(n, dtype=np.uint64)
+        for k in range(8):
+            val |= b8[:, k].astype(np.uint64) << np.uint64(8 * (7 - k))
+        out[:, j] = val
+    return out
+
+
+def canonical_phash_kernel(phash_arr: np.ndarray) -> np.ndarray:
+    """Orbit minimum (unsigned) of ``dihedral_phash_orbit`` as signed
+    int64 — identical for an image and any of its 4 transforms, so one
+    band pass over this value catches mirrored/rotated reposts."""
+    return dihedral_phash_orbit(phash_arr).min(axis=1).view(np.int64)
+
+
+def with_canonical_phash(
+    df: DataFrame, phash_col: str = "phash", out_col: str = "canonical_phash"
+) -> DataFrame:
+    """Add the flip/rotation-invariant canonical phash — an Arrow-batched
+    narrow map over the 8-byte hash column only (payload bytes untouched,
+    zero shuffle); null phash (undecodable payload) stays null."""
+
+    @F.pandas_udf("long")
+    def kernel(s: pd.Series) -> pd.Series:
+        mask = s.notna()
+        out = pd.Series(np.zeros(len(s), dtype=np.int64), index=s.index, dtype="Int64")
+        if mask.any():
+            out[mask] = canonical_phash_kernel(s[mask].to_numpy(dtype=np.int64))
+        out[~mask] = pd.NA
+        return out
+
+    return df.withColumn(out_col, kernel(F.col(phash_col)))
+
+
+def flip_invariant_bands(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Bucket-membership table ``(id, band_idx, band_hash)`` over the
+    canonical dihedral phash — plugs into the shared salted candidate
+    machinery (``minhash.candidate_pairs_from_buckets``) and the
+    incremental streaming index (``band_fn``), exactly like the plain
+    phash bands in ``pipeline.candidate_buckets`` but invariant to
+    mirror/vertical-flip/180-rotation reposts."""
+    mask = (1 << band_bits) - 1
+    src = with_canonical_phash(df, phash_col).filter(F.col("canonical_phash").isNotNull())
+    return src.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+        F.col("canonical_phash").alias("_c"),
+    ).select(
+        "id",
+        "band_idx",
+        F.expr(f"shiftrightunsigned(_c, band_idx * {band_bits})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_hash"),
+    )
