@@ -205,3 +205,38 @@ def test_dup_pair_precision_helper(result, spark):
         [("a", "x"), ("b", "x"), ("c", "x")], "image_id string, cluster_id string"
     )
     assert pipeline.dup_pair_precision(perfect, planted) == 1.0
+
+
+def test_flip_invariant_pipeline_clusters_mirrored_repost(spark):
+    """A mirrored re-encode sharing its caption: default config rejects
+    it at verification (plain PSNR sees scrambled pixels), while
+    flip_invariant=True verifies via orientation-max PSNR and clusters
+    the pair; unrelated rows stay apart under both configs."""
+    import numpy as np
+
+    from yadf_spark.config import NearDupConfig
+    from yadf_spark.fixtures import codec
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        cap = f"unique caption number {i} with several words " * 3
+        rows.append((f"im-{i:02d}", codec.encode_png(px), cap))
+        if i == 3:
+            rows.append((f"im-{i:02d}-mirror", codec.encode_png(px[:, ::-1].copy()), cap))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    df = pipeline.prepare_images(df)
+
+    def cluster_of(out, iid):
+        return {r.image_id: r.cluster_id for r in out["clusters"].collect()}[iid]
+
+    base = pipeline.near_dup_pipeline(df, NearDupConfig())
+    assert cluster_of(base, "im-03") != cluster_of(base, "im-03-mirror")
+
+    flip = pipeline.near_dup_pipeline(df, NearDupConfig(flip_invariant=True))
+    m = {r.image_id: r.cluster_id for r in flip["clusters"].collect()}
+    assert m["im-03"] == m["im-03-mirror"]
+    # no over-merge: every other image keeps its own cluster
+    others = [v for k, v in m.items() if not k.startswith("im-03")]
+    assert len(set(others)) == len(others)

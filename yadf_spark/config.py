@@ -112,3 +112,7 @@ class NearDupConfig:
     caption_min_jaccard: float = 0.8
     psnr_min_db: float = 40.0
     max_cc_iterations: int = 20
+    #: catch mirrored / vertically-flipped / 180-rotated reposts: bands
+    #: the CANONICAL dihedral phash (orbit-min bit permutation) and
+    #: verifies with orientation-max PSNR + canonical star subgroups
+    flip_invariant: bool = False

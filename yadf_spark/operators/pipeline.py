@@ -101,6 +101,17 @@ def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
     # bands: a shared null/empty key would otherwise collapse the whole
     # corpus into one garbage mega-bucket
     phash_src = images.filter(F.col("phash").isNotNull())
+    if getattr(cfg, "flip_invariant", False):
+        # band the orbit-min canonical phash so mirrored/rotated reposts
+        # collide in every band (a narrow bit-permutation map over the
+        # 8-byte hash column — no extra decode, no extra shuffle)
+        from yadf_spark.operators.multimodal import with_canonical_phash
+
+        phash_src = (
+            with_canonical_phash(phash_src, "phash")
+            .drop("phash")
+            .withColumnRenamed("canonical_phash", "phash")
+        )
     caption_src = images.filter(F.length(F.trim(F.col("caption"))) > 0)
     phash_b = phash_src.select(
         F.col("image_id").alias("id"),
@@ -137,7 +148,12 @@ def near_dup_pipeline(
 
     buckets = ck.stage(
         "candidate_buckets",
-        {"lsh": cfg.lsh, "phash_bands": cfg.phash_bands, "bits": cfg.phash_band_bits},
+        {
+            "lsh": cfg.lsh,
+            "phash_bands": cfg.phash_bands,
+            "bits": cfg.phash_band_bits,
+            "flip": cfg.flip_invariant,
+        },
         lambda: candidate_buckets(images, cfg),
     )
     candidates = ck.stage(
@@ -150,8 +166,10 @@ def near_dup_pipeline(
 
     verified = ck.stage(
         "verify",
-        {"psnr": cfg.psnr_min_db},
-        lambda: verify.verify_pairs(candidates, images, psnr_min_db=cfg.psnr_min_db),
+        {"psnr": cfg.psnr_min_db, "flip": cfg.flip_invariant},
+        lambda: verify.verify_pairs(
+            candidates, images, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
+        ),
     )
     # no .distinct() here: connected_components canonicalizes + dedups
     # its input anyway, so an extra exchange would be pure overhead

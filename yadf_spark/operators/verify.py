@@ -45,10 +45,41 @@ def _pair_psnr_kernel(bytes_a: pd.Series, bytes_b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
-def pair_psnr():
+def _pair_psnr_kernel_dihedral(bytes_a: pd.Series, bytes_b: pd.Series) -> pd.Series:
+    """Orientation-max PSNR: the best PSNR of ``a`` against ``b``'s four
+    Klein-group transforms (identity, mirror, vertical flip, 180
+    rotation) — a mirrored re-encode of the same shot scores as the
+    re-encode it is. One decode per side; the three extra orientations
+    are numpy views, so the added cost is 3 more elementwise diffs on
+    the (already tiny) decode-tier pair set."""
+    import numpy as np
+
+    from yadf_spark.fixtures.codec import decode_image, psnr
+
+    out = []
+    for a, b in zip(bytes_a, bytes_b):
+        if a is None or b is None:
+            out.append(-1.0)
+            continue
+        try:
+            pa_ = decode_image(bytes(a))
+            pb_ = decode_image(bytes(b))
+            best = -1.0
+            for t in (pb_, pb_[:, ::-1], pb_[::-1, :], pb_[::-1, ::-1]):
+                if t.shape == pa_.shape:
+                    v = psnr(pa_, t)
+                    best = max(best, 1e9 if np.isinf(v) else float(v))
+            val = best
+        except Exception:
+            val = -1.0
+        out.append(val)
+    return pd.Series(out, dtype="float64")
+
+
+def pair_psnr(dihedral: bool = False):
     """The PSNR pandas UDF, created lazily (UDF registration parses its
     DDL return type, which needs an active SparkSession)."""
-    return F.pandas_udf(_pair_psnr_kernel, "double")
+    return F.pandas_udf(_pair_psnr_kernel_dihedral if dihedral else _pair_psnr_kernel, "double")
 
 
 def verify_pairs(
@@ -59,8 +90,15 @@ def verify_pairs(
     caption_col: str = "caption",
     psnr_min_db: float = 40.0,
     star_caption_groups_above: int = 64,
+    dihedral: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) -> verified pairs with evidence columns.
+
+    ``dihedral=True`` verifies mirrored/rotated re-encodes too: the
+    decode tier scores orientation-max PSNR, and the viral-caption star
+    subgroups key on the CANONICAL dihedral phash (so a mirrored copy
+    inside a mega caption group lands in its original's subgroup
+    instead of being dropped as cross-phash).
 
     Two-tier evaluation so payload bytes NEVER cross a shuffle (O6):
 
@@ -134,6 +172,14 @@ def verify_pairs(
             F.xxhash64(F.col(caption_col)).alias("cap_h"),
             F.col("phash").alias("_ph"),
         )
+        if dihedral:
+            from yadf_spark.operators.multimodal import with_canonical_phash
+
+            caps = (
+                with_canonical_phash(caps, "_ph", out_col="_cph")
+                .drop("_ph")
+                .withColumnRenamed("_cph", "_ph")
+            )
         decode_ids_all = (
             raw_decode.select(F.col("id_a").alias("id"))
             .unionByName(raw_decode.select(F.col("id_b").alias("id")))
@@ -192,7 +238,7 @@ def verify_pairs(
             "id_a",
             "id_b",
             "caption_equal",
-            pair_psnr()(F.col("bytes_a"), F.col("bytes_b")).alias("psnr_db"),
+            pair_psnr(dihedral)(F.col("bytes_a"), F.col("bytes_b")).alias("psnr_db"),
         )
     )
     trivial = narrow.filter(~need_decode).select(
