@@ -1263,6 +1263,49 @@ def q_images_metadata(spark, sf_dir):
     )
 
 
+def q_images_quality_filter(spark, sf_dir):
+    """Image curation gate: keep decodable rows with >= 1024 pixels and
+    aspect ratio within [1:3, 3:1] — the standard resolution/aspect
+    prefilter a scraped image corpus applies before any expensive stage.
+    Integer-arithmetic predicates (3*w >= h AND w <= 3*h) so no float
+    boundary can disagree between engines; zero-shuffle narrow map over
+    decoded metadata."""
+    from yadf_spark.operators import multimodal as mm
+
+    df = spark.read.parquet(_images_parquet(128))
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    return (
+        mm.decode_metadata(df)
+        .filter(F.col("ok"))
+        .select(
+            "image_id",
+            w.alias("w"),
+            h.alias("h"),
+            (w * h).alias("n_pixels"),
+            F.round(w / h, 6).alias("aspect"),
+        )
+        .filter(
+            (F.col("n_pixels") >= 1024)
+            & (3 * F.col("w") >= F.col("h"))
+            & (F.col("w") <= 3 * F.col("h"))
+        )
+        .orderBy("image_id")
+    )
+
+
+def q_token_histogram(spark, sf_dir):
+    """Corpus token-count distribution in decade bins — the length
+    histogram every curation run eyeballs before picking min/max-length
+    gates. Pure partial-agg groupBy over a derived bin column."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = (F.floor(T.token_count(F.col("text")) / 10) * 10).cast("long")
+    return (
+        d.groupBy(bin_col.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
 def q_images_resize(spark, sf_dir):
     """Multimodal resize: nearest-neighbor to 32x32, re-encoded.
     Oracle-checked: the distributed decode->resize->re-encode must
@@ -1749,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "token_stats": q_token_stats,
+        "token_histogram": q_token_histogram,
         "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
         "language_id": q_language_id,
@@ -1802,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_events": q_sessionized_events,
         "clicks_within_error_window": q_clicks_within_error_window,
         "images_metadata": q_images_metadata,
+        "images_quality_filter": q_images_quality_filter,
         "images_resize": q_images_resize,
         "images_exact_dedup": q_images_exact_dedup,
         "images_embedding_ann": q_images_embedding_ann,
@@ -1937,6 +1982,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_actual
             FROM documents ORDER BY doc_id""",
+        "token_histogram": """
+            SELECT CAST(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 10)
+                        * 10 AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM documents GROUP BY 1 ORDER BY bin""",
         "bpe_token_stats": f"""
             WITH t AS (SELECT doc_id,
                 regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}') AS toks
@@ -2392,6 +2442,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
                    CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels
             FROM read_parquet('{_images_parquet(128)}')
+            ORDER BY image_id""",
+        # resolution/aspect curation gate over the same fixture's stored
+        # dims (integer predicates — no float boundary ambiguity)
+        "images_quality_filter": f"""
+            SELECT image_id,
+                   CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                   CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels,
+                   round(CAST(w AS DOUBLE) / h, 6) AS aspect
+            FROM read_parquet('{_images_parquet(128)}')
+            WHERE CAST(w AS BIGINT) * h >= 1024
+              AND 3 * w >= h AND w <= 3 * h
             ORDER BY image_id""",
         # distributed decode->resize->re-encode vs a single-process
         # replay of the same pure kernels (resize_pixels + codec).
