@@ -488,3 +488,29 @@ def test_survivors_sink_exact_mode_keeps_min_id(spark, tree, tmp_path):
     # smallest full path must win
     members = json.loads(_cli(spark, ["-f", "json", str(tree)]))[0]
     assert r.rep_id == min(members)
+
+
+def test_flip_invariant_cli_mode(spark, tmp_path):
+    """--mode near-dup --flip-invariant clusters a mirrored re-encode
+    that the default mode keeps separate."""
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(8):
+        px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        cap = f"cli flip caption {i} with words " * 3
+        rows.append((f"im-{i}", codec.encode_png(px), cap))
+        if i == 2:
+            rows.append((f"im-{i}-m", codec.encode_png(px[:, ::-1].copy()), cap))
+    tbl = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(rows, "image_id string, bytes binary, caption string").write.parquet(tbl)
+
+    base = json.loads(_cli(spark, ["-f", "json", "--mode", "near-dup", "--table", tbl]))
+    assert not any({"im-2", "im-2-m"} <= set(g) for g in base)
+    flip = json.loads(
+        _cli(spark, ["-f", "json", "--mode", "near-dup", "--table", tbl, "--flip-invariant"])
+    )
+    assert any(sorted(g) == ["im-2", "im-2-m"] for g in flip)

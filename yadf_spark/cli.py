@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
         "runtime jar is on the classpath",
     )
     p.add_argument(
+        "--flip-invariant",
+        action="store_true",
+        help="(--mode near-dup) also catch mirrored / vertically-flipped / "
+        "180-rotated reposts: canonical dihedral phash bands + "
+        "orientation-max PSNR verification",
+    )
+    p.add_argument(
         "--survivors",
         default=None,
         help="write one keep-best row per cluster (cluster_id, rep_id, "
@@ -247,7 +254,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
 
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         images = pl.prepare_images(exact.apply_scan_filters(df, flt))
-        out = pl.near_dup_pipeline(images, NearDupConfig(), checkpointer=ck)
+        out = pl.near_dup_pipeline(
+            images, NearDupConfig(flip_invariant=args.flip_invariant), checkpointer=ck
+        )
         groups = _clusters_to_groups(out["clusters"], args, source_df=images)
         metrics = out["metrics"] if "metrics" in out else None
     elif args.mode == "text-near-dup":
