@@ -499,3 +499,29 @@ def test_flip_invariant_bands_finds_mirrored_pair(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert ("a", "a-mirror") in got
     assert all("bad" not in p for p in got)
+
+
+def test_incremental_index_with_flip_invariant_band_fn(spark, tmp_path):
+    """flip_invariant_bands plugs into the incremental band index as a
+    band_fn: a mirrored repost arriving in a LATER batch is caught
+    against the history index, exactly like same-batch pairs."""
+    rng = np.random.default_rng(41)
+    px_a = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    rows1 = [
+        ("a", int(codec.perceptual_hash(px_a))),
+        ("b", int(codec.perceptual_hash(px_b))),
+    ]
+    rows2 = [("a-mirror", int(codec.perceptual_hash(px_a[:, ::-1])))]
+    b1 = spark.createDataFrame(rows1, "image_id string, phash long")
+    b2 = spark.createDataFrame(rows2, "image_id string, phash long")
+
+    index_dir = str(tmp_path / "fidx")
+    pairs_dir = str(tmp_path / "fpairs")
+    sd.incremental_near_dup_batch(b1, 0, index_dir, pairs_dir, band_fn=mm.flip_invariant_bands)
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, band_fn=mm.flip_invariant_bands)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
+    }
+    assert ("a", "a-mirror") in got
