@@ -1293,6 +1293,14 @@ def q_images_quality_filter(spark, sf_dir):
     )
 
 
+def q_char_class_stats(spark, sf_dir):
+    """Character-class distribution + entropy per document — the cheap
+    gibberish / encoding-noise detector (zero-shuffle codegen column
+    arithmetic; DuckDB replays with global regexp_replace)."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.char_class_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
 def q_token_histogram(spark, sf_dir):
     """Corpus token-count distribution in decade bins — the length
     histogram every curation run eyeballs before picking min/max-length
@@ -1826,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "token_stats": q_token_stats,
         "token_histogram": q_token_histogram,
+        "char_class_stats": q_char_class_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
         "language_id": q_language_id,
@@ -2021,6 +2030,27 @@ def oracle_sql() -> dict[str, str]:
                         * 10 AS BIGINT) AS bin,
                    count(*) AS n
             FROM documents GROUP BY 1 ORDER BY bin""",
+        # class counts via length-after-global-regexp-delete, entropy in
+        # natural log with a fixed 4-term summation order (round 6).
+        "char_class_stats": """
+            WITH c AS (
+              SELECT doc_id, length(text) AS n,
+                     length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS a,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS d,
+                     length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS s
+              FROM documents)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   CAST(a AS BIGINT) AS n_alpha, CAST(d AS BIGINT) AS n_digit,
+                   CAST(s AS BIGINT) AS n_space,
+                   CAST(n - a - d - s AS BIGINT) AS n_other,
+                   round(CASE WHEN n = 0 THEN 0.0 ELSE
+                     (CASE WHEN a > 0 THEN -(a * 1.0 / n) * ln(a * 1.0 / n) ELSE 0.0 END)
+                   + (CASE WHEN d > 0 THEN -(d * 1.0 / n) * ln(d * 1.0 / n) ELSE 0.0 END)
+                   + (CASE WHEN s > 0 THEN -(s * 1.0 / n) * ln(s * 1.0 / n) ELSE 0.0 END)
+                   + (CASE WHEN n - a - d - s > 0 THEN
+                        -((n - a - d - s) * 1.0 / n) * ln((n - a - d - s) * 1.0 / n)
+                      ELSE 0.0 END) END, 6) AS class_entropy
+            FROM c ORDER BY doc_id""",
         "bpe_token_stats": f"""
             WITH t AS (SELECT doc_id,
                 regexp_extract_all(text, '{T.BPE_PATTERN.replace("'", "''")}') AS toks

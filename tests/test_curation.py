@@ -402,3 +402,18 @@ def test_cluster_representatives_single_partial_agg_no_window(spark):
     )
     assert "Window" not in plan
     assert "partial_min_by" in plan or "min_by" in plan
+
+
+def test_char_class_stats_planted(spark):
+    """Known text -> exact class counts; entropy 0 for a single-class
+    doc, ln(2) for an even two-class split, 0 for empty text."""
+    df = spark.createDataFrame(
+        [(1, "ab12 !"), (2, "aaaa"), (3, "ab12"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curation.char_class_stats(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert (r1.n_chars, r1.n_alpha, r1.n_digit, r1.n_space, r1.n_other) == (6, 2, 2, 1, 1)
+    assert got[2].class_entropy == 0.0
+    assert got[3].class_entropy == round(math.log(2), 6)  # 2 alpha + 2 digit
+    assert got[4].class_entropy == 0.0 and got[4].n_chars == 0

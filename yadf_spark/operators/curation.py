@@ -578,3 +578,40 @@ def cluster_representatives(
             F.count("*").alias("n_members"),
         )
     )
+
+
+def char_class_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-class distribution + entropy — the cheap
+    gibberish/encoding-noise detector: natural text keeps a stable
+    letter/space mix, while binary spills, base64 blobs, and
+    delimiter-heavy markup skew the class distribution and the entropy
+    with it. Four classes (letters, digits, whitespace, other) counted
+    with length-after-regexp-delete arithmetic — pure whole-stage-
+    codegen column expressions, zero shuffle, zero Python, and exactly
+    replayable by any engine with global regexp_replace (no per-char
+    explode: class counts need O(1) columns, not O(n_chars) rows)."""
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def cnt(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(text, pattern, ""))
+
+    alpha, digit, space = cnt("[A-Za-z]"), cnt("[0-9]"), cnt("\\s")
+    other = n - alpha - digit - space
+
+    def term(c: Column) -> Column:
+        p = c / n
+        return F.when(c > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+
+    entropy = F.when(n > 0, term(alpha) + term(digit) + term(space) + term(other)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        alpha.cast("long").alias("n_alpha"),
+        digit.cast("long").alias("n_digit"),
+        space.cast("long").alias("n_space"),
+        other.cast("long").alias("n_other"),
+        F.round(entropy, 6).alias("class_entropy"),
+    )
