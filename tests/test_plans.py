@@ -262,3 +262,29 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "fmt" in pf[0], plan
     assert q.count() == 30
+
+
+def test_char_class_stats_zero_exchange_codegen(spark, docs):
+    """The quality-feature pass is a pure narrow map: no exchange, no
+    Python worker, one codegen span over the scan."""
+    from yadf_spark.operators import curation
+
+    out = curation.char_class_stats(docs, "doc_id", "text")
+    plan = _formatted(out)
+    assert "Exchange" not in plan
+    # formatted mode marks codegen stages with a leading "*"
+    assert "* Project" in plan
+    assert "Python" not in plan
+
+
+def test_token_histogram_partial_agg(spark, docs):
+    """The length histogram must combine map-side: what crosses the
+    exchange is one partial count per (partition, bin), never a row
+    per document."""
+    from yadf_spark.functions import text as T
+
+    bin_col = (F.floor(T.token_count(F.col("text")) / 10) * 10).cast("long")
+    out = docs.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n"))
+    plan = _formatted(out)
+    assert "partial_count" in plan
+    assert "Window" not in plan
