@@ -233,8 +233,14 @@ def run_image_pipeline(spark, n_images: int) -> tuple[float, float, list[float]]
     truth = img.truth_dup_pairs(n_images)
     recall = pl.dup_pair_recall(out["clusters"], truth)
     precision = pl.dup_pair_precision(out["clusters"], truth)
+    # per-stage row counts from the final run's (materialized) lazy
+    # checkpoints — the reference's scan-statistics surface; cheap now
+    # that every stage's blocks exist
+    stage_rows = {
+        m["stage"]: m["rows"] for m in out["metrics_fn"]() if m["rows"] >= 0
+    } if "metrics_fn" in out else {}
     spark.catalog.clearCache()
-    return min(rounds), recall, precision, rounds
+    return min(rounds), recall, precision, rounds, stage_rows
 
 
 def run_recall_at(spark, n_images: int) -> tuple[float, float]:
@@ -355,7 +361,7 @@ def main() -> None:
         t_large = min(t_large, t)
         extra += 1
     # full near-dup pipeline throughput, on the last large session
-    t_pipeline, recall, precision, pipeline_rounds = run_image_pipeline(spark, N_IMAGES)
+    t_pipeline, recall, precision, pipeline_rounds, stage_rows = run_image_pipeline(spark, N_IMAGES)
     recall2, precision2 = run_recall_at(spark, RECALL_2_IMAGES)
 
     efficiency = (t_small * SMALL_CORES) / (t_large * LARGE_CORES)
@@ -367,6 +373,7 @@ def main() -> None:
             "images_per_sec": round(SCALING_IMAGES / t_large, 1),
             "pipeline_sec": round(t_pipeline, 3),
             "pipeline_rounds": pipeline_rounds,
+            "pipeline_stage_rows": stage_rows,
             "pipeline_images_per_sec": round(N_IMAGES / t_pipeline, 1),
             "dup_pair_recall": round(recall, 6),
             "dup_pair_recall_by_size": {
