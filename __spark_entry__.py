@@ -690,6 +690,17 @@ def q_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_winnow_clusters_docs(spark, sf_dir):
+    """Substring-level near-dup CLUSTERS: the winnow pair stage (>= 10
+    shared fingerprints) closed transitively by connected components —
+    the plagiarism-detection composition (shared-passage families, not
+    just pairs). Oracle: the same pair CTE + recursive min-label reach."""
+    from yadf_spark.operators import components
+
+    pairs = q_winnow_pairs(spark, sf_dir).select("id_a", "id_b")
+    return components.connected_components(pairs).orderBy("id")
+
+
 def q_join_agg(spark, sf_dir):
     """Broadcast-join rollup: revenue per nation (dims broadcast)."""
     o = _t(spark, sf_dir, "orders")
@@ -1856,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "winnow_clusters_docs": q_winnow_clusters_docs,
         "join_agg": q_join_agg,
         "lineitem_agg": q_lineitem_agg,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -2305,6 +2317,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
                   GROUP BY 1, 2)
             SELECT id_a, id_b, shared FROM p WHERE shared >= 10 ORDER BY id_a, id_b""",
+        # the same winnow pair stage closed transitively (min-label reach)
+        "winnow_clusters_docs": f"""
+            WITH RECURSIVE {WINNOW_CTE},
+            ef AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                  FROM ef a JOIN ef b USING (fp) WHERE a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            e AS (SELECT id_a, id_b FROM p WHERE shared >= 10),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id)
+            SELECT id, min(lab) AS cluster_id
+            FROM reach GROUP BY id ORDER BY id""",
         "join_agg": """
             SELECT n_name,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
