@@ -3,6 +3,8 @@ and text-analysis functions."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from yadf_spark.functions import text as T
@@ -283,3 +285,38 @@ def test_bucket_containment_uses_sa_for_big_buckets(spark):
     }
     assert sa == nested
     assert ("i2", "i1") in sa and ("i1", "i3") in sa and ("i2", "i5") in sa
+
+
+def test_webdataset_shard_export_roundtrip(spark, tmp_path):
+    """Tar shard export: every row lands in exactly one shard, payload
+    and caption members pair by basename, member order is id-sorted,
+    and the shard assignment is the content-addressed md5 bucket (stable
+    across reruns and partition layouts)."""
+    import hashlib
+    import tarfile
+
+    from yadf_spark.sinks.webdataset import write_webdataset_shards
+
+    rows = [(f"im-{i:03d}", bytes([i]) * (i + 1), f"caption {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(df.repartition(7), out, n_shards=3, caption_col="caption")
+
+    seen = {}
+    for name in sorted(os.listdir(out)):
+        shard = int(name.split("-")[1].split(".")[0])
+        with tarfile.open(os.path.join(out, name)) as tf:
+            members = tf.getnames()
+            imgs = [m for m in members if m.endswith(".jpg")]
+            assert imgs == sorted(imgs)  # deterministic member order
+            for m in imgs:
+                iid = m[:-4]
+                payload = tf.extractfile(m).read()
+                cap = tf.extractfile(f"{iid}.txt").read().decode()
+                seen[iid] = (shard, payload, cap)
+    assert len(seen) == 20
+    for iid, (shard, payload, cap) in seen.items():
+        i = int(iid.split("-")[1])
+        assert payload == bytes([i]) * (i + 1) and cap == f"caption {i}"
+        expect = int(hashlib.md5(f"{iid}:wds".encode()).hexdigest()[:8], 16) % 3
+        assert shard == expect
