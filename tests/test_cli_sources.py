@@ -514,3 +514,48 @@ def test_flip_invariant_cli_mode(spark, tmp_path):
         _cli(spark, ["-f", "json", "--mode", "near-dup", "--table", tbl, "--flip-invariant"])
     )
     assert any(sorted(g) == ["im-2", "im-2-m"] for g in flip)
+
+
+def test_export_deduped_corpus_text_mode(spark, tmp_path):
+    """--export-dir writes the DEDUPED corpus: the longer near-dup
+    survivor + the unique doc, as .txt tar members; the dropped dup is
+    absent."""
+    import tarfile
+
+    tbl = str(tmp_path / "docs.parquet")
+    rows = [
+        ("d1", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("d2", "alpha beta gamma delta epsilon zeta eta theta " * 6 + "iota"),
+        ("d3", "unrelated words entirely separate vocabulary here now " * 6),
+    ]
+    spark.createDataFrame(rows, "doc_id string, caption string").write.parquet(tbl)
+    out = str(tmp_path / "wds")
+    _cli(
+        spark,
+        ["-f", "json", "--mode", "text-near-dup", "--table", tbl,
+         "--id-col", "doc_id", "--export-dir", out, "--export-shards", "2"],
+    )
+    members = {}
+    for name in os.listdir(out):
+        with tarfile.open(os.path.join(out, name)) as tf:
+            for m in tf.getnames():
+                members[m] = tf.extractfile(m).read().decode()
+    assert set(members) == {"d2.txt", "d3.txt"}  # d1 dropped (shorter dup)
+    assert members["d2.txt"].endswith("iota")
+
+
+def test_export_deduped_corpus_exact_mode(spark, tree, tmp_path):
+    """Exact mode: 4 identical files collapse to their min-id survivor;
+    uniques pass through."""
+    import tarfile
+
+    out = str(tmp_path / "wds")
+    _cli(spark, ["-f", "json", "--export-dir", out, "--export-shards", "2", str(tree)])
+    names = []
+    for name in os.listdir(out):
+        with tarfile.open(os.path.join(out, name)) as tf:
+            names.extend(tf.getnames())
+    bases = sorted(os.path.basename(n) for n in names)
+    # 6 files -> 4-dup group keeps 1, qux + qax pass through = 3 members
+    assert len(bases) == 3
+    assert any(b.endswith("qux.jpg") for b in bases) and any(b.endswith("qax.jpg") for b in bases)

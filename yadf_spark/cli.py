@@ -135,6 +135,19 @@ def build_parser() -> argparse.ArgumentParser:
         "cleaner's keep-first policy, examples/clean.rs, re-ranked on "
         "a quality axis)",
     )
+    p.add_argument(
+        "--export-dir",
+        default=None,
+        help="write the DEDUPED corpus (the keep-best survivor of every "
+        "cluster plus all unclustered rows) as WebDataset-style tar "
+        "shards of {id}.{ext} [+ {id}.txt caption] members — the "
+        "training-loader hand-off",
+    )
+    p.add_argument(
+        "--export-shards", type=int, default=8,
+        help="number of tar shards for --export-dir (content-addressed: "
+        "a row keeps its shard across reruns and cluster sizes)",
+    )
     p.add_argument("--cores", type=int, default=None, help="local[N] parallelism (ignored under spark-submit)")
     p.add_argument("--report", action="store_true", help="print per-stage metrics to stderr")
     return p
@@ -177,6 +190,45 @@ def _survivor_quality(source_df, payload_col: str):
     return F.lit(0).cast("long")
 
 
+def _export_deduped(clusters, reps, source_df, args: argparse.Namespace) -> None:
+    """The engine's terminal output: the corpus AFTER dedup — every
+    cluster contributes its keep-best survivor, rows that never
+    clustered pass through — exported as WebDataset tar shards. Keep-set
+    construction is id-only (anti-join for the unclustered, semi-join
+    for the survivors); payload bytes move exactly once, into their
+    shard."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.sinks.webdataset import write_webdataset_shards
+
+    unclustered = source_df.join(
+        clusters.select(F.col("image_id")), "image_id", "left_anti"
+    )
+    survivors = source_df.join(
+        reps.select(F.col("rep_id").alias("image_id")), "image_id", "left_semi"
+    )
+    keep = unclustered.unionByName(survivors)
+    caption_col = next((c for c in ("caption", "text") if c in keep.columns), None)
+    ext = "jpg"
+    if args.payload_col in keep.columns:
+        bytes_col = args.payload_col
+    elif "bytes" in keep.columns:
+        bytes_col = "bytes"
+    else:
+        # text corpora carry no binary payload — the document itself is
+        # the sample: export it as the .txt member
+        keep = keep.withColumn("_payload", F.encode(F.col(caption_col), "UTF-8"))
+        bytes_col, ext, caption_col = "_payload", "txt", None
+    write_webdataset_shards(
+        keep,
+        args.export_dir,
+        n_shards=args.export_shards,
+        bytes_col=bytes_col,
+        caption_col=caption_col,
+        ext=ext,
+    )
+
+
 def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
     """Shared tail of every clustering mode: optionally persist the
     ``(image_id, cluster_id)`` assignment to ``--cluster-table`` and the
@@ -192,16 +244,20 @@ def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
         fmts.write_cluster_assignments(
             clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
         )
-    if args.survivors and source_df is not None:
+    if (args.survivors or args.export_dir) and source_df is not None:
         from yadf_spark.operators import curation
 
-        curation.cluster_representatives(
+        reps = curation.cluster_representatives(
             source_df,
             clusters,
             id_col="image_id",
             quality_col=_survivor_quality(source_df, args.payload_col),
             cluster_member_col="image_id",
-        ).write.mode("overwrite").parquet(args.survivors)
+        )
+        if args.survivors:
+            reps.write.mode("overwrite").parquet(args.survivors)
+        if args.export_dir:
+            _export_deduped(clusters, reps, source_df, args)
     return (
         clusters.groupBy(F.col("cluster_id").alias("group_key"))
         .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
@@ -329,22 +385,27 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 args.cluster_table,
                 table=_as_table_ident(args.cluster_table),
             )
-        if args.survivors:
+        if args.survivors or args.export_dir:
             from yadf_spark.operators import curation
 
             # exact groups hold byte-identical payloads, so quality is
             # a constant within each group and the policy degrades to
             # keep-min-id — the deterministic analog of the reference
             # cleaner's keep-first
-            curation.cluster_representatives(
+            clusters_ex = groups.select(
+                F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
+            )
+            reps = curation.cluster_representatives(
                 df,
-                groups.select(
-                    F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
-                ),
+                clusters_ex,
                 id_col="image_id",
                 quality_col=_survivor_quality(df, args.payload_col),
                 cluster_member_col="image_id",
-            ).write.mode("overwrite").parquet(args.survivors)
+            )
+            if args.survivors:
+                reps.write.mode("overwrite").parquet(args.survivors)
+            if args.export_dir:
+                _export_deduped(clusters_ex, reps, df, args)
 
     if args.output_dir:
         liners = {
