@@ -559,3 +559,39 @@ def test_export_deduped_corpus_exact_mode(spark, tree, tmp_path):
     # 6 files -> 4-dup group keeps 1, qux + qax pass through = 3 members
     assert len(bases) == 3
     assert any(b.endswith("qux.jpg") for b in bases) and any(b.endswith("qax.jpg") for b in bases)
+
+
+def test_export_deduped_corpus_near_dup_mode(spark, tmp_path):
+    """near-dup mode export: singleton-backfilled clusters pass every
+    unique image through; the exact-dup pair collapses to its min-id
+    survivor with payload + caption members."""
+    import tarfile
+
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+
+    rng = np.random.default_rng(51)
+    rows = []
+    for i in range(4):
+        px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        payload = codec.encode_png(px)
+        rows.append((f"im-{i}", payload, f"near dup caption {i} words " * 3))
+        if i == 0:
+            rows.append((f"im-{i}-copy", payload, rows[-1][2]))
+    tbl = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(rows, "image_id string, bytes binary, caption string").write.parquet(tbl)
+    out = str(tmp_path / "wds")
+    _cli(
+        spark,
+        ["-f", "json", "--mode", "near-dup", "--table", tbl,
+         "--export-dir", out, "--export-shards", "2"],
+    )
+    members = set()
+    for name in os.listdir(out):
+        with tarfile.open(os.path.join(out, name)) as tf:
+            members.update(tf.getnames())
+    assert members == {
+        "im-0.jpg", "im-0.txt", "im-1.jpg", "im-1.txt",
+        "im-2.jpg", "im-2.txt", "im-3.jpg", "im-3.txt",
+    }
