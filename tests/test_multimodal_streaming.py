@@ -525,3 +525,22 @@ def test_incremental_index_with_flip_invariant_band_fn(spark, tmp_path):
         for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
     }
     assert ("a", "a-mirror") in got
+
+
+def test_canonical_phash_orbit_closed_property():
+    """Group property on raw 64-bit values: the canonical hash of ANY
+    orbit member equals the canonical hash of the original — the
+    invariance the banding relies on, independent of pixel semantics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def check(p):
+        orbit = mm.dihedral_phash_orbit(np.array([p], dtype=np.int64))[0]
+        canon = mm.canonical_phash_kernel(np.array([p], dtype=np.int64))[0]
+        for variant in orbit.view(np.int64):
+            vc = mm.canonical_phash_kernel(np.array([variant], dtype=np.int64))[0]
+            assert vc == canon
+
+    check()
