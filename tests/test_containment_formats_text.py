@@ -320,3 +320,19 @@ def test_webdataset_shard_export_roundtrip(spark, tmp_path):
         assert payload == bytes([i]) * (i + 1) and cap == f"caption {i}"
         expect = int(hashlib.md5(f"{iid}:wds".encode()).hexdigest()[:8], 16) % 3
         assert shard == expect
+
+
+def test_webdataset_reexport_removes_stale_shards(spark, tmp_path):
+    """A re-export with fewer shards must not leave the previous run's
+    extra archives behind."""
+    from yadf_spark.sinks.webdataset import write_webdataset_shards
+
+    rows = [(f"x-{i}", b"p" * 4) for i in range(12)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(df, out, n_shards=6)
+    first = set(os.listdir(out))
+    assert any(n > "shard-00001.tar" for n in first)  # wide run made more
+    write_webdataset_shards(df, out, n_shards=2)
+    second = set(os.listdir(out))
+    assert second <= {"shard-00000.tar", "shard-00001.tar"}

@@ -53,6 +53,13 @@ def write_webdataset_shards(
     ``_`` so every member stays a flat file) and, when ``caption_col``
     is given, a sibling ``{id}.txt`` — the WebDataset pairing
     convention (same basename = same sample)."""
+    # overwrite semantics: a re-export with fewer shards must not leave
+    # stale archives behind (driver-side, same local-fs seam as
+    # _open_shard — object-store targets delete by prefix instead)
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("shard-") and name.endswith(".tar"):
+                os.remove(os.path.join(out_dir, name))
     cols = [
         F.col(id_col).alias("_id"),
         F.col(bytes_col).alias("_payload"),
