@@ -174,7 +174,9 @@ def run_lsh_scaling(spark, n_images: int, repeats: int = 3, warmup: bool = True)
     return best
 
 
-def run_image_pipeline(spark, n_images: int) -> tuple[float, float, list[float]]:
+def run_image_pipeline(
+    spark, n_images: int
+) -> tuple[float, float, float, list[float], dict[str, int]]:
     """Near-dup pipeline wall seconds on the synthetic image table.
 
     Warm-cache methodology, matching the reference's own benchmark

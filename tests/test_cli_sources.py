@@ -556,9 +556,10 @@ def test_export_deduped_corpus_exact_mode(spark, tree, tmp_path):
         with tarfile.open(os.path.join(out, name)) as tf:
             names.extend(tf.getnames())
     bases = sorted(os.path.basename(n) for n in names)
-    # 6 files -> 4-dup group keeps 1, qux + qax pass through = 3 members
+    # 6 files -> 4-dup group keeps 1, qux + qax pass through = 3 members;
+    # non-image modes export content-opaque .bin members
     assert len(bases) == 3
-    assert any(b.endswith("qux.jpg") for b in bases) and any(b.endswith("qax.jpg") for b in bases)
+    assert any(b.endswith("qux.bin") for b in bases) and any(b.endswith("qax.bin") for b in bases)
 
 
 def test_export_deduped_corpus_near_dup_mode(spark, tmp_path):
@@ -595,3 +596,22 @@ def test_export_deduped_corpus_near_dup_mode(spark, tmp_path):
         "im-0.jpg", "im-0.txt", "im-1.jpg", "im-1.txt",
         "im-2.jpg", "im-2.txt", "im-3.jpg", "im-3.txt",
     }
+
+
+def test_export_ignores_rfactor_view_filter(spark, tree, tmp_path):
+    """Regression: -r is a VIEW filter — an rfactor that hides the
+    4-member group from the printed output must not leak into the
+    export, which would otherwise ship every copy undeduped."""
+    import tarfile
+
+    out = str(tmp_path / "wds")
+    res = json.loads(
+        _cli(spark, ["-f", "json", "-r", "under:3", "--export-dir", out,
+                     "--export-shards", "2", str(tree)])
+    )
+    assert all(len(g) < 3 for g in res)  # the display filter hid the group...
+    names = []
+    for name in os.listdir(out):
+        with tarfile.open(os.path.join(out, name)) as tf:
+            names.extend(tf.getnames())
+    assert len(names) == 3  # ...but the export still deduped it

@@ -417,3 +417,23 @@ def test_char_class_stats_planted(spark):
     assert got[2].class_entropy == 0.0
     assert got[3].class_entropy == round(math.log(2), 6)  # 2 alpha + 2 digit
     assert got[4].class_entropy == 0.0 and got[4].n_chars == 0
+
+
+def test_cluster_representatives_null_quality_loses(spark):
+    """Regression: a member with NULL quality (missing metadata) must
+    never be elected survivor over real-quality members — struct
+    ordering sorts nulls first, so the un-coalesced key picked it. An
+    all-null cluster still degrades to deterministic min-id."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50), (7, None), (8, None)],
+        "doc_id long, q int",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (7, 20), (8, 20)], "id long, cluster_id long"
+    )
+    reps = curation.cluster_representatives(
+        docs, clusters, id_col="doc_id", quality_col=F.col("q")
+    )
+    got = {r.cluster_id: (r.rep_id, r.rep_quality, r.n_members) for r in reps.collect()}
+    assert got[10] == (1, 100, 3)       # null member b loses
+    assert got[20] == (7, None, 2)      # all-null -> min id, null quality

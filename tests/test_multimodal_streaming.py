@@ -544,3 +544,18 @@ def test_canonical_phash_orbit_closed_property():
             assert vc == canon
 
     check()
+
+
+def test_canonical_phash_exact_with_nulls_in_corpus(spark):
+    """Regression: a null phash (undecodable payload) in the same Arrow
+    batch must not corrupt neighbors — nullable long batches reach
+    pandas as float64, and a 64-bit hash through a 53-bit mantissa
+    changes value. The same phash must canonicalize identically with
+    and without a null sharing its partition, bit-exactly."""
+    big = (1 << 62) + 12345  # needs > 53 bits of mantissa
+    rows = [(1, big), (2, None), (3, big)]
+    df = spark.createDataFrame(rows, "id long, phash long").coalesce(1)
+    out = {r.id: r.canonical_phash for r in mm.with_canonical_phash(df).collect()}
+    expect = int(mm.canonical_phash_kernel(np.array([big], dtype=np.int64))[0])
+    assert out[1] == expect and out[3] == expect
+    assert out[2] is None

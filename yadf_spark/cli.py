@@ -209,7 +209,10 @@ def _export_deduped(clusters, reps, source_df, args: argparse.Namespace) -> None
     )
     keep = unclustered.unionByName(survivors)
     caption_col = next((c for c in ("caption", "text") if c in keep.columns), None)
-    ext = "jpg"
+    # member extension drives the loader's decoder dispatch: only the
+    # image mode may claim an image extension; audio clips and
+    # arbitrary exact-mode files stay content-opaque .bin
+    ext = "jpg" if args.mode == "near-dup" else "bin"
     if args.payload_col in keep.columns:
         bytes_col = args.payload_col
     elif "bytes" in keep.columns:
@@ -229,6 +232,27 @@ def _export_deduped(clusters, reps, source_df, args: argparse.Namespace) -> None
     )
 
 
+def _write_survivor_outputs(clusters, source_df, args: argparse.Namespace) -> None:
+    """The --survivors / --export-dir tail shared by every mode: elect
+    the keep-best representative per cluster, persist the survivor
+    table, and/or export the deduped corpus as tar shards."""
+    if not (args.survivors or args.export_dir) or source_df is None:
+        return
+    from yadf_spark.operators import curation
+
+    reps = curation.cluster_representatives(
+        source_df,
+        clusters,
+        id_col="image_id",
+        quality_col=_survivor_quality(source_df, args.payload_col),
+        cluster_member_col="image_id",
+    )
+    if args.survivors:
+        reps.write.mode("overwrite").parquet(args.survivors)
+    if args.export_dir:
+        _export_deduped(clusters, reps, source_df, args)
+
+
 def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
     """Shared tail of every clustering mode: optionally persist the
     ``(image_id, cluster_id)`` assignment to ``--cluster-table`` and the
@@ -244,20 +268,7 @@ def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
         fmts.write_cluster_assignments(
             clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
         )
-    if (args.survivors or args.export_dir) and source_df is not None:
-        from yadf_spark.operators import curation
-
-        reps = curation.cluster_representatives(
-            source_df,
-            clusters,
-            id_col="image_id",
-            quality_col=_survivor_quality(source_df, args.payload_col),
-            cluster_member_col="image_id",
-        )
-        if args.survivors:
-            reps.write.mode("overwrite").parquet(args.survivors)
-        if args.export_dir:
-            _export_deduped(clusters, reps, source_df, args)
+    _write_survivor_outputs(clusters, source_df, args)
     return (
         clusters.groupBy(F.col("cluster_id").alias("group_key"))
         .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
@@ -386,26 +397,17 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 table=_as_table_ident(args.cluster_table),
             )
         if args.survivors or args.export_dir:
-            from yadf_spark.operators import curation
-
             # exact groups hold byte-identical payloads, so quality is
             # a constant within each group and the policy degrades to
             # keep-min-id — the deterministic analog of the reference
-            # cleaner's keep-first
-            clusters_ex = groups.select(
+            # cleaner's keep-first. Clusters come from ALL dup groups
+            # (over:1), NOT the rfactor-filtered display groups — -r is
+            # a VIEW filter; letting it leak here would silently export
+            # every copy of any group it hides
+            clusters_ex = exact.groups_from_assignments(assignments, Factor.over(1)).select(
                 F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
             )
-            reps = curation.cluster_representatives(
-                df,
-                clusters_ex,
-                id_col="image_id",
-                quality_col=_survivor_quality(df, args.payload_col),
-                cluster_member_col="image_id",
-            )
-            if args.survivors:
-                reps.write.mode("overwrite").parquet(args.survivors)
-            if args.export_dir:
-                _export_deduped(clusters_ex, reps, df, args)
+            _write_survivor_outputs(clusters_ex, df, args)
 
     if args.output_dir:
         liners = {

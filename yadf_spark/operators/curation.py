@@ -569,7 +569,15 @@ def cluster_representatives(
         ),
         "__id",
     )
-    order = F.struct((-F.col("__q")).alias("nq"), F.col("__id").alias("id"))
+    # null quality must LOSE, not win: struct ordering sorts nulls
+    # first, so an un-coalesced (-q) key would elect the member with
+    # MISSING quality (null w/h, null text) over every real one —
+    # coalesce to long-max sends null-quality members to the back while
+    # an all-null cluster still degrades to deterministic min-id
+    worst = F.lit(9223372036854775807)
+    order = F.struct(
+        F.coalesce(-F.col("__q"), worst).alias("nq"), F.col("__id").alias("id")
+    )
     return (
         mem.groupBy(cluster_id_col)
         .agg(

@@ -69,6 +69,29 @@ def make_minhash_udf(num_perm: int, seed: int):
     return minhash_sig
 
 
+def hash_bands(
+    df: DataFrame, id_col: str, hash_col: str, bands: int, band_bits: int
+) -> DataFrame:
+    """``(id, band_idx, band_hash)`` bucket membership from a 64-bit
+    hash column: band i is bits ``[i*band_bits, (i+1)*band_bits)`` —
+    the Hamming-band idiom shared by the phash prefilter, the
+    flip-invariant canonical phash, and any future fixed-width-hash
+    modality. One definition so the batch pipeline and streaming index
+    can never drift into incompatible bucket tables."""
+    mask = (1 << band_bits) - 1
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+        F.col(hash_col).alias("_h"),
+    ).select(
+        "id",
+        "band_idx",
+        F.expr(f"shiftrightunsigned(_h, band_idx * {band_bits})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_hash"),
+    )
+
+
 def add_signature(
     df: DataFrame, cfg: LshConfig, text_col: str = "caption", out_col: str = "sig"
 ) -> DataFrame:

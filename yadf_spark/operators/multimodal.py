@@ -305,18 +305,28 @@ def with_canonical_phash(
 ) -> DataFrame:
     """Add the flip/rotation-invariant canonical phash — an Arrow-batched
     narrow map over the 8-byte hash column only (payload bytes untouched,
-    zero shuffle); null phash (undecodable payload) stays null."""
+    zero shuffle); null phash (undecodable payload) stays null.
+
+    Null rows are SPLIT OFF before the UDF, not masked inside it: Arrow
+    hands a nullable long batch to pandas as float64, and a 64-bit hash
+    round-tripped through a 53-bit mantissa silently changes value — one
+    undecodable payload in a batch would corrupt every canonical hash
+    sharing that batch. The null-free branch always arrives as exact
+    int64; the null branch is a constant column. Both branches are
+    narrow (the union is a plan-level concat, no shuffle)."""
 
     @F.pandas_udf("long")
     def kernel(s: pd.Series) -> pd.Series:
-        mask = s.notna()
-        out = pd.Series(np.zeros(len(s), dtype=np.int64), index=s.index, dtype="Int64")
-        if mask.any():
-            out[mask] = canonical_phash_kernel(s[mask].to_numpy(dtype=np.int64))
-        out[~mask] = pd.NA
-        return out
+        # batch is null-free by construction -> exact int64 dtype
+        return pd.Series(canonical_phash_kernel(s.to_numpy(dtype=np.int64)))
 
-    return df.withColumn(out_col, kernel(F.col(phash_col)))
+    non_null = df.filter(F.col(phash_col).isNotNull()).withColumn(
+        out_col, kernel(F.col(phash_col))
+    )
+    nulls = df.filter(F.col(phash_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("long")
+    )
+    return non_null.unionByName(nulls)
 
 
 def flip_invariant_bands(
@@ -331,17 +341,10 @@ def flip_invariant_bands(
     machinery (``minhash.candidate_pairs_from_buckets``) and the
     incremental streaming index (``band_fn``), exactly like the plain
     phash bands in ``pipeline.candidate_buckets`` but invariant to
-    mirror/vertical-flip/180-rotation reposts."""
-    mask = (1 << band_bits) - 1
+    mirror/vertical-flip/180-rotation reposts. Band extraction is the
+    shared ``minhash.hash_bands`` idiom so batch and streaming bucket
+    tables can never drift apart."""
+    from yadf_spark.operators.minhash import hash_bands
+
     src = with_canonical_phash(df, phash_col).filter(F.col("canonical_phash").isNotNull())
-    return src.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
-        F.col("canonical_phash").alias("_c"),
-    ).select(
-        "id",
-        "band_idx",
-        F.expr(f"shiftrightunsigned(_c, band_idx * {band_bits})")
-        .bitwiseAND(F.lit(mask))
-        .alias("band_hash"),
-    )
+    return hash_bands(src, id_col, "canonical_phash", bands, band_bits)

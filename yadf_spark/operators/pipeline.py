@@ -96,7 +96,6 @@ def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
     equality, byte equality) already reject band decoys before any
     Python decode runs, so the prefilter bought nothing but an extra
     join round."""
-    mask = (1 << cfg.phash_band_bits) - 1
     # null phash (undecodable payload) and empty captions contribute no
     # bands: a shared null/empty key would otherwise collapse the whole
     # corpus into one garbage mega-bucket
@@ -113,16 +112,8 @@ def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
             .withColumnRenamed("canonical_phash", "phash")
         )
     caption_src = images.filter(F.length(F.trim(F.col("caption"))) > 0)
-    phash_b = phash_src.select(
-        F.col("image_id").alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(cfg.phash_bands - 1))).alias("band_idx"),
-        F.col("phash").alias("_h"),
-    ).select(
-        "id",
-        "band_idx",
-        F.expr(f"shiftrightunsigned(_h, band_idx * {cfg.phash_band_bits})")
-        .bitwiseAND(F.lit(mask))
-        .alias("band_hash"),
+    phash_b = minhash.hash_bands(
+        phash_src, "image_id", "phash", cfg.phash_bands, cfg.phash_band_bits
     )
     sig = minhash.add_signature(caption_src.select("image_id", "caption"), cfg.lsh)
     mh_b = minhash.explode_bands(sig, cfg.lsh, id_col="image_id").withColumn(
