@@ -1304,6 +1304,28 @@ def q_images_quality_filter(spark, sf_dir):
     )
 
 
+def q_source_quality_profile(spark, sf_dir):
+    """Per-source quality quartiles — the profile that decides which
+    sources to cap or drop. Quality scores are 6-dp by construction, so
+    they scale to exact integers (x1e6) whose interpolated percentiles
+    are dyadic (.25/.5/.75) — bit-exact across engines with NO rounding
+    of the percentile itself. One partial-agg shuffle; the percentile
+    aggregate combines map-side."""
+    d = _t(spark, sf_dir, "documents")
+    q6 = F.round(T.quality_score(F.col("text")) * 1e6, 0).cast("long")
+    return (
+        d.select("source", q6.alias("q6"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile("q6", F.lit(0.25)).alias("q25"),
+            F.percentile("q6", F.lit(0.5)).alias("q50"),
+            F.percentile("q6", F.lit(0.75)).alias("q75"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_char_class_stats(spark, sf_dir):
     """Character-class distribution + entropy per document — the cheap
     gibberish / encoding-noise detector (zero-shuffle codegen column
@@ -1846,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "token_histogram": q_token_histogram,
         "char_class_stats": q_char_class_stats,
+        "source_quality_profile": q_source_quality_profile,
         "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
         "language_id": q_language_id,
@@ -2091,6 +2114,36 @@ def oracle_sql() -> dict[str, str]:
                   + 0.25 * least(stopword_ratio * 5.0, 1.0)
                   + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
             FROM r ORDER BY doc_id""",
+        # same score pipeline aggregated per source: scores scale to
+        # exact integers (6-dp x 1e6) whose interpolated quartiles are
+        # dyadic — compared WITHOUT rounding.
+        "source_quality_profile": f"""
+            WITH f AS (
+              SELECT source,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     t -> t IN ({STOP_SQL}))) AS BIGINT) AS n_stop,
+                CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct
+              FROM documents),
+            r AS (
+              SELECT source,
+                round(n_stop / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                n_tokens
+              FROM f),
+            q AS (
+              SELECT source,
+                CAST(round(round(0.5 * least(n_tokens / 50.0, 1.0)
+                    + 0.25 * least(stopword_ratio * 5.0, 1.0)
+                    + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) * 1000000, 0)
+                  AS BIGINT) AS q6
+              FROM r)
+            SELECT source, count(*) AS n,
+                   quantile_cont(q6, 0.25) AS q25,
+                   quantile_cont(q6, 0.5) AS q50,
+                   quantile_cont(q6, 0.75) AS q75
+            FROM q GROUP BY 1 ORDER BY source""",
         "language_id": f"""
             WITH s AS (SELECT doc_id,
                 {', '.join(f'{expr} AS s_{lang}' for lang, expr in lang_scores.items())}
