@@ -240,3 +240,39 @@ def test_flip_invariant_pipeline_clusters_mirrored_repost(spark):
     # no over-merge: every other image keeps its own cluster
     others = [v for k, v in m.items() if not k.startswith("im-03")]
     assert len(set(others)) == len(others)
+
+
+def test_star_and_trivial_branches_never_duplicate_a_pair(spark):
+    """Regression: x<y<z share a viral caption, bytes(x)==bytes(y) but
+    z differs, x is the subgroup rep — (x,y) used to be emitted by BOTH
+    the trivial bytes-equal branch and the star decode branch. The
+    output must contain each pair exactly once."""
+    import numpy as np
+    import pandas as pd
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import verify
+
+    rng = np.random.default_rng(33)
+    caption = "duplicated star trivial caption"
+    base_px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = codec.encode_png(base_px)
+    ph = codec.perceptual_hash(codec.decode_image(enc))
+    rows = [("a-x", enc, caption, ph), ("a-y", enc, caption, ph)]
+    # enough same-caption members to cross the star threshold
+    for i in range(6):
+        px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        e = codec.encode_png(px)
+        rows.append((f"b-{i}", e, caption, codec.perceptual_hash(px)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "caption", "phash"])
+    )
+    ids = [r[0] for r in rows]
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]], "id_a string, id_b string"
+    )
+    out = verify.verify_pairs(pairs, df, star_caption_groups_above=4).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys)), f"duplicate pair rows: {sorted(keys)}"
+    verified = {(r["id_a"], r["id_b"]) for r in out if r["verified"]}
+    assert ("a-x", "a-y") in verified  # still linked, exactly once

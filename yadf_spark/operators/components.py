@@ -28,16 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canonical(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-
-
 def _bidir(edges: DataFrame) -> DataFrame:
     return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -77,7 +67,7 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["sig"])
 
 
-def _driver_union_find(spark, edge_rows) -> DataFrame:
+def _driver_union_find(spark, edge_rows, id_type=None) -> DataFrame:
     """Union-find on the driver for small edge lists. The verified-pair
     edge list of a dedup job is orders of magnitude smaller than the
     corpus (only duplicates appear), so below a threshold the dozens of
@@ -102,7 +92,15 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     if not parent:
-        return spark.createDataFrame([], "id string, cluster_id string")
+        # the empty frame must carry the CALLER's id type — a hardcoded
+        # string schema made the same query's output schema depend on
+        # whether any edges existed (type-strict sinks then fail)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        t = id_type or StringType()
+        return spark.createDataFrame(
+            [], StructType([StructField("id", t), StructField("cluster_id", t)])
+        )
     import pandas as pd
 
     # build via pandas so createDataFrame takes the Arrow path: a plain
@@ -149,7 +147,9 @@ def connected_components(
         pdf = raw.toPandas()  # Arrow transfer — no per-row Row objects
         raw.unpersist()
         return _driver_union_find(
-            edges.sparkSession, zip(pdf["src"].tolist(), pdf["dst"].tolist())
+            edges.sparkSession,
+            zip(pdf["src"].tolist(), pdf["dst"].tolist()),
+            id_type=raw.schema["src"].dataType,
         )
     # distributed path: dedup (edge count drives the iteration cost) and
     # truncate lineage once before iterating

@@ -22,6 +22,7 @@ Design for 10^12 rows:
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -31,6 +32,8 @@ from pyspark.sql import functions as F
 
 from yadf_spark.config import LshConfig
 from yadf_spark.functions import text as T
+
+log_default = logging.getLogger(__name__).warning
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -242,12 +245,19 @@ def candidate_pairs_from_buckets(
     # branch is skipped unless the data actually needs it. The same max
     # powers the truncation report without a second job.
     grouped = grouped.localCheckpoint(eager=False)
-    n_max_row = grouped.agg(F.max("n").alias("m")).first()
-    n_max = (n_max_row["m"] if n_max_row is not None else 0) or 0
-    if log is not None and n_max > max_bucket:
-        n_dropped = grouped.filter(F.col("n") > max_bucket).count()
-        if n_dropped:
-            log(f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows")
+    # drop count rides the SAME fused stats job as the max — the
+    # "never a silent one" contract costs zero extra actions, and the
+    # module logger reports it even when no explicit log fn is wired
+    stats = grouped.agg(
+        F.max("n").alias("m"),
+        F.count(F.when(F.col("n") > max_bucket, True)).alias("dropped"),
+    ).first()
+    n_max = (stats["m"] if stats is not None else 0) or 0
+    n_dropped = (stats["dropped"] if stats is not None else 0) or 0
+    if n_dropped:
+        (log or log_default)(
+            f"minhash-lsh: dropped {n_dropped} buckets larger than {max_bucket} rows"
+        )
 
     # the kernel's output type follows the caller's id type (captions key
     # on string image_id, the SRP/IVF ANN paths on integer row ids)
@@ -372,6 +382,10 @@ def exact_jaccard(
     sh = (
         df.select(F.col(id_col).alias("_id"), T.word_shingles(F.col(text_col), k).alias("_sh"))
         .join(cand_ids, "_id", "left_semi")
+        # two consumers (the a and b join sides) and — with a broadcast
+        # semi-join — no exchange for Spark to reuse between them: an
+        # unmaterialized frame would scan + shingle the corpus twice
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))

@@ -215,6 +215,19 @@ def verify_pairs(
         small_pairs = raw_decode.join(
             F.broadcast(big_ids.withColumnRenamed("id", "id_a")), "id_a", "left_anti"
         )
+        # a star pair can coincide with a bytes-equal CANDIDATE pair
+        # (x<y<z, same caption, bytes(x)==bytes(y)!=bytes(z), x the
+        # subgroup rep): the trivial branch below already emits it, so
+        # re-decoding it here would duplicate the output row — anti-join
+        # the (small) star frame against bytes-equal candidates whose
+        # ends are both in the mega groups
+        dup_risk = (
+            narrow.filter(F.col("bytes_equal") & F.col("caption_equal"))
+            .join(F.broadcast(big_ids.withColumnRenamed("id", "id_a")), "id_a", "left_semi")
+            .join(F.broadcast(big_ids.withColumnRenamed("id", "id_b")), "id_b", "left_semi")
+            .select("id_a", "id_b")
+        )
+        star_pairs = star_pairs.join(dup_risk, ["id_a", "id_b"], "left_anti")
         decode_pairs = small_pairs.unionByName(star_pairs)
     else:
         decode_pairs = raw_decode

@@ -25,10 +25,13 @@ sink recipe).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__).warning
 
 from yadf_spark.config import LshConfig, NearDupConfig
 from yadf_spark.functions import hashes
@@ -102,10 +105,28 @@ def incremental_near_dup_batch(
             F.col("id").alias("id_old"), "band_idx", "band_hash"
         )
         new = new_bands.select(F.col("id").alias("id_new"), "band_idx", "band_hash")
-        # band equi-join: new rows vs history. The index is the small
-        # per-band slice after partition pruning; the new side is tiny.
+        # band equi-join: new rows vs history, with the batch path's
+        # guards. The micro-batch's distinct band keys broadcast to
+        # prune the index down to touched buckets, and history buckets
+        # above the cap are dropped with a log line (the same recall
+        # trade as candidate_pairs_from_buckets — a viral bucket in the
+        # accumulated index would otherwise fan each new member out
+        # unboundedly); residual per-key skew is bounded by the cap and
+        # split by AQE's skew join.
+        new_keys = new.select("band_idx", "band_hash").distinct()
+        touched = old.join(F.broadcast(new_keys), ["band_idx", "band_hash"], "left_semi")
+        sizes = touched.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_hn"))
+        max_bucket = cfg.lsh.max_bucket
+        n_dropped = sizes.filter(F.col("_hn") > max_bucket).count()
+        if n_dropped:
+            _log(
+                f"incremental-near-dup: dropped {n_dropped} history buckets "
+                f"larger than {max_bucket} rows"
+            )
+        ok_keys = sizes.filter(F.col("_hn") <= max_bucket).select("band_idx", "band_hash")
+        pruned = touched.join(F.broadcast(ok_keys), ["band_idx", "band_hash"], "left_semi")
         nv_old = (
-            new.join(old, ["band_idx", "band_hash"])
+            new.join(pruned, ["band_idx", "band_hash"])
             .select(
                 F.least("id_new", "id_old").alias("id_a"),
                 F.greatest("id_new", "id_old").alias("id_b"),
@@ -118,13 +139,14 @@ def incremental_near_dup_batch(
         )
         pair_frames.append(nv_old)
 
-    sn = new_bands.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
-    sm = new_bands.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
-    nv_new = (
-        sn.join(sm, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # within-batch pairs through the SAME salted, capped expansion the
+    # batch pipeline uses — a viral bucket in one micro-batch (e.g. a
+    # replayed backfill) must not pin a single reducer or emit O(n^2)
+    # rows uncapped (it previously did: plain unsalted self-join)
+    from yadf_spark.operators.minhash import candidate_pairs_from_buckets
+
+    nv_new = candidate_pairs_from_buckets(
+        new_bands, cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
     )
     pair_frames.append(nv_new)
 
@@ -211,17 +233,22 @@ def streaming_near_dup(
     checkpoint_dir: str,
     cfg: NearDupConfig | None = None,
     band_fn=None,
+    trigger: dict | None = None,
 ):
     """Wire the incremental near-dup loop onto a streaming DataFrame.
     Returns the started ``StreamingQuery``; callers own its lifecycle
     (``processAllAvailable``/``stop`` in tests, run-forever in prod).
     ``band_fn`` selects the modality's banding (see
-    ``incremental_near_dup_batch``)."""
+    ``incremental_near_dup_batch``). ``trigger`` passes through to
+    ``writeStream.trigger`` — the default ``availableNow=True`` drains
+    what exists and STOPS (batch-catchup semantics); a run-forever
+    deployment over a continuous source passes e.g.
+    ``{"processingTime": "30 seconds"}``."""
     return (
         stream.writeStream.foreachBatch(
             lambda df, bid: incremental_near_dup_batch(df, bid, index_dir, pairs_dir, cfg, band_fn)
         )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
