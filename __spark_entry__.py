@@ -80,8 +80,8 @@ t2 AS (SELECT *, 'p:' || md5(CAST(size AS VARCHAR) || ':' || left(text, 16)) AS 
 t3 AS (SELECT *, count(*) OVER (PARTITION BY p_hash) AS n_p FROM t2),
 out_prefix AS (
   SELECT id, size, p_hash AS group_key, 'prefix' AS stage
-  FROM t3 WHERE n_p = 1 OR size < 32),
-surv AS (SELECT * FROM t3 WHERE NOT (n_p = 1 OR size < 32)),
+  FROM t3 WHERE n_p = 1 OR size <= 16),
+surv AS (SELECT * FROM t3 WHERE NOT (n_p = 1 OR size <= 16)),
 big AS (SELECT *, md5(right(text, 16)) AS s_hash FROM surv WHERE size >= 256),
 big2 AS (SELECT *, count(*) OVER (PARTITION BY p_hash, s_hash) AS n_s FROM big),
 out_suffix AS (

@@ -89,9 +89,13 @@ def test_regex_and_glob_filters(spark, tree):
     # regex ^q keeps qix/qux/qax only -> no group of >=2 identical
     out = json.loads(_cli(spark, ["-f", "json", "-p", "^q", str(tree)]))
     assert out == []
-    # glob matching f*/b* keeps foo/bar (identical) and deep_foo
+    # glob matching f*/b* keeps foo/bar (identical); deep_foo does NOT
+    # match [fb]* as a whole name (fnmatch semantics — the unanchored
+    # regex used to keep it via the 'foo' substring)
     out = json.loads(_cli(spark, ["-f", "json", "-g", "[fb]*", str(tree)]))
-    assert len(out) == 1 and len(out[0]) == 3
+    assert len(out) == 1 and len(out[0]) == 2
+    names = sorted(os.path.basename(p) for p in out[0])
+    assert names == ["bar", "foo"]
 
 
 def test_depth_bound(spark, tree):
@@ -615,3 +619,17 @@ def test_export_ignores_rfactor_view_filter(spark, tree, tmp_path):
         with tarfile.open(os.path.join(out, name)) as tf:
             names.extend(tf.getnames())
     assert len(names) == 3  # ...but the export still deduped it
+
+
+def test_glob_filter_is_whole_name_not_substring(spark, tmp_path):
+    """Regression: the glob regex fed to rlike (a SEARCH) was
+    unanchored, so -g 'a.txt' also kept 'data.txt'. Globs must match
+    the whole basename, like fnmatch and the reference."""
+    d = tmp_path / "c"
+    d.mkdir()
+    (d / "a.txt").write_bytes(b"dup")
+    (d / "data.txt").write_bytes(b"dup")
+    (d / "a2.txt").write_bytes(b"dup")
+    out = json.loads(_cli(spark, ["-f", "json", "-r", "over:0", "-g", "a.txt", str(d)]))
+    names = sorted(os.path.basename(p) for g in out for p in g)
+    assert names == ["a.txt"]

@@ -336,3 +336,19 @@ def test_webdataset_reexport_removes_stale_shards(spark, tmp_path):
     write_webdataset_shards(df, out, n_shards=2)
     second = set(os.listdir(out))
     assert second <= {"shard-00000.tar", "shard-00001.tar"}
+
+
+def test_bucket_containment_tolerates_null_captions(spark):
+    """Regression: a null caption in a bucket crashed the whole
+    applyInPandas job on len(None); nulls now degrade out of the bucket
+    (G7 posture) while real containments still surface."""
+    rows = [
+        ("i1", 0, "the quick brown fox"),
+        ("i2", 0, "so the quick brown fox jumps"),
+        ("i3", 0, None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, b int, caption string")
+    out = {(r.inner_id, r.outer_id) for r in
+           containment.bucket_containment_pairs(df, "b").collect()}
+    assert ("i1", "i2") in out
+    assert all("i3" not in p for p in out)

@@ -294,3 +294,28 @@ def test_blake2b_wide_hash_family(spark):
         want_f = "f:" + hashlib.blake2b(v, digest_size=32).hexdigest()
         assert out[k]["p"] == want_p, k
         assert out[k]["f"] == want_f, k
+
+
+def test_prefix_stage_never_merges_differing_tails(spark):
+    """Regression: with full_hash_min_size > prefix_len (DOC_LADDER's
+    shape), two payloads sharing their whole prefix but differing in
+    the tail used to resolve AT THE PREFIX STAGE with one group_key —
+    a false exact-duplicate verdict. They must reach the full hash and
+    part ways; true identical payloads must still group."""
+    from yadf_spark.config import LadderConfig
+
+    cfg = LadderConfig(
+        prefix_len=16, suffix_len=16, suffix_threshold=256, full_hash_min_size=32, algo="md5"
+    )
+    prefix = b"P" * 16
+    rows = [
+        ("t1", prefix + b"AAAAAAAA"),   # size 24, tail A
+        ("t2", prefix + b"BBBBBBBB"),   # size 24, tail B -> NOT a dup of t1
+        ("d1", prefix + b"CCCCCCCC"),   # true dup pair
+        ("d2", prefix + b"CCCCCCCC"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r.id: r for r in exact.exact_assignments(df, cfg=cfg).collect()}
+    assert out["t1"].group_key != out["t2"].group_key
+    assert out["d1"].group_key == out["d2"].group_key
+    assert out["t1"].stage == "full" and out["d1"].stage == "full"

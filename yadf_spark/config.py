@@ -46,7 +46,11 @@ class ScanFilter:
     def glob_as_regex(self) -> str | None:
         if self.glob is None:
             return None
-        return fnmatch.translate(self.glob)
+        # fnmatch.translate targets re.match (start-anchored implicitly);
+        # Spark's rlike is a SEARCH, so without an explicit \A the glob
+        # 'a.txt' would also keep 'data.txt' (suffix substring match) —
+        # anchor to reproduce fnmatch whole-name semantics
+        return r"\A" + fnmatch.translate(self.glob)
 
 
 @dataclass(frozen=True)

@@ -99,6 +99,15 @@ def containment_pairs(
     max_shingle_df: int = 1000,
     log=None,
 ) -> DataFrame:
+    """Word-aligned containment pairs: ``(inner_id, outer_id)`` where
+    inner's caption appears inside outer's AND the containment starts
+    and ends on word boundaries — candidates come from shared word
+    k-shingles, so 'b c d' inside 'a b c d' is found but 'b c d' inside
+    'ab c d' (mid-word splice) is NOT a candidate and is dropped even
+    though ``contains()`` would accept it. That alignment assumption is
+    what makes the candidate join linear in shared shingles; for
+    arbitrary character-level substrings use ``containment_pairs_char``
+    (rarest-char-n-gram probe, no boundary assumption)."""
     # Two-step select: aliasing a column to its own name while another
     # expression in the same select references it trips Spark's lateral
     # column alias resolution (INTERNAL_ERROR LateralColumnAliasReference).
@@ -221,7 +230,6 @@ def _build_suffix_array(s: str):
 
     n = len(s)
     rank = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    order = np.argsort(rank, kind="stable")
     idx = np.arange(n, dtype=np.int64)
     k = 1
     while True:
@@ -328,7 +336,13 @@ def bucket_containment_pairs(
     the generalized suffix array (subquadratic in bucket size)."""
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        items = sorted(zip(pdf[id_col], pdf[text_col]), key=lambda t: (len(t[1]), t[0]))
+        # null captions carry no substring evidence and would crash the
+        # len() sort key — degrade them out of the bucket (G7 posture)
+        # rather than failing the whole job
+        items = sorted(
+            ((i, t) for i, t in zip(pdf[id_col], pdf[text_col]) if t is not None),
+            key=lambda t: (len(t[1]), t[0]),
+        )
         total_chars = sum(len(t) for _, t in items)
         # NUL can't be the SA separator if a text contains it — rare
         # (binary-ish captions); those buckets take the nested scan

@@ -80,6 +80,10 @@ def apply_scan_filters(
         return df
     if size is None:
         size = F.length("bytes")
+    # null payloads are size 0, same as the ladder's own size column —
+    # a bare length(NULL) comparison would silently DROP the row from
+    # the scan instead of routing it to the zero-size bucket
+    size = F.coalesce(size.cast("long"), F.lit(0))
     if flt.min_size is not None:
         df = df.filter(size >= flt.min_size)
     if flt.max_size is not None:
@@ -128,7 +132,14 @@ def exact_assignments(
     # stage 2: prefix-hash grouping (G3). p_hash mixes size, so grouping
     # by p_hash alone preserves the size partition refinement.
     t2 = _with_group_count(t1.filter(F.col("n_size") > 1), ["p_hash"], "n_p")
-    resolves_at_prefix = (F.col("n_p") == 1) | (F.col("size") < cfg.full_hash_min_size)
+    # a prefix-hash GROUP (n_p > 1) may resolve here only when the
+    # prefix provably covered every byte: size <= prefix_len. The old
+    # guard used full_hash_min_size alone, so any config with
+    # full_hash_min_size > prefix_len declared rows sharing a prefix
+    # but differing in the tail to be exact duplicates — the one thing
+    # the ladder must never do.
+    small_cut = min(cfg.prefix_len, cfg.full_hash_min_size - 1)
+    resolves_at_prefix = (F.col("n_p") == 1) | (F.col("size") <= small_cut)
     out_prefix = t2.filter(resolves_at_prefix).select(
         "id", "size", F.col("p_hash").alias("group_key"), F.lit("prefix").alias("stage")
     )

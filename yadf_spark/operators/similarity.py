@@ -334,6 +334,7 @@ def train_ivf_centroids(
     sample_rows: int = 20_000,
     iterations: int = 10,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Coarse k-means centroids from a bounded sample.
 
@@ -341,8 +342,18 @@ def train_ivf_centroids(
     vectors: at 10^12 rows the sample is a fixed-size sketch (the
     standard IVF recipe — train on a sample, assign distributed), so the
     driver cost is O(sample * k * iters) regardless of corpus size.
-    Deterministic: seeded init, fixed Lloyd iterations."""
-    sample = df.select(emb_col).limit(sample_rows).toPandas()[emb_col]
+
+    Determinism: the Lloyd iterations are seeded, but WHICH rows a bare
+    ``limit`` picks depends on partition layout/AQE. Pass ``id_col`` to
+    make the sample itself layout-invariant — the hash-smallest
+    ``sample_rows`` ids (per-partition top-k + driver merge, the
+    TakeOrderedAndProject plan, uniform because the order key is a
+    hash); without it the caller must impose an ordering upstream (the
+    contract query orders by vec_id) or accept run-to-run variation."""
+    src = df
+    if id_col is not None:
+        src = df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    sample = src.select(emb_col).limit(sample_rows).toPandas()[emb_col]
     mat = np.vstack([np.asarray(e, dtype=np.float64) for e in sample])
     return kmeans_cosine_centroids(mat, n_centroids, iterations, seed)
 
@@ -413,7 +424,7 @@ def ivf_near_dup_pairs(
     A precomputed ``centroids`` array makes the operator deterministic
     across restarts (persist it next to the stage checkpoint)."""
     if centroids is None:
-        centroids = train_ivf_centroids(df, dim, n_centroids, emb_col)
+        centroids = train_ivf_centroids(df, dim, n_centroids, emb_col, id_col=id_col)
     assign = make_ivf_assign_udf(centroids, n_probe)
     cells = df.select(
         F.col(id_col).alias("id"), F.explode(assign(F.col(emb_col))).alias("band_hash")

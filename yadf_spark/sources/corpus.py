@@ -52,7 +52,11 @@ def _canonical_roots(paths: list[str]) -> list[str]:
     list is tiny."""
     seen: dict[str, str] = {}
     for p in paths:
-        canon = os.path.realpath(p)
+        # realpath only makes sense for plain local paths — applied to a
+        # scheme-qualified root (s3a://, hdfs://, file:) it would mangle
+        # the URI into a bogus cwd-relative local path and the non-local
+        # branch downstream would never see the real scheme
+        canon = os.path.realpath(p) if _local_path(p) == p else p
         seen.setdefault(canon, p)
     return list(seen.keys())
 
@@ -347,7 +351,13 @@ def _empty_files_df(spark: SparkSession, roots: list[str], glob: str | None) -> 
         while it.hasNext():
             st = it.next()
             if st.getLen() == 0:
-                path = st.getPath().toUri().getPath()
+                uri = st.getPath().toUri()
+                # keep the scheme+authority for non-local roots: a bare
+                # getPath() would strip "s3a://bucket", colliding ids
+                # across buckets and escaping the depth filter's
+                # root-prefix predicate; local roots stay plain paths so
+                # ids line up with the binaryFile rows' file: handling
+                path = uri.getPath() if uri.getScheme() in (None, "file") else str(uri)
                 if glob and not fnmatch.fnmatch(os.path.basename(path), glob):
                     continue
                 rows.append((path, b"", 0, st.getModificationTime()))
@@ -413,7 +423,17 @@ def table_corpus(
     """Table source: an Iceberg table name (``catalog.db.table``) when a
     catalog is configured, else a parquet path/directory. Normalizes the
     id/payload column names so downstream operators are source-agnostic."""
-    if os.path.exists(source) or source.startswith(("file:", "s3:", "hdfs:")):
+    # a storage path is anything that exists locally, carries a URI
+    # scheme (file:, s3:, s3a:, gs:, abfs:, hdfs:, ...), or contains a
+    # path separator; only bare dotted identifiers go to the catalog
+    scheme = source.split(":", 1)[0] if ":" in source else ""
+    is_path = (
+        os.path.exists(source)
+        or "/" in source
+        or os.sep in source
+        or scheme.lower() in ("file", "s3", "s3a", "s3n", "hdfs", "abfs", "abfss", "gs", "wasb", "wasbs")
+    )
+    if is_path:
         df = spark.read.parquet(source)
     else:
         df = spark.read.table(source)
