@@ -1564,17 +1564,18 @@ def _audio_near_dup_parquet(n_bases: int = 12) -> str:
     where even-numbered bases also get two near-identical variants
     (small extra noise; amplitude quantization) and odd bases are
     singletons. Stored truth: each clip's energy fingerprint and its
-    four 16-bit Hamming bands, computed single-process by the SAME pure
-    kernel (``audio.audio_fingerprint_bits``) the distributed path
-    applies — DuckDB then replays the band-OR candidate join and the
-    Hamming filter in SQL."""
+    eight 8-bit blocks, computed single-process by the SAME pure kernel
+    (``audio.audio_fingerprint_bits``) the distributed path applies —
+    DuckDB then replays the multi-block candidate rule (a pair shares a
+    2-of-8-block key iff >= 2 blocks are equal) and the Hamming filter
+    in SQL."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from yadf_spark.operators import audio as au
 
-    path = f"/tmp/yadf_contract_audio_neardup_{n_bases}.parquet"
+    path = f"/tmp/yadf_contract_audio_neardup8c2_{n_bases}.parquet"
     if not os.path.exists(path):
         ids, payloads, afps = [], [], []
 
@@ -1604,11 +1605,11 @@ def _audio_near_dup_parquet(n_bases: int = 12) -> str:
                 add(f"snd-{base:04d}-noise", noisy, rate)
                 quant = (clip[:, 0] // 8 * 8).astype(np.int16)[:, None]
                 add(f"snd-{base:04d}-quant", quant, rate)
-        bands = {f"band{i}": [] for i in range(4)}
+        bands = {f"band{i}": [] for i in range(8)}
         for afp in afps:
             u = afp & 0xFFFFFFFFFFFFFFFF
-            for i in range(4):
-                bands[f"band{i}"].append((u >> (16 * i)) & 0xFFFF)
+            for i in range(8):
+                bands[f"band{i}"].append((u >> (8 * i)) & 0xFF)
         table = pa.table(
             {
                 "audio_id": pa.array(ids, pa.string()),
@@ -2207,7 +2208,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, b.n_tokens,
                    round(b.n_distinct / b.n_tokens, 6) AS distinct_token_ratio,
                    CAST(COALESCE(t.top_c, 0) AS BIGINT) AS top_bigram_count,
-                   round(COALESCE(t.top_c, 0) * 2.0 / b.n_tokens, 6) AS top_bigram_frac
+                   round(COALESCE(t.top_c, 0) * 1.0 / greatest(b.n_tokens - 1, 1), 6)
+                     AS top_bigram_frac
             FROM base b LEFT JOIN top t USING (doc_id) ORDER BY b.doc_id""",
         "decontaminate_docs": """
             WITH toks AS (
@@ -2254,7 +2256,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i // 40 AS BIGINT) AS chunk_id,
                    array_to_string(w[i + 1 : i + 50], ' ') AS chunk,
                    CAST(len(w[i + 1 : i + 50]) AS BIGINT) AS n_tokens
-            FROM toks, unnest(generate_series(0, len(w) - 1, 40)) AS t(i)
+            FROM toks, unnest(generate_series(0, greatest(len(w) - 11, 0), 40)) AS t(i)
             ORDER BY doc_id, chunk_id""",
         "dedup_lines_docs": r"""
             WITH toks AS (
@@ -2705,14 +2707,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY event_id""",
         # audio near-dup: band-OR candidate join + Hamming filter
         # replayed over stored-truth fingerprints (same pure kernel).
+        # a pair shares a 2-of-8-block key (the Spark side's Manku-style
+        # multi-block banding) iff at least 2 of its 8 blocks are equal
         "audio_near_dup": f"""
-            WITH f AS (SELECT audio_id, afp, band0, band1, band2, band3
+            WITH f AS (SELECT audio_id, afp, band0, band1, band2, band3,
+                              band4, band5, band6, band7
                        FROM read_parquet('{_audio_near_dup_parquet()}')),
             cand AS (SELECT DISTINCT a.audio_id AS id_a, b.audio_id AS id_b,
                             a.afp AS fa, b.afp AS fb
                      FROM f a JOIN f b ON a.audio_id < b.audio_id
-                      AND (a.band0 = b.band0 OR a.band1 = b.band1
-                           OR a.band2 = b.band2 OR a.band3 = b.band3))
+                      AND (CAST(a.band0 = b.band0 AS INT)
+                           + CAST(a.band1 = b.band1 AS INT)
+                           + CAST(a.band2 = b.band2 AS INT)
+                           + CAST(a.band3 = b.band3 AS INT)
+                           + CAST(a.band4 = b.band4 AS INT)
+                           + CAST(a.band5 = b.band5 AS INT)
+                           + CAST(a.band6 = b.band6 AS INT)
+                           + CAST(a.band7 = b.band7 AS INT)) >= 2)
             SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(fa, fb)) <= 6
             ORDER BY id_a, id_b""",

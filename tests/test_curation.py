@@ -134,13 +134,15 @@ def test_repetition_features_planted(spark):
     rows = [(1, "a a a a"), (2, "a b c d"), (3, "x y x y x")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc: r for r in curation.repetition_features(df, "doc_id", "text").collect()}
-    # doc 1: 4 tokens, 1 distinct, top bigram 'a a' x3 -> frac 1.5 (overlapping)
+    # doc 1: 4 tokens, 1 distinct; 'a a' is all 3 of 3 bigram occurrences
+    # (frac is occurrences-based, so self-overlap can't push it past 1.0)
     assert out[1].n_tokens == 4 and out[1].distinct_token_ratio == 0.25
-    assert out[1].top_bigram_count == 3 and out[1].top_bigram_frac == 1.5
-    # doc 2: all distinct, every bigram once
+    assert out[1].top_bigram_count == 3 and out[1].top_bigram_frac == 1.0
+    # doc 2: all distinct, every bigram once -> 1 of 3 occurrences
     assert out[2].distinct_token_ratio == 1.0 and out[2].top_bigram_count == 1
-    # doc 3: 'x y' twice out of 5 tokens -> 2*2/5
-    assert out[3].top_bigram_count == 2 and out[3].top_bigram_frac == 0.8
+    assert out[2].top_bigram_frac == 0.333333
+    # doc 3: 'x y' twice out of 4 bigram occurrences
+    assert out[3].top_bigram_count == 2 and out[3].top_bigram_frac == 0.5
 
 
 def test_decontaminate_flags_only_shared_5grams(spark):
@@ -222,13 +224,14 @@ def test_chunk_text_windows_and_tail(spark):
     )
     rows = curation.chunk_text(df, "doc_id", "text", chunk=4, overlap=1).collect()
     got = {(r.doc, r.chunk_id): (r.chunk, r.n_tokens) for r in rows}
-    # stride 3: starts 0,3,6,9 over 10 tokens
+    # stride 3: starts 0,3,6 over 10 tokens — a start at 9 would emit
+    # 't9' alone, a strict subset of the previous window, so it's culled
     assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
     assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
     assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
-    assert got[(1, 3)] == ("t9", 1)
+    assert (1, 3) not in got
     assert got[(2, 0)] == ("solo", 1)
-    assert len(rows) == 5  # whitespace-only doc 3 yields no chunks
+    assert len(rows) == 4  # whitespace-only doc 3 yields no chunks
 
 
 def test_chunk_text_rejects_bad_overlap(spark):

@@ -81,6 +81,26 @@ def test_frame_sample_max_frames(spark):
     assert list(out.frame_idx) == [0, 2]
 
 
+def test_frame_sample_null_and_truncated_payloads_quarantine(spark):
+    """Null bytes (TypeError) and a truncated fake-container header
+    (struct.error) must degrade to quarantine rows, not task failures —
+    the kernel's catch must be broader than NotImplementedError."""
+    good = mm.encode_fake_video([np.zeros((2, 2, 3), np.uint8)] * 2)
+    rows = [("ok", good), ("null", None), ("trunc", good[:5])]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = mm.frame_sample(df, every_n=1).toPandas()
+    assert set(out[out.frame_bytes.isna()].video_id) == {"null", "trunc"}
+    assert (out[out.video_id == "ok"].n_frames == 2).all()
+
+
+def test_image_embedding_rejects_non_multiple_of_4_dim(spark):
+    df = images_df(spark, 2, seed=1)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        mm.image_embedding(df, dim=66)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        mm.embed_pixels(np.zeros((2, 2, 3), np.uint8), dim=66)
+
+
 # ---------------------------------------------------------------- audio
 def _clip(n, rate=16_000, ch=1, seed=0):
     rng = np.random.RandomState(seed)
@@ -179,6 +199,18 @@ def test_audio_near_dup_pairs_planted(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in au.audio_near_dup_pairs(df).collect()}
     assert ("b0", "b0-noise") in pairs and pairs[("b0", "b0-noise")] <= 6
     assert all({a, b} == {"b0", "b0-noise"} for a, b in pairs)  # no cross-base pairs
+
+
+def test_audio_near_dup_rejects_pigeonhole_violating_config(spark):
+    """max_hamming > n_blocks - key_blocks silently loses recall (the
+    differing bits can touch all but key_blocks-1 blocks, so no
+    key_blocks-subset of untouched blocks is guaranteed) — the config
+    must be rejected."""
+    from yadf_spark.operators import audio as au
+
+    df = spark.createDataFrame([("a", b""), ("b", b"")], "audio_id string, bytes binary")
+    with pytest.raises(AssertionError, match="recall-complete"):
+        au.audio_near_dup_pairs(df, max_hamming=6, n_blocks=4, block_bits=16)
 
 
 # ---------------------------------------------------------------- streaming

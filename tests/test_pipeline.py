@@ -207,6 +207,19 @@ def test_dup_pair_precision_helper(result, spark):
     assert pipeline.dup_pair_precision(perfect, planted) == 1.0
 
 
+def test_dup_pair_recall_missing_ids_do_not_match(spark):
+    """Ids absent from the clusters frame must count as misses — an
+    empty assignment scoring None == None as a hit would let a broken
+    pipeline pass the >= 0.99 recall gate with recall 1.0."""
+    truth = {("a", "b"), ("c", "d")}
+    empty = spark.createDataFrame([], "image_id string, cluster_id string")
+    assert pipeline.dup_pair_recall(empty, truth) == 0.0
+    half = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "image_id string, cluster_id string"
+    )
+    assert pipeline.dup_pair_recall(half, truth) == 0.5
+
+
 def test_flip_invariant_pipeline_clusters_mirrored_repost(spark):
     """A mirrored re-encode sharing its caption: default config rejects
     it at verification (plain PSNR sees scrambled pixels), while

@@ -30,6 +30,18 @@ def test_simhash_empty_text(spark):
     assert vals["a"] == 0
 
 
+def test_simhash_null_text_is_null_not_crash(spark):
+    """Null caption -> null token array -> the kernel must not call
+    len(None); output follows the repo's null-in/null-out posture, for
+    both token-level (k=1) and shingle-level (k>1) modes."""
+    df = spark.createDataFrame(
+        [("a", None), ("b", "some real text here")], "image_id string, caption string"
+    )
+    for k in (1, 3):
+        vals = {r["image_id"]: r["simhash"] for r in simhash.add_simhash(df, k=k).collect()}
+        assert vals["a"] is None and vals["b"] is not None
+
+
 def test_hamming_band_candidates_recall_and_precision(spark):
     # ids with known 64-bit values: b = a with 2 bits flipped (<=3), c far away
     a = 0x0123456789ABCDEF

@@ -51,6 +51,19 @@ def test_asof_join_planted_cases(spark):
     assert out[1]["user_id"] == 10 and out[1]["ts"] == _ts(5)
 
 
+def test_asof_join_ignores_null_timestamp_right_rows(spark):
+    """A right row with a null `on` has no position on the time axis;
+    it must never match (nulls sort first in the ascending window, so
+    unfiltered it would act as 'earlier than everything')."""
+    left = spark.createDataFrame([(1, 1, _ts(5))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(9, 1, None, 7.0)], "err_id long, user_id long, ts timestamp, val double"
+    )
+    out = temporal.asof_join(left, right, on="ts", by="user_id", value_cols=["err_id", "val"])
+    row = out.collect()[0]
+    assert row["err_id_right"] is None and row["val_right"] is None
+
+
 def test_asof_join_single_shuffle_plan(spark):
     """The as-of join must be union + ONE window exchange — no Join
     operator, no per-row Python."""

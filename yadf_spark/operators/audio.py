@@ -172,57 +172,96 @@ def audio_fingerprints(df: DataFrame, id_col: str = "audio_id", bytes_col: str =
     )
 
 
-def fingerprint_band_table(fps: DataFrame, n_bands: int = 4, band_bits: int = 16) -> DataFrame:
+def fingerprint_band_table(
+    fps: DataFrame, n_blocks: int = 8, block_bits: int = 8, key_blocks: int = 2
+) -> DataFrame:
     """``(audio_id, afp)`` → the bucket-membership table ``(id, band_idx,
     band_hash)`` every candidate source shares (operators/pipeline.py
-    candidate_buckets shape). With ``n_bands * band_bits == 64`` the
-    bands partition the fingerprint exactly, so the table is also a
-    lossless encoding of ``afp``."""
-    from yadf_spark.functions.hashes import band_columns
+    candidate_buckets shape), using multi-block keys (the Manku/Jain/
+    Das Sarma WWW'07 SimHash-dedup table scheme): the 64-bit fingerprint
+    splits into ``n_blocks`` disjoint blocks and every combination of
+    ``key_blocks`` blocks concatenates into one key.
 
+    Pigeonhole: ``d`` differing bits touch at most ``d`` blocks, so any
+    pair within Hamming distance ``n_blocks - key_blocks`` leaves some
+    ``key_blocks``-subset of blocks untouched and shares that key —
+    recall-complete for radius 6 at the defaults. Versus single-block
+    bands wide enough for the same radius (8 bands of 8 bits), the keys
+    carry ``key_blocks * block_bits`` = 16 bits, so bucket cardinality
+    is 65k instead of 256 — at 10^12 rows that is the difference
+    between bounded buckets and an all-pairs blowup inside every
+    256th-of-the-corpus bucket. Cost: C(8,2) = 28 table rows per id
+    instead of 8; the rows are ~20 B each and the explode is map-side.
+    The table is still a pure function of ``afp``, so batch and
+    streaming index builds can never drift."""
+    from itertools import combinations
+
+    assert 1 <= key_blocks < n_blocks and n_blocks * block_bits <= 64
+    mask = (1 << block_bits) - 1
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col("afp"), i * block_bits).bitwiseAND(F.lit(mask))
+
+    keys = []
+    for combo in combinations(range(n_blocks), key_blocks):
+        k = block(combo[0])
+        for b in combo[1:]:
+            k = F.shiftleft(k, block_bits).bitwiseOR(block(b))
+        keys.append(k)
     return fps.select(
         F.col("audio_id").alias("id"),
-        F.posexplode(F.array(*band_columns(F.col("afp"), n_bands, band_bits))),
+        F.posexplode(F.array(*keys)),
     ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
 
 
 def audio_band_table(
     df: DataFrame,
-    n_bands: int = 4,
-    band_bits: int = 16,
+    n_blocks: int = 8,
+    block_bits: int = 8,
+    key_blocks: int = 2,
     id_col: str = "audio_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Payloads → fingerprint bands, the audio ``band_fn`` for the
+    """Payloads → fingerprint band keys, the audio ``band_fn`` for the
     incremental streaming index (streaming/dedup.py): each micro-batch's
     clips band into the same persistent ``(id, band_idx, band_hash)``
     index the image pipeline uses."""
     fps = audio_fingerprints(df, id_col, bytes_col).filter(F.col("afp").isNotNull())
-    return fingerprint_band_table(fps, n_bands, band_bits)
+    return fingerprint_band_table(fps, n_blocks, block_bits, key_blocks)
 
 
 def audio_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 6,
-    n_bands: int = 4,
-    band_bits: int = 16,
+    n_blocks: int = 8,
+    block_bits: int = 8,
+    key_blocks: int = 2,
     id_col: str = "audio_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Audio near-duplicate candidate pairs: fingerprint → Hamming bands
-    → the SAME salted/capped bucket expansion every other candidate
-    source uses (``minhash.candidate_pairs_from_buckets`` — no all-pairs
-    path), verified by exact Hamming distance JVM-side (``bit_count`` of
-    the xor; no Python in the verify). Output ``(id_a, id_b,
-    hamming int)`` with ``id_a < id_b``. Mirrors the image phash-band
-    path (operators/pipeline.py candidate_buckets), extending the
-    near-dup machinery to the audio modality."""
+    """Audio near-duplicate candidate pairs: fingerprint → multi-block
+    Hamming band keys → the SAME salted/capped bucket expansion every
+    other candidate source uses (``minhash.candidate_pairs_from_buckets``
+    — no all-pairs path), verified by exact Hamming distance JVM-side
+    (``bit_count`` of the xor; no Python in the verify). Output
+    ``(id_a, id_b, hamming int)`` with ``id_a < id_b``. Mirrors the
+    image phash-band path (operators/pipeline.py candidate_buckets),
+    extending the near-dup machinery to the audio modality."""
     from yadf_spark.functions.hashes import hamming64
     from yadf_spark.operators import minhash
 
+    # pigeonhole: d differing bits touch at most d blocks, so a shared
+    # key (key_blocks untouched blocks) is guaranteed only for
+    # d <= n_blocks - key_blocks — reject configs that would silently
+    # miss pairs inside the requested radius
+    assert max_hamming <= n_blocks - key_blocks, (
+        "banding is only recall-complete for radius <= n_blocks - key_blocks"
+    )
     fps = audio_fingerprints(df, id_col, bytes_col).filter(F.col("afp").isNotNull())
     fps = fps.localCheckpoint(eager=False)  # fingerprint once: bands + verify both read it
-    cand = minhash.candidate_pairs_from_buckets(fingerprint_band_table(fps, n_bands, band_bits))
+    cand = minhash.candidate_pairs_from_buckets(
+        fingerprint_band_table(fps, n_blocks, block_bits, key_blocks)
+    )
     a = fps.select(F.col("audio_id").alias("id_a"), F.col("afp").alias("_fa"))
     b = fps.select(F.col("audio_id").alias("id_b"), F.col("afp").alias("_fb"))
     return (

@@ -174,9 +174,12 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition quality signals per document.
 
     ``distinct_token_ratio`` (low → the doc repeats itself) and
-    ``top_bigram_count`` / ``top_bigram_frac`` (fraction of tokens
-    covered by the most frequent bigram — boilerplate and generated
-    spam score high). Shape: explode bigrams → per-(doc, bigram)
+    ``top_bigram_count`` / ``top_bigram_frac`` (fraction of the doc's
+    bigram OCCURRENCES that are the single most frequent bigram —
+    boilerplate and generated spam score high; a true [0, 1] fraction
+    even for self-overlapping bigrams like "b b" in "b b b", which a
+    token-coverage formula over-counts past 1.0).
+    Shape: explode bigrams → per-(doc, bigram)
     partial-agg counts → per-doc max → join back onto the narrow
     per-doc stats; nothing wider than (id, bigram) crosses a shuffle.
     """
@@ -201,7 +204,7 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_token_ratio"),
         top_c.cast("long").alias("top_bigram_count"),
-        F.round(top_c * 2.0 / F.col("n_tokens"), 6).alias("top_bigram_frac"),
+        F.round(top_c / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6).alias("top_bigram_frac"),
     )
 
 
@@ -293,9 +296,12 @@ def chunk_text(
         raise ValueError(f"need 0 <= overlap < chunk, got chunk={chunk} overlap={overlap}")
     stride = chunk - overlap
     toks = T.tokens(F.col(text_col))
+    # a chunk starting at s is a strict subset of its predecessor when
+    # the predecessor already reaches the end (s >= n - overlap), so
+    # starts stop at n - overlap - 1 — no duplicate trailing window
     starts = F.when(
         F.size(toks) > 0,
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)),
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - overlap - 1, F.lit(0)), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     piece = F.slice(F.col("toks"), F.col("start") + 1, chunk)
     return (

@@ -134,6 +134,8 @@ def embed_pixels(px: np.ndarray, dim: int = 64) -> np.ndarray:
     replay it single-process as ground truth for the distributed
     ``image_embedding`` path — the same stored-truth pattern the
     images_metadata oracle uses for w/h/fmt."""
+    if dim % 4 != 0:
+        raise ValueError(f"embedding dim must be a multiple of 4 (got {dim})")
     bins = dim // 4
     pxf = px.astype(np.float64)
     gray = pxf.mean(axis=2)
@@ -159,6 +161,11 @@ def image_embedding(
     histogram, L2-normalized — the decode→feature seam a real CLIP-style
     encoder would occupy. Output ``(image_id, embedding array<float>)``
     feeds the ANN operators (operators/similarity.py) unchanged."""
+    if dim % 4 != 0:
+        # fail at plan time: inside the kernel this would surface as
+        # every row silently degrading to a null embedding
+        raise ValueError(f"embedding dim must be a multiple of 4 (got {dim})")
+
     def kernel(series: pd.Series) -> pd.Series:
         from yadf_spark.fixtures.codec import decode_image
 
@@ -237,7 +244,10 @@ def frame_sample(
             for vid, payload in zip(pdf[id_col], pdf[bytes_col]):
                 try:
                     frames = _decode_video_frames(bytes(payload))
-                except NotImplementedError:
+                except Exception:
+                    # NotImplementedError (real codec absent), TypeError
+                    # (null payload), struct.error (truncated container):
+                    # all degrade to a quarantine row, never a job failure
                     rows.append((vid, None, None, None))
                     continue
                 kept = frames[::every_n]

@@ -197,7 +197,12 @@ def dup_pair_recall(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> f
     assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
     if not truth_pairs:
         return 1.0
-    hit = sum(1 for a, b in truth_pairs if assign.get(a) == assign.get(b))
+    # a pair counts only when BOTH ids were actually clustered — two
+    # missing ids must not match as None == None, or an empty clusters
+    # frame would score recall 1.0 and falsely pass the >= 0.99 gate
+    hit = sum(
+        1 for a, b in truth_pairs if assign.get(a) is not None and assign.get(a) == assign.get(b)
+    )
     return hit / len(truth_pairs)
 
 

@@ -28,8 +28,14 @@ def _simhash_kernel(token_hashes: pd.Series) -> pd.Series:
 
     Vectorized per Arrow batch: flatten all rows' hashes, expand to a
     (total, 64) sign matrix (+1 where bit set, -1 where clear), sum per
-    row segment with ``add.reduceat``, threshold at 0."""
-    lengths = token_hashes.map(len).to_numpy(dtype=np.int64)
+    row segment with ``add.reduceat``, threshold at 0.
+
+    A null hash array (null input text) is treated as empty — the
+    caller (``add_simhash``) maps the output back to null for null
+    text; the kernel itself must never raise on a None element because
+    Spark may evaluate the UDF on every row regardless of any
+    null-guarding ``when`` branch in the projection."""
+    lengths = token_hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
     n_rows = len(lengths)
     if n_rows == 0:
         return pd.Series([], dtype="int64")
@@ -37,7 +43,7 @@ def _simhash_kernel(token_hashes: pd.Series) -> pd.Series:
     nonempty = lengths > 0
     if nonempty.any():
         flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in token_hashes if len(h)]
+            [np.asarray(h, dtype=np.int64) for h in token_hashes if h is not None and len(h)]
         ).astype(np.uint64)
         offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
         np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
@@ -79,7 +85,14 @@ def add_simhash(
         )
     else:
         hashes_col = F.transform(T.tokens(col), lambda t: F.xxhash64(t))
-    return df.withColumn(out_col, simhash64()(hashes_col))
+    # null text -> null simhash (null-in/null-out, the repo-wide
+    # posture); the kernel still sees the null rows (pandas UDFs are
+    # extracted and evaluated before the `when` projection) and treats
+    # them as empty, so the guard here is purely about the OUTPUT value
+    return df.withColumn(
+        out_col,
+        F.when(col.isNull(), F.lit(None).cast("long")).otherwise(simhash64()(hashes_col)),
+    )
 
 
 def hamming_band_candidates(
@@ -98,30 +111,19 @@ def hamming_band_candidates(
     untouched). Uses the same salted bucket self-join as MinHash LSH —
     shared machinery, shared skew handling. The pair set carries the
     verified Hamming distance so downstream stages need no re-join."""
-    from yadf_spark.operators.minhash import candidate_pairs_from_buckets
+    from yadf_spark.operators.minhash import candidate_pairs_from_buckets, hash_bands
 
     assert max_hamming < n_bands, "banding is only recall-complete for radius < n_bands"
     src = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_h"))
-    # compact single-expression banding (see minhash.explode_bands for why
-    # the expanded array-of-structs form is a codegen hazard)
-    mask = (1 << band_bits) - 1
-    bands = src.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
-        F.col("_h"),
-    ).select(
-        "id",
-        "band_idx",
-        # F.shiftrightunsigned only takes a literal shift in PySpark; the
-        # SQL form accepts a column expression
-        F.expr(f"shiftrightunsigned(_h, band_idx * {band_bits})")
-        .bitwiseAND(F.lit(mask))
-        .alias("band_hash"),
+    bands = hash_bands(src, "id", "_h", n_bands, band_bits)
+    # eager localCheckpoint, NOT persist: materializes before any
+    # broadcast consumer (a broadcast built from an unpopulated cache
+    # recomputes the whole candidate DAG on a concurrent driver thread,
+    # see exact_jaccard) and its blocks are cleaner-freed — a persist
+    # here would pin executor storage for the session lifetime
+    pairs = candidate_pairs_from_buckets(bands, salt_bucket_above, max_bucket).localCheckpoint(
+        eager=True
     )
-    # persist AND materialize before any broadcast consumer — a
-    # broadcast built from an unpopulated cache recomputes the whole
-    # candidate DAG on a concurrent driver thread (see exact_jaccard)
-    pairs = candidate_pairs_from_buckets(bands, salt_bucket_above, max_bucket).persist()
     n_pairs = pairs.count()
     a = src.select(F.col("id").alias("id_a"), F.col("_h").alias("h_a"))
     b = src.select(F.col("id").alias("id_b"), F.col("_h").alias("h_b"))

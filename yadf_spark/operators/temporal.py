@@ -49,6 +49,11 @@ def asof_join(
     tiebreak = tiebreak_col or value_cols[0]
     lcols = left.columns
     payload = F.struct(*[F.col(c) for c in value_cols])
+    # a right row with a null timestamp has no position on the time
+    # axis; nulls sort FIRST in the ascending window order, so left
+    # unfiltered it would act as "earlier than everything" and match
+    # left rows that have no genuine prior right row
+    right = right.filter(F.col(on).isNotNull())
     r = right.select(
         F.col(by).alias(by),
         F.col(on).alias(on),
