@@ -640,6 +640,24 @@ def q_snapshot_diff_docs(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
 
 
+def q_incremental_dedup_docs(spark, sf_dir):
+    """Incremental dedup: a 'new batch' (doc_id % 3 == 0) deduped by
+    content fingerprint against a 'history' (doc_id % 7 != 3) WITHOUT
+    shuffling the history — a Bloom filter built over the batch prunes
+    the history map-side, then an exact broadcast anti-join decides.
+    Bit-identical to the plain NOT EXISTS the oracle runs (bloom false
+    positives only inflate the candidate set; negatives don't exist)."""
+    from yadf_spark.operators import bloom
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.where(F.col("doc_id") % 7 != 3)
+    new = d.where(F.col("doc_id") % 3 == 0)
+    out = bloom.novel_rows(new, history, key=F.md5(F.col("text").cast("string")))
+    return out.select(
+        "doc_id", F.md5(F.col("text").cast("string")).alias("fp")
+    ).orderBy("doc_id")
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Top-20 vocabulary tokens by document frequency (explode →
     partial-agg groupBy → TakeOrderedAndProject top-k; total-ordered
@@ -1887,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter_docs": q_quantile_filter_docs,
         "source_overlap": q_source_overlap,
         "snapshot_diff_docs": q_snapshot_diff_docs,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
         "vocab_top_tokens": q_vocab_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -2325,8 +2344,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 1000000 AS doc_id, text
               FROM documents WHERE doc_id % 13 = 1),
-            o AS (SELECT doc_id AS id, md5(text) AS fp FROM documents),
-            n AS (SELECT doc_id AS id, md5(text) AS fp FROM v2),
+            o AS (SELECT doc_id AS id, md5(COALESCE('v' || text, chr(0))) AS fp FROM documents),
+            n AS (SELECT doc_id AS id, md5(COALESCE('v' || text, chr(0))) AS fp FROM v2),
             j AS (
               SELECT COALESCE(o.id, n.id) AS doc_id,
                      CASE WHEN o.fp IS NULL THEN 'added'
@@ -2335,6 +2354,14 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n ON o.id = n.id)
             SELECT doc_id, status FROM j WHERE status IS NOT NULL
             ORDER BY doc_id""",
+        "incremental_dedup_docs": """
+            SELECT n.doc_id, md5(n.text) AS fp
+            FROM documents n
+            WHERE n.doc_id % 3 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents h
+                WHERE h.doc_id % 7 <> 3 AND md5(h.text) = md5(n.text))
+            ORDER BY n.doc_id""",
         "vocab_top_tokens": """
             WITH tok AS (
               SELECT doc_id AS doc,

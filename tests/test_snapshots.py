@@ -54,3 +54,18 @@ def test_snapshot_diff_payload_never_shuffles(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), plan
+
+
+def test_snapshot_diff_null_is_not_empty_and_does_not_shift(spark):
+    # NULL vs '' must read as changed, and a value moving between
+    # columns must not fingerprint identically (concat_ws skips NULLs,
+    # so an unencoded join would collapse both cases to "unchanged")
+    old = spark.createDataFrame([(1, None, ""), (2, "x", None)],
+                                "id long, x string, y string")
+    new = spark.createDataFrame([(1, "", None), (2, None, "x")],
+                                "id long, x string, y string")
+    for algo in ("xxhash64", "md5"):
+        out = {r.id: r.status
+               for r in snapshots.snapshot_diff(old, new, "id", ["x", "y"],
+                                                algo=algo).collect()}
+        assert out == {1: "changed", 2: "changed"}

@@ -28,7 +28,16 @@ _SEP = "\x1f"
 
 
 def _fingerprint(df: DataFrame, id_col: str, cols: list[str], algo: str) -> DataFrame:
-    joined = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in cols])
+    # Each column slot is encoded null-distinctly before joining:
+    # concat_ws SKIPS null arguments, so a bare join would fingerprint
+    # (NULL, "x") and ("x", NULL) identically, and a value flipping
+    # between NULL and '' would read as unchanged. 'v'||value vs a lone
+    # \x00 cannot collide (values are prefixed, the null token is not).
+    parts = [
+        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("\x00"))
+        for c in cols
+    ]
+    joined = F.concat_ws(_SEP, *parts)
     fp = F.md5(joined) if algo == "md5" else F.xxhash64(joined).cast("string")
     return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
 
