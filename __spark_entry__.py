@@ -677,6 +677,31 @@ def q_tfidf_top_terms(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
+def q_lm_score_docs(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity signal: corpus MLE model fit
+    in one tokenize pass (lazily checkpointed per-doc counts fan out to
+    model / total / scoring join), per-doc mean token NLL. Empty/null
+    texts carry no tokens and are excluded."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.lm_score(d, "doc_id", "text")
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def q_classifier_score_docs(spark, sf_dir):
+    """fastText-style hashed linear classifier inference as a pure
+    narrow map — md5-bucket hashing trick + deterministic stand-in
+    weights + sigmoid, all inside transform/aggregate higher-order
+    functions: the executed plan has ZERO exchanges (plan-asserted in
+    test_curation)."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.classifier_score(d, "doc_id", "text")
+    return (
+        out.withColumnRenamed("id", "doc_id")
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints — SIGMOD'03
     scheme, k=12 char grams, window w=8, portable md5_32 hash."""
@@ -1908,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "vocab_top_tokens": q_vocab_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "lm_score_docs": q_lm_score_docs,
+        "classifier_score_docs": q_classifier_score_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "winnow_clusters_docs": q_winnow_clusters_docs,
@@ -2389,6 +2416,31 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tf, doc_freq, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+        "lm_score_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            model AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS total FROM model)
+            SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   round(ln(tot.total) - sum(tf.tf * ln(model.cnt)) / sum(tf.tf),
+                         6) AS avg_nll
+            FROM tf JOIN model USING (token), tot
+            GROUP BY tf.doc_id, tot.total ORDER BY tf.doc_id""",
+        "classifier_score_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            w AS (
+              SELECT doc_id, (CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+                              % 4096) * 2654435761 % 10007 / 10007.0 - 0.5 AS wt
+              FROM tok)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(1.0 / (1.0 + exp(-avg(wt))), 6) AS score
+            FROM w GROUP BY doc_id ORDER BY doc_id""",
         "winnow_fingerprints": f"""
             WITH {WINNOW_CTE}
             SELECT doc_id, array_to_string(fps, '|') AS fps FROM m ORDER BY doc_id""",

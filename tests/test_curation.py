@@ -440,3 +440,50 @@ def test_cluster_representatives_null_quality_loses(spark):
     got = {r.cluster_id: (r.rep_id, r.rep_quality, r.n_members) for r in reps.collect()}
     assert got[10] == (1, 100, 3)       # null member b loses
     assert got[20] == (7, None, 2)      # all-null -> min id, null quality
+
+
+def test_lm_score_planted(spark):
+    """Common-token docs score lower NLL than rare-token docs; values
+    match the hand-computed unigram MLE; empty/null texts excluded."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the the"), (3, "zq"), (4, ""), (5, None),
+         (6, "  The CAT  ")],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.n_tokens, r.avg_nll) for r in curation.lm_score(df, "doc_id", "text").collect()}
+    # corpus: the x5, cat x2, sat x1, zq x1 -> total 9
+    assert got[2] == (3, round(math.log(9) - math.log(5), 6))
+    assert got[3] == (1, round(math.log(9), 6))
+    assert got[6] == (2, round(math.log(9) - (math.log(5) + math.log(2)) / 2, 6))
+    assert 4 not in got and 5 not in got
+    assert got[3][1] > got[2][1]  # rare-token doc scores worse
+
+
+def test_classifier_score_is_a_narrow_map(spark):
+    """Inference must plan with ZERO exchanges — the hashing trick +
+    higher-order-function aggregation keeps scoring map-only."""
+    df = spark.createDataFrame([(1, "a b c"), (2, "")], "doc_id long, text string")
+    out = curation.classifier_score(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r.id: (r.n_tokens, r.score) for r in out.collect()}
+    assert got[2] == (0, None)
+    n, score = got[1]
+    assert n == 3 and 0.0 < score < 1.0
+
+
+def test_classifier_weight_formula_matches_reference_arithmetic(spark):
+    """The stand-in weight is exact integer arithmetic on the md5
+    bucket — recompute one doc's score in pure Python."""
+    import hashlib
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    (row,) = curation.classifier_score(df, "doc_id", "text").collect()
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % curation.CLS_DIM
+        return b * 2654435761 % 10007 / 10007.0 - 0.5
+
+    margin = sum(w(t) for t in words) / len(words)
+    assert row.score == round(1.0 / (1.0 + math.exp(-margin)), 6)

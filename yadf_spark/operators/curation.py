@@ -629,3 +629,91 @@ def char_class_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         other.cast("long").alias("n_other"),
         F.round(entropy, 6).alias("class_entropy"),
     )
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram language-model negative log-likelihood —
+    the CCNet-style "perplexity filter" signal: documents made of
+    corpus-typical tokens score low, gibberish / rare-token spills
+    score high, and the downstream pipeline keeps the head of the
+    distribution (pair with ``quantile_threshold_filter``).
+
+    Model: corpus unigram MLE ``p(t) = cnt(t) / total``; score is the
+    mean token NLL ``ln(total) - mean(ln cnt(t))``. OOV cannot occur
+    because the model is fit on the scored corpus itself; to score
+    against a *held* model, persist the ``(token, cnt)`` frame and join
+    it in — same plan shape.
+
+    Scale shape: ONE tokenize pass (the per-(doc, token) count frame is
+    lazily ``localCheckpoint``-ed and fan-reused by the model agg, the
+    total, and the scoring join); both aggs are explode → partial-agg
+    groupBy (hot stopwords combine map-side); the model side of the
+    scoring join is vocabulary-sized (≪ token instances) so AQE
+    broadcasts it at sane vocab sizes; the 1-row total joins as a
+    BroadcastNestedLoop. Nothing wider than (doc, token, count) ever
+    crosses an exchange. Output: ``(id, n_tokens, avg_nll)``, empty /
+    null texts excluded (they have no tokens to score).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(_lower_tokens(F.col(text_col))).alias("token")
+    )
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    # one materialization, three consumers (model, total, scoring join)
+    tf = tf.localCheckpoint(eager=False)
+    model = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tf.join(model, "token")
+        .groupBy("id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum(F.col("tf") * F.log("cnt")).alias("_s"))
+    )
+    return per_doc.crossJoin(total).select(
+        "id",
+        "n_tokens",
+        F.round(F.log("total") - F.col("_s") / F.col("n_tokens"), 6).alias("avg_nll"),
+    )
+
+
+#: hashed-classifier defaults: feature space width and the weight
+#: formula's two moduli (Knuth multiplicative constant, prime bucket)
+CLS_DIM = 4096
+_CLS_MULT = 2654435761
+_CLS_PRIME = 10007
+
+
+def classifier_score(
+    df: DataFrame, id_col: str, text_col: str, dim: int = CLS_DIM
+) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE as a pure
+    narrow map — the model-based filtering stage of a curation pipeline
+    (DCLM / FineWeb-Edu style) with the one property that matters at
+    100 TB: scoring shuffles NOTHING. Tokens hash into ``dim`` buckets
+    (hashing trick, md5-prefix so any engine replays it), each bucket
+    carries a weight, a document's margin is the mean weight of its
+    token stream, and the score is the sigmoid of the margin — all
+    computed inside ``transform``/``aggregate`` higher-order functions
+    over the token array, zero exchanges, zero Python.
+
+    The weights here are a deterministic stand-in
+    (``(bucket · 2654435761) mod 10007 / 10007 - 0.5`` — exact integer
+    arithmetic in any engine); a real deployment substitutes trained
+    weights by swapping ``_weight`` for a lookup against a broadcast
+    array inside a pandas UDF. The plumbing — hash-bucketing, per-row
+    aggregation, map-only plan — is identical either way.
+
+    Output: ``(id, n_tokens, score)``; rows with no tokens score null.
+    """
+
+    def _weight(tok: Column) -> Column:
+        bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+        return (bucket * _CLS_MULT % _CLS_PRIME) / float(_CLS_PRIME) - 0.5
+
+    toks = _lower_tokens(F.col(text_col))
+    n = F.coalesce(F.size(toks), F.lit(0))  # null text -> 0 tokens
+    margin = F.aggregate(F.transform(toks, _weight), F.lit(0.0), lambda acc, x: acc + x) / n
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, score).alias("score"),
+    )
