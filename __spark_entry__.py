@@ -407,6 +407,41 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over embeddings ∪ planted exact
+    copies (vec_id % 17, shifted ids): portable-SRP cells (4 bands x 4
+    bits, hyperplanes as exact rationals both engines rebuild), within-
+    cell cosine >= 0.8, earliest-id survivor per dominated pair. The
+    0.8 threshold sits far above the organic pair ceiling (~0.51) and
+    far below the copies' 1.0, so the verdict is float-noise-proof;
+    the cell/band machinery is what finds the copies."""
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    allv = e.select("vec_id", "embedding").unionByName(planted)
+    out = similarity.semantic_dedup(allv, EMB_DIM, 0.8)
+    return out.withColumnRenamed("id", "vec_id").orderBy("vec_id")
+
+
+def _semdedup_cell_sql(band: int, n_bits: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for one band's portable-SRP cell over ``v``
+    (a DOUBLE[] column) — plane components embedded as the same exact
+    rationals ``w/10007.0 - 0.5`` the Spark side materializes."""
+    mult, prime = similarity._PLANE_MULT, similarity._PLANE_PRIME
+    bits = []
+    for bit in range(n_bits):
+        comps = ", ".join(
+            f"({((band * 131 + bit) * 131071 + d + 1) * mult % prime}/10007.0 - 0.5)"
+            for d in range(dim)
+        )
+        bits.append(
+            f"CASE WHEN round(list_dot_product(v, [{comps}]), 4) >= 0"
+            f" THEN {1 << bit} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting."""
     d = _t(spark, sf_dir, "documents")
@@ -1909,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "token_stats": q_token_stats,
         "token_histogram": q_token_histogram,
         "char_class_stats": q_char_class_stats,
@@ -2102,6 +2138,25 @@ def oracle_sql() -> dict[str, str]:
                        sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
                 FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
+        "semantic_dedup": f"""
+            WITH v0 AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 17 = 0),
+            c AS (SELECT vec_id, v,
+                         {_semdedup_cell_sql(0)} AS c0, {_semdedup_cell_sql(1)} AS c1,
+                         {_semdedup_cell_sql(2)} AS c2, {_semdedup_cell_sql(3)} AS c3
+                  FROM v0),
+            drp AS (
+              SELECT DISTINCT b.vec_id FROM c a JOIN c b
+              ON a.vec_id < b.vec_id
+                 AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+              WHERE round(list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8)
+            SELECT vec_id, vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+            FROM c ORDER BY vec_id""",
         "token_stats": """
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,

@@ -203,3 +203,66 @@ def test_label_outliers_plan_broadcasts_centroids(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _semdedup_frame(spark):
+    # v0/v1 identical (cosine 1.0), v2 a near-copy of v0 (cos ~0.999),
+    # v3 orthogonal-ish noise — ids ordered so survivor rules matter
+    base = np.random.default_rng(3).normal(size=16).astype("float32")
+    near = base.copy()
+    near[0] += 0.02
+    other = np.roll(base, 7) * np.float32(-1.0)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in near]),
+        (3, [float(x) for x in other]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_dominated_keeps_earliest(spark):
+    df = _semdedup_frame(spark)
+    got = {
+        r.id: r.kept
+        for r in similarity.semantic_dedup(df, 16, 0.99, n_bands=4, n_bits=2).collect()
+    }
+    # 0 is the earliest of its semantic group -> kept; 1 and 2 are
+    # dominated by 0; 3 is semantically alone
+    assert got == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_cells_match_pure_python_fold(spark):
+    """The JVM zip_with/aggregate left fold must equal the plain Python
+    sequential fold over the same exact-rational planes (the property
+    the SQL oracle's replay rests on)."""
+    df = _semdedup_frame(spark)
+    cells = similarity.portable_srp_cells(F.col("embedding"), 16, n_bands=4, n_bits=4)
+    got = {
+        r.vec_id: [r[f"c{j}"] for j in range(4)]
+        for r in df.select(
+            "vec_id", *[c.alias(f"c{j}") for j, c in enumerate(cells)]
+        ).collect()
+    }
+    rows = {r.vec_id: r.embedding for r in df.collect()}
+    for vid, emb in rows.items():
+        for band in range(4):
+            cell = 0
+            for bit in range(4):
+                plane = similarity.portable_plane(band, bit, 16)
+                dot = 0.0
+                for x, w in zip(emb, plane):
+                    dot += float(x) * w
+                if round(dot, 4) >= 0:
+                    cell += 1 << bit
+            assert got[vid][band] == cell, (vid, band)
+
+
+def test_semantic_dedup_embeddings_never_enter_bucket_shuffle(spark):
+    import re
+
+    df = _semdedup_frame(spark)
+    out = similarity.semantic_dedup(df, 16, 0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_e" not in m.group(1) and "embedding" not in m.group(1), plan

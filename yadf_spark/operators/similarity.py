@@ -511,3 +511,96 @@ def label_outliers(
         .select(F.col(id_col), F.col(label_col), cos.alias("cosine"))
         .filter(F.col("cosine") < max_cosine)
     )
+
+
+# --- SemDeDup-style semantic dedup (portable SRP cells) ----------------
+
+#: weight-formula moduli for the portable hyperplanes (exact integer
+#: arithmetic -> exact rational -> identical IEEE doubles in any engine)
+_PLANE_MULT = 2654435761
+_PLANE_PRIME = 10007
+
+
+def portable_plane(band: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane as exact rationals: every
+    component is ``w / 10007 - 0.5`` with ``w`` from an integer-only
+    formula, so any engine (Spark, DuckDB, plain Python) rebuilds the
+    identical float64 vector — the portability trick that lets the
+    semantic cells be replayed by the SQL oracle, where the seeded
+    numpy planes of ``srp_planes`` cannot be."""
+    comps = []
+    for d in range(dim):
+        w = ((band * 131 + bit) * 131071 + d + 1) * _PLANE_MULT % _PLANE_PRIME
+        comps.append(w / float(_PLANE_PRIME) - 0.5)
+    return comps
+
+
+def portable_srp_cells(emb_col, dim: int, n_bands: int = 4, n_bits: int = 4) -> list:
+    """One cell id per band: ``n_bits`` sign tests against portable
+    hyperplanes, bit-packed. The sign reads ``round(dot, 4) >= 0`` so a
+    cross-engine last-ulp difference in the dot sum cannot flip a bit
+    (a flip would need the true dot within ~1e-15 of a 5e-5 rounding
+    boundary). Dots run JVM-side via zip_with/aggregate in array order
+    — the same left-fold shape the oracle's list_dot_product walks."""
+    e = _as_double(emb_col)
+    cells = []
+    for band in range(n_bands):
+        cell = F.lit(0)
+        for bit in range(n_bits):
+            plane = F.array(*[F.lit(c) for c in portable_plane(band, bit, dim)])
+            test = F.round(_dot(e, plane), 4) >= 0
+            cell = cell + F.when(test, F.lit(1 << bit)).otherwise(F.lit(0))
+        cells.append(cell)
+    return cells
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bands: int = 4,
+    n_bits: int = 4,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): embeddings
+    bucket into semantic cells, only within-cell pairs pay an exact
+    cosine, and each cell keeps earliest-id survivors — a row is
+    dropped iff some SMALLER id shares a band cell with it at cosine >=
+    ``threshold``. (The paper's sequential greedy differs on chains —
+    A~B, B~C, A!~C greedily re-keeps C; the dominated-by-any-earlier
+    rule is order-free, one shuffle cheaper, and strictly more
+    aggressive, which is the safe direction for dedup.)
+
+    Scale shape: cells bound the candidate volume exactly like the LSH
+    bands everywhere else in the repo — the pair expansion IS
+    ``candidate_pairs_from_buckets`` (salted, capped, mega-bucket
+    logged), embeddings re-attach to candidate ids only, and the
+    survivor flag is one broadcast-sized anti-join of distinct dropped
+    ids. No all-pairs path exists at any scale.
+
+    Returns ``(id, kept)`` — every input row, flagged.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("_e"))
+    cells = portable_srp_cells(F.col("_e"), dim, n_bands, n_bits)
+    buckets = base.select("id", F.posexplode(F.array(*[c for c in cells]))).select(
+        "id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash")
+    )
+    # posexplode re-evaluates the cell expressions per row once — the
+    # embedding itself never enters the bucket shuffle (ids + cell ints)
+    cand = candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
+    a = _side(df, id_col, emb_col, "id_a", "a")
+    b = _side(df, id_col, emb_col, "id_b", "b")
+    scored = _cosine_from_norms(cand.join(a, "id_a").join(b, "id_b"), dim)
+    dropped = (
+        scored.where(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))  # machinery guarantees id_a < id_b
+        .distinct()
+    )
+    return (
+        base.select("id")
+        .join(dropped.withColumn("_dup", F.lit(True)), "id", "left")
+        .select("id", F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
+    )
