@@ -428,11 +428,11 @@ def _semdedup_cell_sql(band: int, n_bits: int = 4, dim: int = 64) -> str:
     """DuckDB expression for one band's portable-SRP cell over ``v``
     (a DOUBLE[] column) — plane components embedded as the same exact
     rationals ``w/10007.0 - 0.5`` the Spark side materializes."""
-    mult, prime = similarity._PLANE_MULT, similarity._PLANE_PRIME
+    prime = similarity._PLANE_PRIME
     bits = []
     for bit in range(n_bits):
         comps = ", ".join(
-            f"({((band * 131 + bit) * 131071 + d + 1) * mult % prime}/10007.0 - 0.5)"
+            f"({similarity.portable_plane_w(band, bit, d)}/{prime}.0 - 0.5)"
             for d in range(dim)
         )
         bits.append(
@@ -687,10 +687,10 @@ def q_incremental_dedup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     history = d.where(F.col("doc_id") % 7 != 3)
     new = d.where(F.col("doc_id") % 3 == 0)
-    out = bloom.novel_rows(new, history, key=F.md5(F.col("text").cast("string")))
-    return out.select(
-        "doc_id", F.md5(F.col("text").cast("string")).alias("fp")
-    ).orderBy("doc_id")
+    out = bloom.novel_rows(
+        new, history, key=F.md5(F.col("text").cast("string")), key_alias="fp"
+    )
+    return out.select("doc_id", "fp").orderBy("doc_id")
 
 
 def q_vocab_top_tokens(spark, sf_dir):
@@ -2426,8 +2426,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 1000000 AS doc_id, text
               FROM documents WHERE doc_id % 13 = 1),
-            o AS (SELECT doc_id AS id, md5(COALESCE('v' || text, chr(0))) AS fp FROM documents),
-            n AS (SELECT doc_id AS id, md5(COALESCE('v' || text, chr(0))) AS fp FROM v2),
+            o AS (SELECT doc_id AS id,
+                         md5(COALESCE(CAST(length(text) AS VARCHAR) || ':' || text, 'n')) AS fp
+                  FROM documents),
+            n AS (SELECT doc_id AS id,
+                         md5(COALESCE(CAST(length(text) AS VARCHAR) || ':' || text, 'n')) AS fp
+                  FROM v2),
             j AS (
               SELECT COALESCE(o.id, n.id) AS doc_id,
                      CASE WHEN o.fp IS NULL THEN 'added'

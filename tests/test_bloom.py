@@ -79,8 +79,14 @@ def test_history_is_never_sort_merge_shuffled(spark):
     hist, batch = _frames(spark)
     key = F.md5(F.col("text").cast("string"))
     out = bloom.novel_rows(batch, hist, key=key)
+    # no broadcast HINT by design (a mis-sized fpp must degrade, not
+    # OOM) — AQE converts to broadcast at runtime from the candidate
+    # side's measured size, so assert on the FINAL adaptive plan
+    out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-runtime plan after it
+    assert "BroadcastHashJoin" in final, plan
+    assert "SortMergeJoin" not in final, plan
     # the bloom probe is an Arrow-batched filter on the history scan
-    assert "ArrowEvalPython" in plan, plan
+    assert "ArrowEvalPython" in final, plan

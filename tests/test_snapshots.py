@@ -69,3 +69,20 @@ def test_snapshot_diff_null_is_not_empty_and_does_not_shift(spark):
                for r in snapshots.snapshot_diff(old, new, "id", ["x", "y"],
                                                 algo=algo).collect()}
         assert out == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_diff_separator_injection_cannot_collide(spark):
+    # Values containing the old separator byte, colons, or digits must
+    # not let content shift between column slots (length-prefix
+    # encoding is injective; a separator join was not)
+    cases = [
+        (("a\x1fvb", "c"), ("a", "b\x1fvc")),
+        (("ab", "c"), ("a", "bc")),
+        (("1:a", "b"), ("1", ":ab")),
+    ]
+    for i, (o_vals, n_vals) in enumerate(cases):
+        old = spark.createDataFrame([(1, *o_vals)], "id long, x string, y string")
+        new = spark.createDataFrame([(1, *n_vals)], "id long, x string, y string")
+        for algo in ("xxhash64", "md5"):
+            out = snapshots.snapshot_diff(old, new, "id", ["x", "y"], algo=algo).collect()
+            assert [(r.id, r.status) for r in out] == [(1, "changed")], (i, algo, out)

@@ -13,9 +13,16 @@ history scan narrow and exchange-free:
      driver (n_partitions x m/8 bytes collected, NOT the keys),
   2. broadcast the bitmask and filter the history MAP-SIDE: a history
      row whose key is not in the filter cannot evict anything, so the
-     surviving "candidate evictor" set is ~|batch| x (overlap + fpp),
-  3. exact LEFT ANTI JOIN of the batch against the (broadcast-sized)
-     candidate set.
+     surviving "candidate evictor" set is ~overlap + |history| x fpp —
+     note the false-positive term scales with the HISTORY row count
+     (every history row probes independently), so fpp must be sized
+     against it: for ~10^6 broadcastable survivors from a 10^12-row
+     history you need fpp ~1e-6, which the m-bits formula turns into
+     ~29 bits/item of batch — still tiny next to shuffling the history,
+  3. exact LEFT ANTI JOIN of the batch against the pruned candidate
+     set — planned by AQE: broadcast when the surviving set is small
+     (the designed regime), a shuffle of just the pruned candidates
+     otherwise. Either way the RAW history never crosses an exchange.
 
 Bloom false positives only inflate step 3's build side; step 3 is
 exact, so the RESULT is bit-identical to the plain anti-join — which is
@@ -139,6 +146,7 @@ def novel_rows(
     history_key: Column | None = None,
     fpp: float = 0.01,
     n_items: int | None = None,
+    key_alias: str | None = None,
 ) -> DataFrame:
     """Rows of ``new`` whose ``key`` value does not occur in ``history``
     — bit-identical to ``new LEFT ANTI JOIN history ON key`` (nulls
@@ -151,8 +159,17 @@ def novel_rows(
     bloom probes an int64 ``xxhash64`` of the key; the FINAL anti-join
     compares the key itself, so xxhash collisions cannot corrupt the
     result. ``n_items`` (estimated batch row count) skips the sizing
-    count when the caller already knows it."""
-    spark = new.sparkSession
+    count when the caller already knows it. ``key_alias`` keeps the
+    evaluated key expression as an output column under that name (it
+    was computed anyway — callers needing it shouldn't pay the
+    expression twice).
+
+    Sizing: the pruned candidate set is ~overlap + |history| * fpp —
+    pick ``fpp`` against the HISTORY size, not the batch (module
+    docstring). The final anti-join deliberately carries no broadcast
+    hint: AQE broadcasts the candidate side when its runtime size is
+    small and falls back to shuffling just the pruned candidates when a
+    mis-sized fpp lets too many through — degraded, never OOM."""
     history_key = key if history_key is None else history_key
 
     batch = new.withColumn("_nk", key)
@@ -161,7 +178,9 @@ def novel_rows(
     # exact int64, never null-widened to float64
     batch = batch.withColumn("_nb", F.xxhash64(F.col("_nk")))
     if n_items is None:
-        batch = batch.localCheckpoint(eager=True)  # count + reuse without re-scan
+        # lazy checkpoint: the count() computes, stores, and counts in
+        # ONE job; later consumers read the stored blocks
+        batch = batch.localCheckpoint(eager=False)
         n_items = batch.count()
     m, k = bloom_params(n_items, fpp)
     bloom = build_bloom(batch.select(F.col("_nb").alias("key")), m, k)
@@ -169,11 +188,12 @@ def novel_rows(
     hist = history.select(history_key.alias("_hk")).where(F.col("_hk").isNotNull())
     hist = hist.withColumn("_hb", F.xxhash64(F.col("_hk")))
     candidates = (
-        hist.where(might_contain(spark, bloom, m, k, F.col("_hb")))
+        hist.where(might_contain(new.sparkSession, bloom, m, k, F.col("_hb")))
         .select("_hk")
         .distinct()
     )
-    out = batch.join(
-        F.broadcast(candidates), F.col("_nk") == F.col("_hk"), "left_anti"
-    )
+    out = batch.join(candidates, F.col("_nk") == F.col("_hk"), "left_anti")
+    if key_alias is not None:
+        out = out.withColumnRenamed("_nk", key_alias)
+        return out.drop("_nb")
     return out.drop("_nk", "_nb")

@@ -521,18 +521,23 @@ _PLANE_MULT = 2654435761
 _PLANE_PRIME = 10007
 
 
+def portable_plane_w(band: int, bit: int, d: int) -> int:
+    """Integer weight numerator for one plane component — the single
+    source of truth for the portable-plane formula; the SQL oracle's
+    cell builder embeds exactly these integers."""
+    return ((band * 131 + bit) * 131071 + d + 1) * _PLANE_MULT % _PLANE_PRIME
+
+
 def portable_plane(band: int, bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane as exact rationals: every
     component is ``w / 10007 - 0.5`` with ``w`` from an integer-only
-    formula, so any engine (Spark, DuckDB, plain Python) rebuilds the
-    identical float64 vector — the portability trick that lets the
-    semantic cells be replayed by the SQL oracle, where the seeded
-    numpy planes of ``srp_planes`` cannot be."""
-    comps = []
-    for d in range(dim):
-        w = ((band * 131 + bit) * 131071 + d + 1) * _PLANE_MULT % _PLANE_PRIME
-        comps.append(w / float(_PLANE_PRIME) - 0.5)
-    return comps
+    formula (``portable_plane_w``), so any engine (Spark, DuckDB, plain
+    Python) rebuilds the identical float64 vector — the portability
+    trick that lets the semantic cells be replayed by the SQL oracle,
+    where the seeded numpy planes of ``srp_planes`` cannot be."""
+    return [
+        portable_plane_w(band, bit, d) / float(_PLANE_PRIME) - 0.5 for d in range(dim)
+    ]
 
 
 def portable_srp_cells(emb_col, dim: int, n_bands: int = 4, n_bits: int = 4) -> list:
@@ -574,12 +579,18 @@ def semantic_dedup(
     rule is order-free, one shuffle cheaper, and strictly more
     aggressive, which is the safe direction for dedup.)
 
-    Scale shape: cells bound the candidate volume exactly like the LSH
-    bands everywhere else in the repo — the pair expansion IS
-    ``candidate_pairs_from_buckets`` (salted, capped, mega-bucket
-    logged), embeddings re-attach to candidate ids only, and the
-    survivor flag is one broadcast-sized anti-join of distinct dropped
-    ids. No all-pairs path exists at any scale.
+    Scale shape: the pair expansion IS ``candidate_pairs_from_buckets``
+    (salted, capped, mega-bucket logged), embeddings re-attach to
+    candidate ids only, and the survivor flag is one broadcast-sized
+    anti-join of distinct dropped ids. CAPACITY IS n_bits' JOB: a band
+    has exactly ``2**n_bits`` cells, so expected bucket size is
+    ``N / 2**n_bits`` — size ``n_bits ≈ log2(N / target_bucket)`` or
+    every bucket blows past ``max_bucket`` and gets culled (loudly —
+    the expansion logs dropped buckets — but culled). The 4-bit default
+    fits ~10^6 rows; 10^9 wants ~24 bits, 10^12 wants ~34 (dots per
+    row = n_bands x n_bits — still cheap, and recall is n_bands' knob,
+    independent of capacity). Unlike MinHash band hashes the cell space
+    does NOT grow with the data on its own.
 
     Returns ``(id, kept)`` — every input row, flagged.
     """

@@ -22,22 +22,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: ASCII unit separator — joins fingerprinted columns so ("ab","c") and
-#: ("a","bc") cannot collide
-_SEP = "\x1f"
-
-
 def _fingerprint(df: DataFrame, id_col: str, cols: list[str], algo: str) -> DataFrame:
-    # Each column slot is encoded null-distinctly before joining:
-    # concat_ws SKIPS null arguments, so a bare join would fingerprint
-    # (NULL, "x") and ("x", NULL) identically, and a value flipping
-    # between NULL and '' would read as unchanged. 'v'||value vs a lone
-    # \x00 cannot collide (values are prefixed, the null token is not).
-    parts = [
-        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("\x00"))
-        for c in cols
-    ]
-    joined = F.concat_ws(_SEP, *parts)
+    # Injective row encoding: each column slot becomes "<len>:<value>"
+    # (null -> "n"), then plain concat. Length-prefixing makes the
+    # encoding parseable without any separator, so no value content —
+    # including control characters a crawled corpus absolutely contains
+    # — can shift bytes between slots; a separator-join scheme collides
+    # whenever a value embeds the separator. Null is distinct from
+    # every real slot (those always start with a digit), and distinct
+    # from "" (encoded "0:").
+    def enc(c: str) -> F.Column:
+        s = F.col(c).cast("string")
+        return F.coalesce(F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("n"))
+
+    joined = F.concat(*[enc(c) for c in cols])
     fp = F.md5(joined) if algo == "md5" else F.xxhash64(joined).cast("string")
     return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
 
