@@ -712,6 +712,30 @@ def q_tfidf_top_terms(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
+#: target mixture for the mix contract queries — mass share ∝ source
+#: index + 1 (src0 rarest target, src19 largest), sum over 1..20 = 210
+MIX_TARGETS = {f"src{i}": (i + 1) / 210 for i in range(20)}
+
+
+def q_mix_weights_sources(spark, sf_dir):
+    """Data-mixing rate table: per-source char-mass, target fraction
+    (∝ index+1), and the down-sample-only rate bound by the scarcest
+    source (T = min mass/target; the binding source keeps rate 1.0)."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.mix_weights(d, "source", F.col("n_chars"), MIX_TARGETS)
+    return out.orderBy("source")
+
+
+def q_mix_sampled_docs(spark, sf_dir):
+    """Documents surviving the mixture sample: content-addressed
+    md5 bucket (id:mix salt, 10000 buckets) under the source's
+    floor(rate·10000) threshold — exact integer decision both engines
+    replay; stable under repartitioning and incremental ingest."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.apply_mix(d, "doc_id", "source", F.col("n_chars"), MIX_TARGETS)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_lm_score_docs(spark, sf_dir):
     """CCNet-style unigram-LM perplexity signal: corpus MLE model fit
     in one tokenize pass (lazily checkpointed per-doc counts fan out to
@@ -1970,6 +1994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": q_vocab_top_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "lm_score_docs": q_lm_score_docs,
+        "mix_weights_sources": q_mix_weights_sources,
+        "mix_sampled_docs": q_mix_sampled_docs,
         "classifier_score_docs": q_classifier_score_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
@@ -2475,6 +2501,36 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT doc_id, token, tf, doc_freq, tfidf, rank
             FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+        "mix_weights_sources": """
+            WITH per AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_weight
+              FROM documents GROUP BY 1),
+            tgt AS (
+              SELECT source, (CAST(substr(source, 4) AS BIGINT) + 1) / 210.0 AS tf
+              FROM per),
+            t AS (SELECT min(per.n_weight / tgt.tf) AS t
+                  FROM per JOIN tgt USING (source) WHERE tgt.tf > 0)
+            SELECT per.source, per.n_weight, round(tgt.tf, 6) AS target_frac,
+                   round(least(1.0, tgt.tf * t.t / per.n_weight), 6) AS rate
+            FROM per JOIN tgt USING (source), t ORDER BY per.source""",
+        "mix_sampled_docs": """
+            WITH per AS (
+              SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_weight
+              FROM documents GROUP BY 1),
+            tgt AS (
+              SELECT source, (CAST(substr(source, 4) AS BIGINT) + 1) / 210.0 AS tf
+              FROM per),
+            t AS (SELECT min(per.n_weight / tgt.tf) AS t
+                  FROM per JOIN tgt USING (source) WHERE tgt.tf > 0),
+            r AS (SELECT per.source,
+                         CAST(floor(least(1.0, tgt.tf * t.t / per.n_weight) * 10000)
+                              AS BIGINT) AS thresh
+                  FROM per JOIN tgt USING (source), t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
+                                           1, 8)) AS BIGINT) % 10000 < r.thresh
+            ORDER BY d.doc_id""",
         "lm_score_docs": """
             WITH tok AS (
               SELECT doc_id,

@@ -487,3 +487,48 @@ def test_classifier_weight_formula_matches_reference_arithmetic(spark):
 
     margin = sum(w(t) for t in words) / len(words)
     assert row.score == round(1.0 / (1.0 + math.exp(-margin)), 6)
+
+
+def _mix_frame(spark):
+    # web: 6000 mass, books: 300, code: 900, junk (no target): 100
+    rows = []
+    for i in range(60):
+        rows.append((i, "web", 100))
+    for i in range(60, 66):
+        rows.append((i, "books", 50))
+    for i in range(66, 84):
+        rows.append((i, "code", 50))
+    rows.append((99, "junk", 100))
+    return spark.createDataFrame(rows, "doc_id long, source string, mass long")
+
+
+def test_mix_weights_binding_source_and_missing_target(spark):
+    # targets: web .5, books .25, code .25 -> T = min(6000/.5, 300/.25,
+    # 900/.25) = 1200 (books binds); rates: web 0.1, books 1.0, code 1/3
+    targets = {"web": 0.5, "books": 0.25, "code": 0.25}
+    out = {
+        r.source: r
+        for r in curation.mix_weights(
+            _mix_frame(spark), "source", F.col("mass"), targets
+        ).collect()
+    }
+    assert out["books"].rate == 1.0  # the scarcest source is never downsampled
+    assert out["web"].rate == 0.1
+    assert out["code"].rate == round(1 / 3, 6)
+    assert out["junk"].rate == 0.0 and out["junk"].target_frac is None
+    assert out["web"].n_weight == 6000
+
+
+def test_apply_mix_stable_and_drops_untargeted(spark):
+    targets = {"web": 0.5, "books": 0.25, "code": 0.25}
+    df = _mix_frame(spark)
+    kept = curation.apply_mix(df, "doc_id", "source", F.col("mass"), targets)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 99 not in ids  # untargeted source fully dropped
+    assert {r.source for r in kept.collect()} <= {"web", "books", "code"}
+    # all books rows keep (rate 1.0)
+    assert [i for i in ids if 60 <= i < 66] == list(range(60, 66))
+    # content-addressed: identical kept set after a repartition
+    ids2 = sorted(r.doc_id for r in curation.apply_mix(
+        df.repartition(7), "doc_id", "source", F.col("mass"), targets).collect())
+    assert ids == ids2

@@ -717,3 +717,98 @@ def classifier_score(
         n.cast("long").alias("n_tokens"),
         F.when(n > 0, score).alias("score"),
     )
+
+
+#: bucket resolution for mixture sampling — rates quantize to 1/10000
+MIX_BUCKETS = 10_000
+
+
+def mix_weights(
+    df: DataFrame,
+    source_col: str,
+    weight_col: Column,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-source sampling rates that reshape the corpus to a target
+    mixture — the "data mixing" stage of a training pipeline (e.g.
+    rebalancing web/books/code source proportions by token budget).
+
+    ``targets`` maps source → desired fraction of the OUTPUT corpus
+    (by ``weight_col`` mass, e.g. a token or char count). Rates are
+    down-sampling only: the achievable total is bound by the scarcest
+    source, ``T = min_s(mass_s / target_s)``, every source then samples
+    at ``rate_s = min(1, target_s · T / mass_s)`` — the binding source
+    keeps rate 1.0 and nothing is ever upsampled. Sources missing from
+    ``targets`` get rate 0.0 (dropped) with a null ``target_frac``.
+
+    Scale: one partial-agg groupBy over (source, mass) — the output is
+    one row per source, broadcast-sized by construction. Returns
+    ``(source, n_weight, target_frac, rate)`` with display values
+    rounded; ``apply_mix`` recomputes the exact unrounded rate so the
+    sampling threshold is engine-replayable.
+    """
+    spark = df.sparkSession
+    per = df.groupBy(F.col(source_col).alias("source")).agg(F.sum(weight_col).alias("n_weight"))
+    tgt = spark.createDataFrame(
+        [(s, float(f)) for s, f in targets.items()], "source string, target_frac double"
+    )
+    joined = per.join(F.broadcast(tgt), "source", "left")
+    t = joined.where(F.col("target_frac") > 0).agg(
+        F.min(F.col("n_weight") / F.col("target_frac")).alias("_t")
+    )
+    # NOTE: F.least SKIPS nulls (least(1.0, NULL) = 1.0!), so a source
+    # missing from targets must be zeroed explicitly, never via least
+    rate = F.when(F.col("target_frac").isNull(), F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.col("target_frac") * F.col("_t") / F.col("n_weight"))
+    )
+    return joined.crossJoin(t).select(
+        "source",
+        "n_weight",
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round(rate, 6).alias("rate"),
+    )
+
+
+def apply_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: Column,
+    targets: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample ``df`` to the target mixture: keep a row iff its
+    content-addressed bucket falls under its source's rate threshold.
+
+    Content addressing (``md5_bucket`` of the id, same invariance
+    argument as ``hash_split``) makes the sample stable under
+    repartitioning and incremental ingest — a kept document stays kept.
+    The rate table is one row per source, broadcast onto a narrow
+    filter; the only shuffle anywhere is the tiny per-source mass agg.
+    The unrounded rate maps to an integer threshold
+    ``floor(rate · MIX_BUCKETS)``, so the decision is exact integer
+    comparison in any engine.
+    """
+    spark = df.sparkSession
+    per = df.groupBy(F.col(source_col).alias("source")).agg(F.sum(weight_col).alias("n_weight"))
+    tgt = spark.createDataFrame(
+        [(s, float(f)) for s, f in targets.items()], "source string, target_frac double"
+    )
+    joined = per.join(F.broadcast(tgt), "source", "left")
+    t = joined.where(F.col("target_frac") > 0).agg(
+        F.min(F.col("n_weight") / F.col("target_frac")).alias("_t")
+    )
+    # same least-skips-nulls guard as mix_weights: untargeted -> 0
+    rate = F.when(F.col("target_frac").isNull(), F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.col("target_frac") * F.col("_t") / F.col("n_weight"))
+    )
+    thresholds = joined.crossJoin(t).select(
+        F.col("source").alias("_mix_src"),
+        F.floor(rate * MIX_BUCKETS).cast("long").alias("_thresh"),
+    )
+    bucket = md5_bucket(F.col(id_col), MIX_BUCKETS, salt=salt)
+    return (
+        df.join(F.broadcast(thresholds), F.col(source_col) == F.col("_mix_src"))
+        .where(bucket < F.col("_thresh"))
+        .drop("_mix_src", "_thresh")
+    )
