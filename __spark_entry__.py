@@ -736,6 +736,96 @@ def q_mix_sampled_docs(spark, sf_dir):
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+#: blocklist for the denylist contract queries — common corpus tokens
+#: plus one guaranteed miss so zero-hit coverage is exercised
+DENY_TERMS = ["spark", "window", "dup", "zzz_never_present"]
+
+#: cluster count for the k-means contract queries
+KMEANS_K = 8
+
+
+def _deny_in_list() -> str:
+    return ", ".join(f"'{t}'" for t in sorted(DENY_TERMS))
+
+
+def _kmeans_cte() -> str:
+    """The DuckDB replay of kmeans_lloyd(k=KMEANS_K, iterations=2):
+    two unrolled assignment passes around one rounded centroid update,
+    every arithmetic step (DOUBLE[] dot products, 6dp rounding,
+    cos DESC / cluster tie-break) identical to the Spark plan's."""
+
+    def apass(s: int, cents: str) -> str:
+        return f"""
+            s{s} AS (SELECT e.vec_id, {cents}.cluster,
+                   round(CASE WHEN sqrt(list_dot_product(e.emb, e.emb)) *
+                                   sqrt(list_dot_product({cents}.c, {cents}.c)) > 0
+                         THEN list_dot_product(e.emb, {cents}.c) /
+                              (sqrt(list_dot_product(e.emb, e.emb)) *
+                               sqrt(list_dot_product({cents}.c, {cents}.c)))
+                         ELSE 0.0 END, 6) AS cos
+            FROM e, {cents}),
+            a{s} AS (SELECT vec_id, cluster, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cluster) AS rk
+            FROM s{s})"""
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                      emb AS c
+               FROM (SELECT * FROM e ORDER BY vec_id LIMIT {KMEANS_K})),
+        {apass(1, "c0")},
+        b1 AS (SELECT a1.cluster, e.emb FROM a1 JOIN e USING (vec_id) WHERE a1.rk = 1),
+        m1 AS (SELECT cluster, i, round(avg(emb[i]), 6) AS x
+               FROM b1, unnest(generate_series(1, len(emb))) AS t(i)
+               GROUP BY 1, 2),
+        c1 AS (SELECT cluster, list(x ORDER BY i) AS c FROM m1 GROUP BY 1),
+        {apass(2, "c1")}"""
+
+
+def q_denylist_hits_docs(spark, sf_dir):
+    """Wordlist screening (C4-style bad-word filter): per-doc count of
+    blocklisted-token occurrences + sorted distinct matched terms. The
+    term list compiles into the plan as a literal array, so the whole
+    operator is a narrow map — zero shuffle at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.denylist_hits(d, "doc_id", "text", DENY_TERMS)
+    return out.orderBy("doc_id")
+
+
+def q_denylist_clean_docs(spark, sf_dir):
+    """Documents passing the blocklist filter (zero hits) — a pure
+    in-plan predicate that stays inside the scan's codegen stage."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.denylist_filter(d, "text", DENY_TERMS)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 passes) over the embeddings:
+    deterministic init (8 id-smallest vectors), cosine assignment and
+    centroid means rounded to 6dp so DuckDB unrolls the identical
+    passes. Assignment is a narrow map (centroids are plan literals,
+    zero Exchange — plan-pinned in test_similarity); the update's
+    shuffle is partitions*k*dim rows regardless of corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_lloyd(e, "vec_id", "embedding", k=8, iterations=2)
+    return out.orderBy("vec_id")
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Cluster profile of the k-means assignment: size and mean cosine
+    per cluster — the balance signal a cluster-weighted sampler reads."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_lloyd(e, "vec_id", "embedding", k=8, iterations=2)
+    return (
+        out.groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.round(F.avg("cosine"), 6).alias("mean_cosine"))
+        .orderBy("cluster")
+    )
+
+
 def q_lm_score_docs(spark, sf_dir):
     """CCNet-style unigram-LM perplexity signal: corpus MLE model fit
     in one tokenize pass (lazily checkpointed per-doc counts fan out to
@@ -1996,6 +2086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": q_lm_score_docs,
         "mix_weights_sources": q_mix_weights_sources,
         "mix_sampled_docs": q_mix_sampled_docs,
+        "denylist_hits_docs": q_denylist_hits_docs,
+        "denylist_clean_docs": q_denylist_clean_docs,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_clusters": q_kmeans_clusters,
         "classifier_score_docs": q_classifier_score_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
@@ -2531,6 +2625,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
                                            1, 8)) AS BIGINT) % 10000 < r.thresh
             ORDER BY d.doc_id""",
+        "denylist_hits_docs": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''),
+            h AS (SELECT doc_id, count(*) AS n, list_sort(list(DISTINCT token)) AS m
+                  FROM tok WHERE token IN ({_deny_in_list()}) GROUP BY 1)
+            SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.m, CAST([] AS VARCHAR[])) AS matched_terms
+            FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""",
+        "denylist_clean_docs": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> '')
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM tok
+                                   WHERE token IN ({_deny_in_list()}))
+            ORDER BY d.doc_id""",
+        "kmeans_assign": _kmeans_cte() + """
+            SELECT vec_id, CAST(cluster AS INT) AS cluster, cos AS cosine
+            FROM a2 WHERE rk = 1 ORDER BY vec_id""",
+        "kmeans_clusters": _kmeans_cte() + """
+            SELECT CAST(cluster AS INT) AS cluster, count(*) AS n,
+                   round(avg(cos), 6) AS mean_cosine
+            FROM a2 WHERE rk = 1 GROUP BY 1 ORDER BY 1""",
         "lm_score_docs": """
             WITH tok AS (
               SELECT doc_id,

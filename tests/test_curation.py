@@ -532,3 +532,53 @@ def test_apply_mix_stable_and_drops_untargeted(spark):
     ids2 = sorted(r.doc_id for r in curation.apply_mix(
         df.repartition(7), "doc_id", "source", F.col("mass"), targets).collect())
     assert ids == ids2
+
+
+def _deny_frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Bad WOLF bad wolf howls"),
+            (2, "clean text only here"),
+            (3, "wolf"),
+            (4, "   "),
+        (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_denylist_hits_counts_and_matched_terms(spark):
+    out = {
+        r.doc_id: r
+        for r in curation.denylist_hits(
+            _deny_frame(spark), "doc_id", "text", ["wolf", "bad", "absent"]
+        ).collect()
+    }
+    assert out[1].n_hits == 4 and out[1].matched_terms == ["bad", "wolf"]
+    assert out[2].n_hits == 0 and out[2].matched_terms == []
+    assert out[3].n_hits == 1 and out[3].matched_terms == ["wolf"]
+    assert out[4].n_hits == 0 and out[4].matched_terms == []  # whitespace-only doc
+    assert out[5].n_hits == 0 and out[5].matched_terms == []  # null text
+
+
+def test_denylist_join_path_matches_literal(spark):
+    df = _deny_frame(spark)
+    lit = sorted(map(tuple, curation.denylist_hits(df, "doc_id", "text", ["wolf", "bad"]).collect()))
+    join = sorted(
+        map(
+            tuple,
+            curation.denylist_hits(df, "doc_id", "text", ["wolf", "bad"], literal_cap=0).collect(),
+        )
+    )
+    assert lit == join
+
+
+def test_denylist_filter_is_narrow_and_filters(spark):
+    df = _deny_frame(spark)
+    kept = curation.denylist_filter(df, "text", ["wolf", "bad"])
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4, 5]
+    # tolerant threshold keeps the single-hit doc
+    kept1 = curation.denylist_filter(df, "text", ["wolf", "bad"], max_hits=1)
+    assert sorted(r.doc_id for r in kept1.collect()) == [2, 3, 4, 5]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure in-plan predicate, zero shuffle

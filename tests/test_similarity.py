@@ -266,3 +266,68 @@ def test_semantic_dedup_embeddings_never_enter_bucket_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "_e" not in m.group(1) and "embedding" not in m.group(1), plan
+
+
+def _kmeans_frame(spark):
+    # two tight blobs on orthogonal axes; ids 0 and 1 land in different
+    # blobs so the deterministic init starts one centroid in each
+    rows = [
+        (0, [1.0, 0.0, 0.1]),
+        (1, [0.0, 1.0, 0.1]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.1, 0.9, 0.0]),
+        (4, [1.0, 0.2, 0.0]),
+        (5, [0.2, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_lloyd_separates_blobs(spark):
+    out = similarity.kmeans_lloyd(_kmeans_frame(spark), k=2, iterations=2)
+    by = {r.vec_id: r.cluster for r in out.collect()}
+    assert {by[0], by[2], by[4]} == {0}
+    assert {by[1], by[3], by[5]} == {1}
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    out = similarity.kmeans_lloyd(_kmeans_frame(spark), k=2, iterations=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # centroids are plan literals: the returned frame is scan + project,
+    # no Exchange anywhere (updates happen in separate collected jobs)
+    assert "Exchange" not in plan
+
+
+def test_kmeans_matches_pure_python_fold(spark):
+    df = _kmeans_frame(spark)
+    out = {r.vec_id: (r.cluster, r.cosine) for r in
+           similarity.kmeans_lloyd(df, k=2, iterations=2).collect()}
+
+    rows = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cos(a, b):
+        d = dot(a, a) ** 0.5 * dot(b, b) ** 0.5
+        return round(dot(a, b) / d, 6) if d > 0 else 0.0
+
+    cents = {0: rows[0], 1: rows[1]}
+    for it in range(2):
+        assign = {
+            v: max(sorted(cents), key=lambda c: (cos(e, cents[c]), -c))
+            for v, e in rows.items()
+        }
+        if it == 0:
+            cents = {
+                c: [
+                    round(sum(rows[v][i] for v in rows if assign[v] == c)
+                          / sum(1 for v in rows if assign[v] == c), 6)
+                    for i in range(3)
+                ]
+                for c in set(assign.values())
+            }
+    expect = {v: (assign[v], cos(rows[v], cents[assign[v]])) for v in rows}
+    assert out == expect

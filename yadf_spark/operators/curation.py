@@ -812,3 +812,76 @@ def apply_mix(
         .where(bucket < F.col("_thresh"))
         .drop("_mix_src", "_thresh")
     )
+
+
+#: above this many terms the denylist hit computation switches from an
+#: in-plan literal array (map-only, zero shuffle) to an exploded token
+#: join against a broadcast term table
+DENYLIST_LITERAL_CAP = 10_000
+
+
+def denylist_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms,
+    literal_cap: int = DENYLIST_LITERAL_CAP,
+) -> DataFrame:
+    """Blocklist screening — the wordlist-filter stage of a curation
+    pipeline (C4-style bad-word lists, spam markers, blocked-domain
+    tokens). Output ``(id, n_hits, matched_terms)`` per document: total
+    blocklisted-token occurrences plus the sorted distinct matched
+    terms (empty array when clean), over the same lower/whitespace
+    tokenization as ``vocabulary`` so the DuckDB oracle replays it.
+
+    Scale: realistic wordlists (hundreds to a few thousand terms)
+    compile into the plan as a literal array, making the whole operator
+    a **narrow map** — zero shuffle at any corpus size. Lists beyond
+    ``literal_cap`` switch to an exploded-token join against a
+    broadcast term table (same output by construction, pytest-pinned);
+    there only matching tokens reach the per-doc aggregation, and the
+    final left join re-attaches the (small) hit frame to the id column.
+    """
+    terms_n = sorted({t.lower() for t in terms})
+    toks = _lower_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    if len(terms_n) <= literal_cap:
+        term_arr = F.array(*[F.lit(t) for t in terms_n])
+        n_hits = F.size(F.filter(toks, lambda t: F.array_contains(term_arr, t)))
+        matched = F.array_sort(F.array_intersect(toks, term_arr))
+        return df.select(
+            F.col(id_col),
+            n_hits.cast("long").alias("n_hits"),
+            matched.alias("matched_terms"),
+        )
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms_n], "_term string")
+    tok = df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("_tok"))
+    hits = (
+        tok.join(F.broadcast(tdf), tok["_tok"] == tdf["_term"])
+        .groupBy("_doc")
+        .agg(
+            F.count("*").alias("_n"),
+            F.array_sort(F.collect_set("_tok")).alias("_m"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("_doc"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("_m"), F.array().cast("array<string>")).alias("matched_terms"),
+        )
+    )
+
+
+def denylist_filter(df: DataFrame, text_col: str, terms, max_hits: int = 0) -> DataFrame:
+    """Keep documents whose blocklist occurrence count is <= ``max_hits``
+    — a pure in-plan predicate (no join, no shuffle), so Catalyst keeps
+    it inside the scan's WholeStageCodegen span alongside any other
+    pushed filters."""
+    terms_n = sorted({t.lower() for t in terms})
+    term_arr = F.array(*[F.lit(t) for t in terms_n])
+    toks = _lower_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(term_arr, t)))
+    return df.where(n_hits <= max_hits)

@@ -615,3 +615,85 @@ def semantic_dedup(
         .join(dropped.withColumn("_dup", F.lit(True)), "id", "left")
         .select("id", F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, built to be
+    engine-replayable: deterministic init (the ``k`` id-smallest
+    vectors), cosine assignment rounded to 6 decimals, per-coordinate
+    centroid means rounded to 6 decimals between passes — every
+    arithmetic step an exact contract the DuckDB oracle unrolls in SQL.
+    Semantic clustering is what SemDeDup/cluster-balanced-mixing
+    pipelines run between dedup and sampling; the reference has no
+    analog (SURVEY.md §2.8).
+
+    Scale posture: the corpus **never shuffles for assignment** —
+    centroids ride into the plan as ``k x dim`` literals, so each
+    assignment pass is a narrow map inside the scan's codegen stage
+    (plan-pinned: zero Exchange in the returned frame). The centroid
+    update is posexplode -> groupBy(cluster, pos) mean with map-side
+    partial aggregation: shuffle volume is ``partitions * k * dim``
+    rows regardless of corpus size, and only ``k * dim`` rounded means
+    reach the driver per pass. The driver loop runs ``iterations``
+    bounded passes (2-10 in practice). Ties in the argmax break to the
+    smallest cluster id; empty clusters drop out (identically in both
+    engines). Output: ``(id_col, cluster, cosine)`` from the final pass.
+    """
+    src = (
+        df.where(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("_vec"), _as_double(F.col(emb_col)).alias("_e"))
+        .withColumn("_nrm", _norm(F.col("_e")))
+    )
+    init = src.orderBy("_vec").limit(k).select("_e").collect()
+    cents: list[tuple[int, list[float]]] = [(j, list(r["_e"])) for j, r in enumerate(init)]
+
+    def assign(cents):
+        cos_cols = []
+        for _, coords in cents:
+            carr = F.array(*[F.lit(float(x)) for x in coords])
+            # centroid norm stays an in-plan fold so the arithmetic
+            # shape (sequential multiply-add, like list_dot_product)
+            # matches the oracle's exactly — O(k*dim) per row, same
+            # order as the dot products themselves
+            denom = F.col("_nrm") * _norm(carr)
+            cos_cols.append(
+                F.round(
+                    F.when(denom > 0, _dot(F.col("_e"), carr) / denom).otherwise(F.lit(0.0)),
+                    6,
+                )
+            )
+        arr = F.array(*cos_cols)
+        best = F.array_max(arr)
+        pos = F.array_position(arr, best).cast("int")
+        label = F.element_at(F.array(*[F.lit(int(cid)) for cid, _ in cents]), pos)
+        return src.select(
+            F.col("_vec"),
+            F.col("_e"),
+            label.alias("cluster"),
+            best.alias("cosine"),
+        )
+
+    assigned = assign(cents)
+    for _ in range(iterations - 1):
+        means = (
+            assigned.select("cluster", F.posexplode("_e").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        byc: dict[int, dict[int, float]] = {}
+        for r in means:
+            byc.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [(cid, [coords[p] for p in sorted(coords)]) for cid, coords in sorted(byc.items())]
+        assigned = assign(cents)
+    return assigned.select(
+        F.col("_vec").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("cosine"),
+    )
