@@ -2603,9 +2603,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, (CAST(substr(source, 4) AS BIGINT) + 1) / 210.0 AS tf
               FROM per),
             t AS (SELECT min(per.n_weight / tgt.tf) AS t
-                  FROM per JOIN tgt USING (source) WHERE tgt.tf > 0)
+                  FROM per JOIN tgt USING (source)
+                  WHERE tgt.tf > 0 AND per.n_weight > 0)
             SELECT per.source, per.n_weight, round(tgt.tf, 6) AS target_frac,
-                   round(least(1.0, tgt.tf * t.t / per.n_weight), 6) AS rate
+                   round(CASE WHEN tgt.tf * t.t / per.n_weight >= 1.0 - 1e-9
+                              THEN 1.0 ELSE tgt.tf * t.t / per.n_weight END,
+                         6) AS rate
             FROM per JOIN tgt USING (source), t ORDER BY per.source""",
         "mix_sampled_docs": """
             WITH per AS (
@@ -2615,9 +2618,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, (CAST(substr(source, 4) AS BIGINT) + 1) / 210.0 AS tf
               FROM per),
             t AS (SELECT min(per.n_weight / tgt.tf) AS t
-                  FROM per JOIN tgt USING (source) WHERE tgt.tf > 0),
+                  FROM per JOIN tgt USING (source)
+                  WHERE tgt.tf > 0 AND per.n_weight > 0),
             r AS (SELECT per.source,
-                         CAST(floor(least(1.0, tgt.tf * t.t / per.n_weight) * 10000)
+                         CAST(floor((CASE WHEN tgt.tf * t.t / per.n_weight >= 1.0 - 1e-9
+                                          THEN 1.0
+                                          ELSE tgt.tf * t.t / per.n_weight END) * 10000)
                               AS BIGINT) AS thresh
                   FROM per JOIN tgt USING (source), t)
             SELECT d.doc_id, d.source

@@ -582,3 +582,48 @@ def test_denylist_filter_is_narrow_and_filters(spark):
     assert sorted(r.doc_id for r in kept1.collect()) == [2, 3, 4, 5]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure in-plan predicate, zero shuffle
+
+
+def test_mix_rates_guard_null_zero_and_untargeted_sources(spark):
+    # b: all-NULL mass, c: zero mass, d: untargeted — each must get rate
+    # 0.0 explicitly (least() skips nulls; a zero mass would force T=0
+    # and its own rate to NaN) and must not perturb a's binding rate
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", None), (3, "c", 0), (4, "d", 300)],
+        "doc_id long, source string, w long",
+    )
+    targets = {"a": 0.5, "b": 0.2, "c": 0.2}
+    rates = {
+        r.source: r.rate
+        for r in curation.mix_weights(df, "source", F.col("w"), targets).collect()
+    }
+    assert rates == {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0}
+    kept = curation.apply_mix(df, "doc_id", "source", F.col("w"), targets)
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+
+
+def test_mix_all_zero_targets_drops_everything(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 50)], "doc_id long, source string, w long"
+    )
+    rates = {
+        r.source: r.rate
+        for r in curation.mix_weights(df, "source", F.col("w"), {"a": 0.0}).collect()
+    }
+    assert rates == {"a": 0.0, "b": 0.0}
+    assert curation.apply_mix(df, "doc_id", "source", F.col("w"), {"a": 0.0}).count() == 0
+
+
+def test_mix_binding_rate_snaps_to_exact_one(spark):
+    # tf*(mass/tf)/mass == 0.9999999999999999 in IEEE double for this
+    # pair: without the snap, floor(rate*10000) = 9999 silently drops
+    # the binding source's top bucket while mix_weights displays 1.0
+    mass, tf = 7515683, 0.09939163475362132
+    assert tf * (mass / tf) / mass != 1.0  # the pair still reproduces
+    df = spark.createDataFrame(
+        [(1, "a", mass), (2, "b", 10**9)], "doc_id long, source string, w long"
+    )
+    out = curation._mix_rates(df, "source", F.col("w"), {"a": tf, "b": 0.2})
+    exact = {r.source: r._rate for r in out.collect()}
+    assert exact["a"] == 1.0  # snapped, so the threshold keeps bucket 9999
+    assert 0.0 < exact["b"] < 1.0

@@ -723,6 +723,46 @@ def classifier_score(
 MIX_BUCKETS = 10_000
 
 
+def _mix_rates(
+    df: DataFrame,
+    source_col: str,
+    weight_col: Column,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Shared rate computation for ``mix_weights``/``apply_mix``:
+    one broadcast-sized row per source with the exact unrounded rate.
+
+    Guards (each zeroes the rate explicitly — NOTE: F.least SKIPS nulls,
+    least(1.0, NULL) = 1.0, so none of these may flow through least):
+    sources missing from ``targets`` or targeted <= 0 → 0.0; sources
+    with NULL or <= 0 total mass → 0.0 and excluded from the binding
+    min (a zero-mass source would otherwise force T = 0 and its own
+    rate to 0/0 = NaN, which Spark sorts greatest); no qualifying
+    source at all (T null) → every rate 0.0. Rates within 1e-9 of 1
+    snap to exactly 1.0 so the binding source's
+    ``floor(rate · MIX_BUCKETS)`` threshold cannot lose its top bucket
+    to floating-point (tf · (mass/tf) / mass evaluates to
+    0.999…9 ≈ 5% of the time)."""
+    spark = df.sparkSession
+    per = df.groupBy(F.col(source_col).alias("source")).agg(F.sum(weight_col).alias("n_weight"))
+    tgt = spark.createDataFrame(
+        [(s, float(f)) for s, f in targets.items()], "source string, target_frac double"
+    )
+    joined = per.join(F.broadcast(tgt), "source", "left")
+    t = joined.where((F.col("target_frac") > 0) & (F.col("n_weight") > 0)).agg(
+        F.min(F.col("n_weight") / F.col("target_frac")).alias("_t")
+    )
+    raw = F.col("target_frac") * F.col("_t") / F.col("n_weight")
+    rate = (
+        F.when(F.col("target_frac").isNull() | (F.col("target_frac") <= 0), F.lit(0.0))
+        .when(F.col("n_weight").isNull() | (F.col("n_weight") <= 0), F.lit(0.0))
+        .when(F.col("_t").isNull(), F.lit(0.0))
+        .when(raw >= 1.0 - 1e-9, F.lit(1.0))
+        .otherwise(raw)
+    )
+    return joined.crossJoin(t).select("source", "n_weight", "target_frac", rate.alias("_rate"))
+
+
 def mix_weights(
     df: DataFrame,
     source_col: str,
@@ -739,7 +779,8 @@ def mix_weights(
     source, ``T = min_s(mass_s / target_s)``, every source then samples
     at ``rate_s = min(1, target_s · T / mass_s)`` — the binding source
     keeps rate 1.0 and nothing is ever upsampled. Sources missing from
-    ``targets`` get rate 0.0 (dropped) with a null ``target_frac``.
+    ``targets``, targeted at 0, or with zero/unknown mass get rate 0.0
+    (see ``_mix_rates`` for the guard semantics).
 
     Scale: one partial-agg groupBy over (source, mass) — the output is
     one row per source, broadcast-sized by construction. Returns
@@ -747,25 +788,11 @@ def mix_weights(
     rounded; ``apply_mix`` recomputes the exact unrounded rate so the
     sampling threshold is engine-replayable.
     """
-    spark = df.sparkSession
-    per = df.groupBy(F.col(source_col).alias("source")).agg(F.sum(weight_col).alias("n_weight"))
-    tgt = spark.createDataFrame(
-        [(s, float(f)) for s, f in targets.items()], "source string, target_frac double"
-    )
-    joined = per.join(F.broadcast(tgt), "source", "left")
-    t = joined.where(F.col("target_frac") > 0).agg(
-        F.min(F.col("n_weight") / F.col("target_frac")).alias("_t")
-    )
-    # NOTE: F.least SKIPS nulls (least(1.0, NULL) = 1.0!), so a source
-    # missing from targets must be zeroed explicitly, never via least
-    rate = F.when(F.col("target_frac").isNull(), F.lit(0.0)).otherwise(
-        F.least(F.lit(1.0), F.col("target_frac") * F.col("_t") / F.col("n_weight"))
-    )
-    return joined.crossJoin(t).select(
+    return _mix_rates(df, source_col, weight_col, targets).select(
         "source",
         "n_weight",
         F.round("target_frac", 6).alias("target_frac"),
-        F.round(rate, 6).alias("rate"),
+        F.round("_rate", 6).alias("rate"),
     )
 
 
@@ -781,30 +808,24 @@ def apply_mix(
     content-addressed bucket falls under its source's rate threshold.
 
     Content addressing (``md5_bucket`` of the id, same invariance
-    argument as ``hash_split``) makes the sample stable under
-    repartitioning and incremental ingest — a kept document stays kept.
-    The rate table is one row per source, broadcast onto a narrow
-    filter; the only shuffle anywhere is the tiny per-source mass agg.
-    The unrounded rate maps to an integer threshold
-    ``floor(rate · MIX_BUCKETS)``, so the decision is exact integer
-    comparison in any engine.
+    argument as ``hash_split``) makes the per-row keep/drop decision a
+    pure function of (id, source rate): reruns over the same corpus are
+    stable under repartitioning and task retries. The RATES themselves
+    are recomputed from the current per-source masses, so ingesting
+    data that shifts which source is scarcest moves other sources'
+    thresholds and can flip previously-kept documents — an incremental
+    pipeline that needs a frozen decision boundary should compute the
+    rate table once and re-apply it, not recall this function per
+    batch. The rate table is one row per source, broadcast onto a
+    narrow filter; the only shuffle anywhere is the tiny per-source
+    mass agg. The unrounded rate maps to an integer threshold
+    ``floor(rate · MIX_BUCKETS)`` (with the near-1 snap from
+    ``_mix_rates`` protecting the binding source's top bucket), so the
+    decision is exact integer comparison in any engine.
     """
-    spark = df.sparkSession
-    per = df.groupBy(F.col(source_col).alias("source")).agg(F.sum(weight_col).alias("n_weight"))
-    tgt = spark.createDataFrame(
-        [(s, float(f)) for s, f in targets.items()], "source string, target_frac double"
-    )
-    joined = per.join(F.broadcast(tgt), "source", "left")
-    t = joined.where(F.col("target_frac") > 0).agg(
-        F.min(F.col("n_weight") / F.col("target_frac")).alias("_t")
-    )
-    # same least-skips-nulls guard as mix_weights: untargeted -> 0
-    rate = F.when(F.col("target_frac").isNull(), F.lit(0.0)).otherwise(
-        F.least(F.lit(1.0), F.col("target_frac") * F.col("_t") / F.col("n_weight"))
-    )
-    thresholds = joined.crossJoin(t).select(
+    thresholds = _mix_rates(df, source_col, weight_col, targets).select(
         F.col("source").alias("_mix_src"),
-        F.floor(rate * MIX_BUCKETS).cast("long").alias("_thresh"),
+        F.floor(F.col("_rate") * MIX_BUCKETS).cast("long").alias("_thresh"),
     )
     bucket = md5_bucket(F.col(id_col), MIX_BUCKETS, salt=salt)
     return (
@@ -846,7 +867,9 @@ def denylist_hits(
     toks = _lower_tokens(F.coalesce(F.col(text_col), F.lit("")))
     if len(terms_n) <= literal_cap:
         term_arr = F.array(*[F.lit(t) for t in terms_n])
-        n_hits = F.size(F.filter(toks, lambda t: F.array_contains(term_arr, t)))
+        # isin compiles to InSet (hash-set lookup) above 10 terms —
+        # O(1) per token vs array_contains' O(|terms|) linear scan
+        n_hits = F.size(F.filter(toks, lambda t: t.isin(*terms_n)))
         matched = F.array_sort(F.array_intersect(toks, term_arr))
         return df.select(
             F.col(id_col),
@@ -881,7 +904,7 @@ def denylist_filter(df: DataFrame, text_col: str, terms, max_hits: int = 0) -> D
     it inside the scan's WholeStageCodegen span alongside any other
     pushed filters."""
     terms_n = sorted({t.lower() for t in terms})
-    term_arr = F.array(*[F.lit(t) for t in terms_n])
     toks = _lower_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(term_arr, t)))
+    # isin -> InSet hash lookup per token (see denylist_hits)
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*terms_n)))
     return df.where(n_hits <= max_hits)
