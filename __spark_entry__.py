@@ -826,6 +826,18 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_cluster_prune_keep(spark, sf_dir):
+    """SSL-prototypes data pruning: drop each k-means cluster's most
+    prototypical 30% (cosine above the per-cluster 0.7-quantile). The
+    threshold frame is k rows broadcast onto a map-side join; only
+    (cluster, cosine) ever cross an exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.cluster_prune(
+        e, "vec_id", "embedding", k=KMEANS_K, iterations=2, drop_frac=0.3
+    )
+    return out.orderBy("vec_id")
+
+
 def q_lm_score_docs(spark, sf_dir):
     """CCNet-style unigram-LM perplexity signal: corpus MLE model fit
     in one tokenize pass (lazily checkpointed per-doc counts fan out to
@@ -2090,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "denylist_clean_docs": q_denylist_clean_docs,
         "kmeans_assign": q_kmeans_assign,
         "kmeans_clusters": q_kmeans_clusters,
+        "cluster_prune_keep": q_cluster_prune_keep,
         "classifier_score_docs": q_classifier_score_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
@@ -2657,6 +2670,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(cluster AS INT) AS cluster, count(*) AS n,
                    round(avg(cos), 6) AS mean_cosine
             FROM a2 WHERE rk = 1 GROUP BY 1 ORDER BY 1""",
+        "cluster_prune_keep": _kmeans_cte() + """
+            , asg AS (SELECT vec_id, cluster, cos FROM a2 WHERE rk = 1),
+            thr AS (SELECT cluster, quantile_cont(cos, 0.7) AS thr
+                    FROM asg GROUP BY 1)
+            SELECT asg.vec_id, CAST(asg.cluster AS INT) AS cluster,
+                   asg.cos AS cosine, round(thr.thr, 6) AS thr
+            FROM asg JOIN thr USING (cluster)
+            WHERE asg.cos <= thr.thr ORDER BY asg.vec_id""",
         "lm_score_docs": """
             WITH tok AS (
               SELECT doc_id,

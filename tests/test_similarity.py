@@ -331,3 +331,51 @@ def test_kmeans_matches_pure_python_fold(spark):
             }
     expect = {v: (assign[v], cos(rows[v], cents[assign[v]])) for v in rows}
     assert out == expect
+
+
+def test_cluster_prune_drops_most_prototypical_fraction(spark):
+    # init takes the two id-smallest vectors: id 0 seeds the +x blob's
+    # centroid, id 1 the +y outliers'. ids 2-10 land in cluster 0 with
+    # graded cosines; 99 joins id 1 in cluster 1 (both cosine 1.0)
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(i, [1.0, 0.05 * i]) for i in range(2, 11)]
+    rows.append((99, [0.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cluster_prune(df, k=2, iterations=1, drop_frac=0.4)
+    kept = {r.vec_id: r for r in out.collect()}
+
+    # replicate cluster 0: cosine to centroid [1,0] rounded to 6dp,
+    # then the exact 0.6-quantile (linear interpolation, numpy default)
+    import numpy as np
+
+    cos = {
+        v: round(e[0] / (e[0] ** 2 + e[1] ** 2) ** 0.5, 6)
+        for v, e in ((r[0], r[1]) for r in rows)
+        if v not in (1, 99)
+    }
+    thr = float(np.percentile(sorted(cos.values()), 60.0))
+    expect = {v for v, c in cos.items() if c <= thr}
+    # cluster 1's two members share cosine 1.0 = its threshold: kept
+    expect |= {1, 99}
+    assert set(kept) == expect
+    for v in expect - {1, 99}:
+        assert kept[v].cosine == cos[v]
+
+
+def test_cluster_prune_threshold_join_is_broadcast(spark):
+    rows = [(i, [1.0, 0.01 * i, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cluster_prune(df, k=2, iterations=2, drop_frac=0.25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cluster_prune_approx_path_runs_and_bounds(spark):
+    rows = [(i, [1.0, 0.05 * i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.cluster_prune(df, k=1, iterations=1, drop_frac=0.5)
+    approx = similarity.cluster_prune(df, k=1, iterations=1, drop_frac=0.5, exact=False)
+    # at 10 rows the sketch is exact up to its quantile definition;
+    # both must keep a non-empty strict subset ordered by cosine
+    ke, ka = exact.count(), approx.count()
+    assert 0 < ke < 10 and 0 < ka < 10

@@ -697,3 +697,49 @@ def kmeans_lloyd(
         F.col("cluster").cast("int").alias("cluster"),
         F.col("cosine"),
     )
+
+
+def cluster_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    drop_frac: float = 0.3,
+    exact: bool = True,
+) -> DataFrame:
+    """Prototypicality-based data pruning (the SSL-prototypes recipe
+    from "Beyond neural scaling laws": in the abundant-data regime,
+    dropping the EASIEST — most prototypical — examples beats random
+    pruning): cluster with ``kmeans_lloyd``, then drop each cluster's
+    top ``drop_frac`` fraction by cosine-to-centroid, keeping rows at
+    or below the per-cluster ``(1 - drop_frac)``-quantile threshold.
+
+    Scale posture: assignment never shuffles the corpus (see
+    ``kmeans_lloyd``); the threshold needs one groupBy over
+    ``(cluster, cosine)`` — two narrow columns, payload and embedding
+    pruned before the exchange — producing a k-row frame that
+    broadcasts back onto a map-side join, so the corpus itself crosses
+    no exchange for the filter. ``exact=True`` (the oracle contract)
+    uses Spark's exact ``percentile``, whose per-cluster buffers hold
+    n/k values on k reducers — fine to ~10^8 rows/cluster; beyond that
+    pass ``exact=False`` for ``percentile_approx`` (bounded-memory
+    sketch, true partial agg) at the cost of quantile accuracy ~1e-4.
+
+    Output: kept rows ``(id_col, cluster, cosine, thr)`` with the
+    threshold rounded for display; the comparison uses the raw double
+    identically in both engines.
+    """
+    assigned = kmeans_lloyd(df, id_col, emb_col, k=k, iterations=iterations)
+    keep_q = float(1.0 - drop_frac)
+    cos = F.col("cosine")
+    if exact:
+        agg = F.percentile(cos, F.lit(keep_q))
+    else:
+        agg = F.percentile_approx(cos, F.lit(keep_q), F.lit(10000))
+    thr = assigned.groupBy("cluster").agg(agg.alias("thr"))
+    return (
+        assigned.join(F.broadcast(thr), "cluster")
+        .where(cos <= F.col("thr"))
+        .select(id_col, "cluster", "cosine", F.round("thr", 6).alias("thr"))
+    )
