@@ -838,6 +838,18 @@ def q_cluster_prune_keep(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling: k-means assignment composed with the
+    per-group content-hash cap — at most 40 vectors per semantic
+    cluster, chosen by md5 order so the sample is stable across reruns
+    and cluster sizes. The DoReMi/SemDeDup-era recipe for flattening a
+    skewed embedding distribution before training."""
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_lloyd(e, "vec_id", "embedding", k=KMEANS_K, iterations=2)
+    out = curation.cap_per_group(assigned, "vec_id", "cluster", k=40, salt="kbal")
+    return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
 def q_lm_score_docs(spark, sf_dir):
     """CCNet-style unigram-LM perplexity signal: corpus MLE model fit
     in one tokenize pass (lazily checkpointed per-doc counts fan out to
@@ -2103,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_prune_keep": q_cluster_prune_keep,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "classifier_score_docs": q_classifier_score_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
@@ -2678,6 +2691,15 @@ def oracle_sql() -> dict[str, str]:
                    asg.cos AS cosine, round(thr.thr, 6) AS thr
             FROM asg JOIN thr USING (cluster)
             WHERE asg.cos <= thr.thr ORDER BY asg.vec_id""",
+        "cluster_balanced_sample": _kmeans_cte() + """
+            , asg AS (SELECT vec_id, cluster FROM a2 WHERE rk = 1),
+            rn AS (SELECT vec_id, cluster,
+                          row_number() OVER (PARTITION BY cluster
+                              ORDER BY md5(CAST(vec_id AS VARCHAR) || ':kbal'),
+                                       vec_id) AS rn
+                   FROM asg)
+            SELECT vec_id, CAST(cluster AS INT) AS cluster
+            FROM rn WHERE rn <= 40 ORDER BY vec_id""",
         "lm_score_docs": """
             WITH tok AS (
               SELECT doc_id,
