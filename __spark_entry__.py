@@ -826,6 +826,19 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_fuzzy_decontaminate_docs(spark, sf_dir):
+    """Fuzzy benchmark decontamination: every-50th document stands in
+    as the benchmark suite; corpus docs whose word-3-gram Jaccard
+    against any benchmark doc is >= 0.8 are flagged. The benchmark's
+    LSH band table is broadcast, so the corpus probe is map-side; the
+    oracle computes the exact cross Jaccard (LSH recall at 0.8 with
+    128/32/4 is 1-5e-8, the minhash_lsh_pairs argument)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    out = curation.fuzzy_decontaminate(d, bench, "doc_id", "text", threshold=0.8)
+    return out.orderBy("doc_id", "bench_id")
+
+
 def q_cluster_prune_keep(spark, sf_dir):
     """SSL-prototypes data pruning: drop each k-means cluster's most
     prototypical 30% (cosine above the per-cluster 0.7-quantile). The
@@ -2116,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "cluster_prune_keep": q_cluster_prune_keep,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "fuzzy_decontaminate_docs": q_fuzzy_decontaminate_docs,
         "classifier_score_docs": q_classifier_score_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
@@ -2700,6 +2714,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM asg)
             SELECT vec_id, CAST(cluster AS INT) AS cluster
             FROM rn WHERE rn <= 40 ORDER BY vec_id""",
+        "fuzzy_decontaminate_docs": """
+            WITH ctoks AS (SELECT doc_id,
+                                  regexp_split_to_array(trim(text), '\\s+') AS w
+                           FROM documents),
+            csh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                    FROM ctoks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+            csz AS (SELECT doc_id, count(*) AS s FROM csh GROUP BY 1),
+            bsh AS (SELECT doc_id AS bench_id, shingle FROM csh WHERE doc_id % 50 = 0),
+            bsz AS (SELECT bench_id, count(*) AS s FROM bsh GROUP BY 1),
+            inter AS (SELECT c.doc_id, b.bench_id, count(*) AS i
+                      FROM csh c JOIN bsh b USING (shingle) GROUP BY 1, 2),
+            jac AS (SELECT inter.doc_id, inter.bench_id,
+                           round(i / (csz.s + bsz.s - i), 6) AS jaccard
+                    FROM inter JOIN csz USING (doc_id) JOIN bsz USING (bench_id))
+            SELECT doc_id, bench_id, jaccard FROM jac
+            WHERE jaccard >= 0.8 ORDER BY doc_id, bench_id""",
         "lm_score_docs": """
             WITH tok AS (
               SELECT doc_id,

@@ -627,3 +627,37 @@ def test_mix_binding_rate_snaps_to_exact_one(spark):
     exact = {r.source: r._rate for r in out.collect()}
     assert exact["a"] == 1.0  # snapped, so the threshold keeps bucket 9999
     assert 0.0 < exact["b"] < 1.0
+
+
+def test_fuzzy_decontaminate_flags_exact_and_near_copies(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),          # exact copy -> jaccard 1.0
+            (2, near),                # 7/9 shared 3-grams -> below 0.8
+            (3, "totally unrelated words everywhere in this one text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = curation.fuzzy_decontaminate(corpus, bench, "doc_id", "text", threshold=0.8)
+    rows = {(r.doc_id, r.bench_id): r.jaccard for r in out.collect()}
+    assert rows == {(1, 100): 1.0}
+    # at a tolerant threshold the near-copy is flagged too: 3-gram sets
+    # of size 8 sharing 7 -> 7/9 = 0.777778
+    out2 = curation.fuzzy_decontaminate(corpus, bench, "doc_id", "text", threshold=0.7)
+    rows2 = {(r.doc_id, r.bench_id): r.jaccard for r in out2.collect()}
+    assert set(rows2) == {(1, 100), (2, 100)}
+    assert rows2[(2, 100)] == round(7 / 9, 6)
+
+
+def test_fuzzy_decontaminate_corpus_side_never_sort_merge_joins(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"word{i} filler tokens common tail piece number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = corpus.where(F.col("doc_id") % 10 == 0)
+    out = curation.fuzzy_decontaminate(corpus, bench, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # band probe + verify all broadcast

@@ -908,3 +908,74 @@ def denylist_filter(df: DataFrame, text_col: str, terms, max_hits: int = 0) -> D
     # isin -> InSet hash lookup per token (see denylist_hits)
     n_hits = F.size(F.filter(toks, lambda t: t.isin(*terms_n)))
     return df.where(n_hits <= max_hits)
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg=None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination — the near-duplicate companion
+    to ``decontaminate``'s exact word-5-gram flagging (the GPT-3/PaLM
+    appendix recipe: a corpus document is contaminated if its shingle
+    Jaccard against ANY benchmark document clears a threshold, even
+    when no 5-gram matches verbatim because of whitespace or edit
+    noise).
+
+    Pipeline: MinHash signatures on both sides → the benchmark's LSH
+    band table (benchmark suites are thousands of docs → band table is
+    broadcast-sized) probes the corpus band table in a **map-side
+    broadcast join, so the corpus never shuffles**; the candidate
+    pairs (tiny) are verified by exact word-shingle Jaccard with both
+    text re-attachments broadcast. Recall at ``threshold=0.8`` with
+    the default 128-perm/32-band config is 1-(1-0.8^4)^32 ≈ 1-5e-8 —
+    the same argument that lets the contract oracle compute exact
+    all-pairs Jaccard.
+
+    Returns flagged pairs ``(id_col, bench_id, jaccard)`` with
+    ``jaccard >= threshold``; distinct ``id_col`` values are the
+    documents to drop.
+    """
+    from ..config import LshConfig
+    from . import minhash
+
+    cfg = cfg or LshConfig()
+    c_sig = minhash.add_signature(corpus.select(id_col, text_col), cfg, text_col=text_col)
+    b_src = bench.select(F.col(id_col).alias("_bid"), F.col(text_col).alias("_btext"))
+    b_sig = minhash.add_signature(b_src, cfg, text_col="_btext")
+    c_bands = minhash.explode_bands(c_sig, cfg, id_col=id_col).withColumnRenamed("id", "_cid")
+    b_bands = minhash.explode_bands(b_sig, cfg, id_col="_bid").withColumnRenamed("id", "_bid")
+    # eager checkpoint for the same two-consumer reason as exact_jaccard:
+    # the id-set broadcast and the verify join would otherwise both
+    # recompute the signature UDF subtree
+    cand = (
+        c_bands.join(F.broadcast(b_bands), ["band_idx", "band_hash"])
+        .select("_cid", "_bid")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sh = T.word_shingles(F.col(text_col), cfg.shingle_k)
+    ca = corpus.select(F.col(id_col).alias("_cid"), sh.alias("_sha")).join(
+        F.broadcast(cand.select("_cid").distinct()), "_cid", "left_semi"
+    )
+    cb = bench.select(F.col(id_col).alias("_bid"), sh.alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    # cand is a checkpointed (statless) frame, so without the hint this
+    # verify join plans as SortMergeJoin and shuffles the corpus-side
+    # shingles; the pair set is bounded by |contaminated| x |bench
+    # matches| — broadcast it so the corpus side streams map-side
+    return (
+        F.broadcast(cand).join(ca, "_cid")
+        .join(F.broadcast(cb), "_bid")
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_bid").alias("bench_id"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
