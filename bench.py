@@ -77,6 +77,9 @@ HEADLINE = [
     "keep_first_per_key",
     "join_agg",
     "lineitem_agg",
+    "fuzzy_decontaminate_docs",
+    "kmeans_assign",
+    "cluster_prune_keep",
 ]
 
 

@@ -650,6 +650,13 @@ def kmeans_lloyd(
         .select(F.col(id_col).alias("_vec"), _as_double(F.col(emb_col)).alias("_e"))
         .withColumn("_nrm", _norm(F.col("_e")))
     )
+    # Lloyd is multi-pass: the init collect, one means-collect per extra
+    # iteration, and the caller's final action would each rescan (and
+    # re-project) the source otherwise. Materialize the narrow
+    # (id, emb, norm) projection once — the same move as MLlib KMeans'
+    # input .cache(); checkpoint blocks are freed by the context
+    # cleaner, so callers owe no unpersist.
+    src = src.localCheckpoint(eager=True)
     init = src.orderBy("_vec").limit(k).select("_e").collect()
     cents: list[tuple[int, list[float]]] = [(j, list(r["_e"])) for j, r in enumerate(init)]
 
