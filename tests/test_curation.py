@@ -652,6 +652,24 @@ def test_fuzzy_decontaminate_flags_exact_and_near_copies(spark):
     assert rows2[(2, 100)] == round(7 / 9, 6)
 
 
+def test_fuzzy_decontaminate_gates_short_and_empty_docs(spark):
+    # docs shorter than one shingle (k=3 words) carry no k-gram
+    # evidence: identical empty/short docs must NOT be flagged (the
+    # whole-text fallback shingle would score them 1.0), matching the
+    # oracle where such docs produce zero shingles
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "two words"), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "two words"), (102, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = curation.fuzzy_decontaminate(corpus, bench, "doc_id", "text", threshold=0.8)
+    rows = {(r.doc_id, r.bench_id) for r in out.collect()}
+    assert rows == {(3, 102)}
+
+
 def test_fuzzy_decontaminate_corpus_side_never_sort_merge_joins(spark):
     corpus = spark.createDataFrame(
         [(i, f"word{i} filler tokens common tail piece number {i}") for i in range(30)],

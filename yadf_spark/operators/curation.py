@@ -464,20 +464,34 @@ def dedup_lines(
 
 
 def quantile_threshold_filter(
-    df: DataFrame, score_col: str, group_col: str, q: float = 0.25
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    q: float = 0.25,
+    keep: str = "above",
+    exact: bool = True,
 ) -> DataFrame:
-    """Keep rows whose score is at or above their group's exact
-    ``q``-quantile, attaching the threshold as ``thr``.
+    """Keep rows whose score is at-or-above (``keep="above"``) or
+    at-or-below (``keep="below"``) their group's ``q``-quantile,
+    attaching the threshold as ``thr``.
 
     The per-group threshold frame has one row per group — it broadcasts
     back onto the corpus, so the filter is a map-side join: the 10^12-row
-    side is never shuffled. The quantile itself is Spark's exact
-    ``percentile`` aggregate (linear interpolation, the same formula as
-    SQL ``quantile_cont``), computed in one partial-agg pass.
+    side is never shuffled. ``exact=True`` (the oracle contract) is
+    Spark's exact ``percentile`` aggregate (linear interpolation, the
+    same formula as SQL ``quantile_cont``), whose per-group buffers hold
+    that group's values on one reducer — fine to ~10^8 rows/group;
+    beyond that ``exact=False`` switches to ``percentile_approx``
+    (bounded-memory sketch, true partial agg) at ~1e-4 quantile error.
     """
     score = F.col(score_col).cast("double")
-    thr = df.groupBy(group_col).agg(F.percentile(score, F.lit(q)).alias("thr"))
-    return df.join(F.broadcast(thr), group_col).where(score >= F.col("thr"))
+    if exact:
+        agg = F.percentile(score, F.lit(q))
+    else:
+        agg = F.percentile_approx(score, F.lit(q), F.lit(10000))
+    thr = df.groupBy(group_col).agg(agg.alias("thr"))
+    cond = score >= F.col("thr") if keep == "above" else score <= F.col("thr")
+    return df.join(F.broadcast(thr), group_col).where(cond)
 
 
 def source_overlap(
@@ -943,6 +957,16 @@ def fuzzy_decontaminate(
     from . import minhash
 
     cfg = cfg or LshConfig()
+    # Docs shorter than one full shingle carry no k-gram evidence; the
+    # whole-text fallback shingle (word_shingles) would give EVERY empty
+    # doc the same signature, so one empty bench doc band-matches every
+    # empty corpus doc (candidate blow-up), and identical short docs
+    # would be flagged on a single degenerate shingle. Gate both sides
+    # up front — the oracle's generate_series(1, len(w)-2) already
+    # yields zero shingles for such docs, so this also aligns engines.
+    long_enough = F.size(T.tokens(F.col(text_col))) >= cfg.shingle_k
+    corpus = corpus.where(long_enough)
+    bench = bench.where(long_enough)
     c_sig = minhash.add_signature(corpus.select(id_col, text_col), cfg, text_col=text_col)
     b_src = bench.select(F.col(id_col).alias("_bid"), F.col(text_col).alias("_btext"))
     b_sig = minhash.add_signature(b_src, cfg, text_col="_btext")
@@ -957,20 +981,29 @@ def fuzzy_decontaminate(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # same guard as exact_jaccard: the pair set is bounded by
+    # |contaminated| x |bench matches|, but a pathological corpus/bench
+    # overlap can still exceed driver heap — broadcast only while the
+    # measured count fits; past the bound the shuffled join is correct
+    # (AQE may still convert it from runtime stats)
+    n_cand = cand.count()
+    cand_ids = cand.select("_cid").distinct()
+    if n_cand < 2_000_000:
+        cand = F.broadcast(cand)
+        cand_ids = F.broadcast(cand_ids)
     sh = T.word_shingles(F.col(text_col), cfg.shingle_k)
     ca = corpus.select(F.col(id_col).alias("_cid"), sh.alias("_sha")).join(
-        F.broadcast(cand.select("_cid").distinct()), "_cid", "left_semi"
+        cand_ids, "_cid", "left_semi"
     )
     cb = bench.select(F.col(id_col).alias("_bid"), sh.alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
     jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
-    # cand is a checkpointed (statless) frame, so without the hint this
-    # verify join plans as SortMergeJoin and shuffles the corpus-side
-    # shingles; the pair set is bounded by |contaminated| x |bench
-    # matches| — broadcast it so the corpus side streams map-side
+    # cand is a checkpointed (statless) frame, so without the broadcast
+    # hint applied above this verify join would plan as SortMergeJoin
+    # and shuffle the corpus-side shingles
     return (
-        F.broadcast(cand).join(ca, "_cid")
+        cand.join(ca, "_cid")
         .join(F.broadcast(cb), "_bid")
         .select(
             F.col("_cid").alias(id_col),

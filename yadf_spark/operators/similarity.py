@@ -737,16 +737,10 @@ def cluster_prune(
     threshold rounded for display; the comparison uses the raw double
     identically in both engines.
     """
+    from yadf_spark.operators.curation import quantile_threshold_filter
+
     assigned = kmeans_lloyd(df, id_col, emb_col, k=k, iterations=iterations)
-    keep_q = float(1.0 - drop_frac)
-    cos = F.col("cosine")
-    if exact:
-        agg = F.percentile(cos, F.lit(keep_q))
-    else:
-        agg = F.percentile_approx(cos, F.lit(keep_q), F.lit(10000))
-    thr = assigned.groupBy("cluster").agg(agg.alias("thr"))
-    return (
-        assigned.join(F.broadcast(thr), "cluster")
-        .where(cos <= F.col("thr"))
-        .select(id_col, "cluster", "cosine", F.round("thr", 6).alias("thr"))
+    kept = quantile_threshold_filter(
+        assigned, "cosine", "cluster", q=float(1.0 - drop_frac), keep="below", exact=exact
     )
+    return kept.select(id_col, "cluster", "cosine", F.round("thr", 6).alias("thr"))
