@@ -116,6 +116,32 @@ m AS (
   FROM h)
 """
 
+# DSIR (Xie et al. 2023): hashed unigram+bigram bucket models of the
+# target (every-50th doc) vs the raw corpus, add-1 smoothing over 4096
+# buckets, per-doc log importance weight = sum of per-gram log-ratios.
+DSIR_CTE = """
+dtok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         FROM documents WHERE trim(coalesce(text, '')) <> ''),
+dgram AS (
+  SELECT doc_id, w[i] AS g
+  FROM dtok, unnest(generate_series(1, len(w))) AS t(i)
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1]
+  FROM dtok, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+dbkt AS (SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+         FROM dgram),
+dtc AS (SELECT b, count(*) AS c FROM dbkt WHERE doc_id % 50 = 0 GROUP BY 1),
+dqc AS (SELECT b, count(*) AS c FROM dbkt GROUP BY 1),
+dtot AS (SELECT (SELECT coalesce(sum(c), 0) FROM dtc) AS tp,
+                (SELECT sum(c) FROM dqc) AS tq),
+dlr AS (SELECT dqc.b,
+               ln((coalesce(dtc.c, 0) + 1.0) / (dtot.tp + 4096.0))
+             - ln((dqc.c + 1.0) / (dtot.tq + 4096.0)) AS r
+        FROM dqc LEFT JOIN dtc USING (b), dtot),
+dw AS (SELECT dbkt.doc_id, count(*) AS n_grams, sum(dlr.r) AS log_w
+       FROM dbkt JOIN dlr USING (b) GROUP BY 1)
+"""
+
 SHINGLE_CTE = """
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -886,6 +912,32 @@ def q_classifier_score_docs(spark, sf_dir):
         .where(F.col("n_tokens") > 0)
         .orderBy("doc_id")
     )
+
+
+def q_dsir_weights_docs(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every-50th doc stands
+    in as the target distribution; each doc's log weight is the sum of
+    per-bucket log-ratios between the add-1-smoothed hashed
+    unigram+bigram models of target vs corpus. Fit = two O(4096)
+    partial-agg passes; scoring = zero-shuffle narrow map (the ratio
+    table is a constant-folded array literal)."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 50 == 0)
+    out = curation.dsir_weights(d, target, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_grams", F.round("log_w", 6).alias("log_w")
+    ).orderBy("doc_id")
+
+
+def q_dsir_resample_docs(spark, sf_dir):
+    """DSIR Gumbel-top-k resample: top 200 docs by log_w plus
+    content-addressed Gumbel noise — selects ∝ importance weight
+    without replacement, deterministically. Planned as
+    TakeOrderedAndProject (partial per-partition top-n), not a global
+    sort."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 50 == 0)
+    return curation.dsir_resample(d, target, "doc_id", "text", n=200).orderBy("doc_id")
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -2131,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "fuzzy_decontaminate_docs": q_fuzzy_decontaminate_docs,
         "classifier_score_docs": q_classifier_score_docs,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "dsir_resample_docs": q_dsir_resample_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "winnow_clusters_docs": q_winnow_clusters_docs,
@@ -2755,6 +2809,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    round(1.0 / (1.0 + exp(-avg(wt))), 6) AS score
             FROM w GROUP BY doc_id ORDER BY doc_id""",
+        "dsir_weights_docs": f"""
+            WITH {DSIR_CTE}
+            SELECT doc_id, n_grams, round(log_w, 6) AS log_w
+            FROM dw ORDER BY doc_id""",
+        "dsir_resample_docs": f"""
+            WITH {DSIR_CTE},
+            k AS (SELECT doc_id, log_w,
+                         log_w - ln(-ln(
+                           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
+                                                     1, 8)) AS BIGINT) + 0.5)
+                           / 4294967296.0)) AS key
+                  FROM dw),
+            top AS (SELECT doc_id, log_w, key FROM k ORDER BY key DESC, doc_id LIMIT 200)
+            SELECT doc_id, round(log_w, 6) AS log_w, round(key, 6) AS key
+            FROM top ORDER BY doc_id""",
         "winnow_fingerprints": f"""
             WITH {WINNOW_CTE}
             SELECT doc_id, array_to_string(fps, '|') AS fps FROM m ORDER BY doc_id""",

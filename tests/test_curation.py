@@ -679,3 +679,64 @@ def test_fuzzy_decontaminate_corpus_side_never_sort_merge_joins(spark):
     out = curation.fuzzy_decontaminate(corpus, bench, "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan  # band probe + verify all broadcast
+
+
+def _dsir_corpus(spark):
+    # two styles: "science"-flavored docs (even ids) and "spam"-flavored
+    # (odd ids); the target set is science-only
+    sci = "quantum field theory predicts particle interactions precisely"
+    spam = "click here buy now free offer limited deal discount"
+    rows = [(i, sci if i % 2 == 0 else spam) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    corpus = _dsir_corpus(spark)
+    target = corpus.where(F.col("doc_id") % 10 == 0)  # science docs only
+    out = curation.dsir_weights(corpus, target, "doc_id", "text").collect()
+    w = {r.doc_id: r.log_w for r in out}
+    assert all(w[e] > w[o] for e in (2, 4) for o in (1, 3))
+    # identical texts score identically; n_grams = 2*len-1 (7 tokens)
+    grams = {r.doc_id: r.n_grams for r in out}
+    assert w[2] == w[4] and grams[2] == 2 * 7 - 1
+
+
+def test_dsir_weights_scoring_is_a_zero_shuffle_map(spark):
+    corpus = _dsir_corpus(spark)
+    target = corpus.where(F.col("doc_id") % 10 == 0)
+    out = curation.dsir_weights(corpus, target, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # ratio table rides as an array literal
+
+
+def test_dsir_weights_exclude_empty_and_null_texts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    target = corpus.where(F.col("doc_id") == 1)
+    got = {r.doc_id for r in curation.dsir_weights(corpus, target, "doc_id", "text").collect()}
+    assert got == {1}
+    # single-token doc: 1 unigram, 0 bigrams
+    one = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+    r = curation.dsir_weights(one, one, "doc_id", "text").collect()[0]
+    assert r.n_grams == 1
+
+
+def test_dsir_resample_is_deterministic_gumbel_topk(spark):
+    corpus = _dsir_corpus(spark)
+    target = corpus.where(F.col("doc_id") % 10 == 0)
+    a = curation.dsir_resample(corpus, target, "doc_id", "text", n=10)
+    got = sorted(r.doc_id for r in a.collect())
+    again = sorted(
+        r.doc_id
+        for r in curation.dsir_resample(
+            corpus.repartition(7), target, "doc_id", "text", n=10
+        ).collect()
+    )
+    assert len(got) == 10 and got == again  # content-addressed noise
+    # science docs dominate the sample (their weights are far higher)
+    assert sum(1 for d in got if d % 2 == 0) >= 8
+    # partial top-n plan, not a global sort shuffle
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -695,6 +695,13 @@ _CLS_MULT = 2654435761
 _CLS_PRIME = 10007
 
 
+def _hash_bucket(tok: Column, dim: int) -> Column:
+    """md5-prefix hashing-trick bucket — exact integer arithmetic any
+    engine replays (DuckDB: ``CAST(concat('0x', substr(md5(t),1,8)) AS
+    BIGINT) % dim``)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+
 def classifier_score(
     df: DataFrame, id_col: str, text_col: str, dim: int = CLS_DIM
 ) -> DataFrame:
@@ -719,7 +726,7 @@ def classifier_score(
     """
 
     def _weight(tok: Column) -> Column:
-        bucket = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+        bucket = _hash_bucket(tok, dim)
         return (bucket * _CLS_MULT % _CLS_PRIME) / float(_CLS_PRIME) - 0.5
 
     toks = _lower_tokens(F.col(text_col))
@@ -730,6 +737,140 @@ def classifier_score(
         F.col(id_col).alias("id"),
         n.cast("long").alias("n_tokens"),
         F.when(n > 0, score).alias("score"),
+    )
+
+
+#: DSIR hashed n-gram feature width (Xie et al. use 10^4; 4096 keeps the
+#: bucket formula shared with the hashed classifier)
+DSIR_DIM = 4096
+
+
+def _hashed_grams(text_col: Column) -> Column:
+    """Lower-cased unigrams + adjacent bigrams — DSIR's bag of hashed
+    n-gram features — as one string array. Bigrams come from zipping the
+    token array against itself shifted by one (two O(n) slices, no
+    explode), so the whole feature extraction is a narrow expression."""
+    toks = _lower_tokens(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bi)
+
+
+def dsir_fit(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    dim: int = DSIR_DIM,
+    smoothing: float = 1.0,
+) -> list:
+    """Fit the DSIR importance model (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169 §2): add-λ-smoothed
+    hashed-n-gram bucket distributions p (target) and q (raw corpus);
+    returns the per-bucket log-ratio table ``lr[b] = ln p_b − ln q_b``
+    as a plain ``dim``-length Python list.
+
+    The fit is two partial-agg passes (explode → groupBy(bucket) —
+    hot buckets combine map-side, and the result is at most ``dim``
+    rows per side regardless of corpus size), so collecting the model
+    to the driver is O(dim), not O(corpus). At 10^12 docs this is the
+    only shuffle DSIR ever does, and its width is 12 bytes/row."""
+    import math
+
+    def _counts(df: DataFrame) -> tuple[dict, int]:
+        rows = (
+            df.select(F.explode(_hashed_grams(F.col(text_col))).alias("_g"))
+            .select(_hash_bucket(F.col("_g"), dim).alias("_b"))
+            .groupBy("_b")
+            .count()
+            .collect()
+        )
+        c = {r._b: r["count"] for r in rows}
+        return c, sum(c.values())
+
+    pc, pt = _counts(target)
+    qc, qt = _counts(corpus)
+    lam = float(smoothing)
+    return [
+        math.log((pc.get(b, 0) + lam) / (pt + lam * dim))
+        - math.log((qc.get(b, 0) + lam) / (qt + lam * dim))
+        for b in range(dim)
+    ]
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = DSIR_DIM,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight ``log w(x) = Σ_t
+    [ln p_b(t) − ln q_b(t)]`` over the doc's hashed unigram+bigram
+    stream — high means "looks like the target distribution".
+
+    Scale shape: after the O(dim) model fit (see ``dsir_fit``), scoring
+    is a ZERO-SHUFFLE narrow map — the log-ratio table rides along as a
+    constant-folded array literal and each doc folds its gram stream
+    through ``element_at`` lookups inside whole-stage codegen; no join,
+    no Python. Empty/null texts are excluded (no feature evidence).
+
+    Output: ``(id_col, n_grams, log_w)`` with ``log_w`` unrounded.
+    """
+    scored = corpus.where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+    lr = F.lit(dsir_fit(scored, target, text_col, dim=dim, smoothing=smoothing))
+    grams = _hashed_grams(F.col(text_col))
+    look = F.transform(grams, lambda g: F.element_at(lr, (_hash_bucket(g, dim) + 1).cast("int")))
+    return scored.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.aggregate(look, F.lit(0.0), lambda acc, x: acc + x).alias("log_w"),
+    )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    dim: int = DSIR_DIM,
+    smoothing: float = 1.0,
+    salt: str = ":dsir",
+) -> DataFrame:
+    """DSIR's Gumbel-top-k importance resample: draw ``n`` docs without
+    replacement with probability ∝ w(x) by taking the top ``n`` keys
+    ``log w(x) + Gumbel(u_x)`` where ``u_x`` is a content-addressed
+    uniform from md5(id || salt) — deterministic, engine-portable, and
+    re-runnable (the same doc always draws the same noise, the mixing
+    trick ``sample_by_rates`` already uses).
+
+    The selection is ``orderBy(key).limit(n)`` which Spark plans as
+    TakeOrderedAndProject — per-partition partial top-n then a driver
+    merge of n·P candidates, NOT a global sort shuffle.
+
+    Output: ``(id_col, log_w, key)`` rounded for display; ordering uses
+    the raw doubles.
+    """
+    w = dsir_weights(corpus, target, id_col, text_col, dim=dim, smoothing=smoothing)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))  # (0,1): never 0 or 1
+    key = F.col("log_w") - F.log(-F.log(u))
+    return (
+        w.withColumn("_key", key)
+        .orderBy(F.desc("_key"), id_col)
+        .limit(n)
+        .select(
+            F.col(id_col),
+            F.round("log_w", 6).alias("log_w"),
+            F.round("_key", 6).alias("key"),
+        )
     )
 
 
