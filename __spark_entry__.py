@@ -1917,6 +1917,123 @@ def q_audio_near_dup(spark, sf_dir):
     return au.audio_near_dup_pairs(df, max_hamming=6).orderBy("id_a", "id_b")
 
 
+def _crop_fixture_paths(n_bases: int = 48) -> tuple[str, str]:
+    """Stored-truth fixture for crop detection: the planted image corpus
+    plus, for every 4th base image, a standalone copy of one quadrant
+    (re-encoded as its own png). Two parquets:
+
+    * images: ``(image_id, bytes, phash, wb0..wb7)`` — the whole-image
+      phash and its 8 Hamming blocks (unsigned, precomputed in Python so
+      DuckDB needs no unsigned shifts);
+    * tiles truth: ``(image_id, tile_idx, thash, tb0..tb7)`` — the
+      single-process replay of ``multimodal.tile_phash_kernel`` over the
+      decoded pixels (rows whose tiles would be under the 8x8 phash grid
+      are absent, mirroring the distributed path's quarantine).
+
+    The oracle replays the band-match + Hamming verify in SQL over these
+    columns; the Spark query decodes ``bytes`` distributed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.fixtures.images import images_pdf
+    from yadf_spark.operators.multimodal import tile_phash_kernel
+
+    imgs_path = f"/tmp/yadf_contract_crop_images_{n_bases}.parquet"
+    tiles_path = f"/tmp/yadf_contract_crop_tiles_{n_bases}.parquet"
+    if os.path.exists(imgs_path) and os.path.exists(tiles_path):
+        return imgs_path, tiles_path
+    pdf = images_pdf(n_bases)
+    rows = [
+        {"image_id": r.image_id, "bytes": bytes(r.bytes), "phash": int(r.phash)}
+        for r in pdf.itertuples()
+    ]
+    for i in range(0, n_bases, 4):
+        px = codec.decode_image(rows[i]["bytes"])
+        h, w, _ = px.shape
+        th, tw = h // 2, w // 2
+        q = (i // 4) % 4
+        r_, c_ = divmod(q, 2)
+        crop = px[r_ * th : (r_ + 1) * th, c_ * tw : (c_ + 1) * tw]
+        rows.append(
+            {
+                "image_id": f"crop-{i:09d}",
+                "bytes": codec.encode_png(crop),
+                "phash": int(codec.perceptual_hash(crop)),
+            }
+        )
+
+    def blocks(v: int) -> list[int]:
+        u = v & 0xFFFFFFFFFFFFFFFF
+        return [(u >> (8 * k)) & 0xFF for k in range(8)]
+
+    timgs = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+            **{
+                f"wb{k}": pa.array([blocks(r["phash"])[k] for r in rows], pa.int64())
+                for k in range(8)
+            },
+        }
+    )
+    tid, tidx, th_ = [], [], []
+    for r in rows:
+        try:
+            tiles = tile_phash_kernel(codec.decode_image(r["bytes"]))
+        except ValueError:
+            continue
+        for j, t in enumerate(tiles):
+            tid.append(r["image_id"])
+            tidx.append(j)
+            th_.append(int(t))
+    ttiles = pa.table(
+        {
+            "image_id": pa.array(tid, pa.string()),
+            "tile_idx": pa.array(tidx, pa.int32()),
+            "thash": pa.array(th_, pa.int64()),
+            **{f"tb{k}": pa.array([blocks(v)[k] for v in th_], pa.int64()) for k in range(8)},
+        }
+    )
+    for tbl, path in ((timgs, imgs_path), (ttiles, tiles_path)):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return imgs_path, tiles_path
+
+
+def q_crop_tile_phashes(spark, sf_dir):
+    """Quadrant tile phashes per image — the crop-detection index
+    column. Distributed decode (mapInPandas narrow map, payloads never
+    shuffle) vs a single-process replay of the same pure kernel
+    (multimodal.tile_phash_kernel) as stored truth; too-small images
+    quarantine to null and are absent both sides."""
+    from yadf_spark.operators import multimodal as mm
+
+    imgs, _ = _crop_fixture_paths()
+    df = spark.read.parquet(imgs).select("image_id", "bytes")
+    out = mm.with_tile_phashes(df).filter(F.col("tiles").isNotNull())
+    return out.select(
+        "image_id",
+        F.array_join(F.transform("tiles", lambda t: t.cast("string")), "|").alias("tiles"),
+    ).orderBy("image_id")
+
+
+def q_crop_near_dup_pairs(spark, sf_dir):
+    """Crop repost detection: tile phashes band-join (multi-block
+    Hamming keys, radius-6 recall-complete) against stored whole-image
+    phashes, exact-Hamming verified JVM-side. Every planted quadrant
+    crop must land at hamming 0 against its source's tile. Oracle:
+    DuckDB replays the >=2-equal-blocks band match + bit_count verify
+    over the stored-truth tile/whole hashes."""
+    from yadf_spark.operators import multimodal as mm
+
+    imgs, _ = _crop_fixture_paths()
+    df = spark.read.parquet(imgs).select("image_id", "bytes", "phash")
+    return mm.crop_near_dup_pairs(df, max_hamming=6).orderBy("id_big", "id_crop", "tile_idx")
+
+
 def q_near_dup_clusters_docs(spark, sf_dir):
     """Caption near-dup CLUSTERS end-to-end, fully oracle-checked: the
     MinHash+LSH candidate stage (verified at exact Jaccard >= 0.8, same
@@ -2217,6 +2334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_segments": q_audio_segments,
         "audio_near_dup": q_audio_near_dup,
+        "crop_tile_phashes": q_crop_tile_phashes,
+        "crop_near_dup_pairs": q_crop_near_dup_pairs,
         "asof_clicks_last_error": q_asof_clicks_last_error,
         "sessionized_events": q_sessionized_events,
         "clicks_within_error_window": q_clicks_within_error_window,
@@ -3189,6 +3308,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(fa, fb)) <= 6
             ORDER BY id_a, id_b""",
+        # distributed decode+tile-hash vs the single-process stored-truth
+        # replay of the same pure kernel (multimodal.tile_phash_kernel)
+        "crop_tile_phashes": f"""
+            SELECT image_id,
+                   string_agg(CAST(thash AS VARCHAR), '|' ORDER BY tile_idx) AS tiles
+            FROM read_parquet('{_crop_fixture_paths()[1]}')
+            GROUP BY image_id ORDER BY image_id""",
+        # bipartite band-match (>= 2 equal 8-bit blocks <=> shares one of
+        # the C(8,2) two-block keys) + exact Hamming verify, replayed over
+        # the stored-truth tile/whole hashes
+        "crop_near_dup_pairs": f"""
+            WITH t AS (SELECT image_id AS id_big, tile_idx, thash,
+                              tb0, tb1, tb2, tb3, tb4, tb5, tb6, tb7
+                       FROM read_parquet('{_crop_fixture_paths()[1]}')),
+            w AS (SELECT image_id AS id_crop, phash,
+                         wb0, wb1, wb2, wb3, wb4, wb5, wb6, wb7
+                  FROM read_parquet('{_crop_fixture_paths()[0]}')),
+            cand AS (SELECT DISTINCT id_big, id_crop, tile_idx, thash, phash
+                     FROM t JOIN w ON id_big != id_crop
+                      AND (CAST(tb0 = wb0 AS INT) + CAST(tb1 = wb1 AS INT)
+                           + CAST(tb2 = wb2 AS INT) + CAST(tb3 = wb3 AS INT)
+                           + CAST(tb4 = wb4 AS INT) + CAST(tb5 = wb5 AS INT)
+                           + CAST(tb6 = wb6 AS INT) + CAST(tb7 = wb7 AS INT)) >= 2)
+            SELECT id_big, id_crop, tile_idx,
+                   CAST(bit_count(xor(thash, phash)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(thash, phash)) <= 6
+            ORDER BY id_big, id_crop, tile_idx""",
         # distributed decode+embed+top-k vs a single-process replay of
         # the same pure kernel (multimodal.embed_pixels), ranked by
         # DuckDB — same rounding/tie-break contract as ann_topk.

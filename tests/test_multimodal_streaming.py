@@ -591,3 +591,64 @@ def test_canonical_phash_exact_with_nulls_in_corpus(spark):
     expect = int(mm.canonical_phash_kernel(np.array([big], dtype=np.int64))[0])
     assert out[1] == expect and out[3] == expect
     assert out[2] is None
+
+
+# ---------------------------------------------------------------------------
+# crop-resistant tile phash
+# ---------------------------------------------------------------------------
+
+
+def test_tile_phash_kernel_quadrant_crop_identity():
+    """A standalone crop of quadrant q hashes (as a whole image) to
+    exactly the source's tile-q hash — the invariant crop detection
+    rests on."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    tiles = mm.tile_phash_kernel(px)
+    assert len(tiles) == 4
+    for q, (r, c) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        crop = px[r * 16 : (r + 1) * 16, c * 24 : (c + 1) * 24]
+        assert codec.perceptual_hash(crop) == tiles[q]
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.tile_phash_kernel(rng.integers(0, 256, size=(15, 32, 3), dtype=np.uint8))
+
+
+def test_with_tile_phashes_quarantines_undecodable_and_small(spark):
+    rng = np.random.default_rng(5)
+    good = codec.encode_png(rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8))
+    small = codec.encode_png(rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("a", bytearray(good)), ("b", bytearray(b"notanimage")), ("c", bytearray(small))],
+        "image_id string, bytes binary",
+    )
+    got = {r.image_id: r.tiles for r in mm.with_tile_phashes(df).collect()}
+    assert got["a"] is not None and len(got["a"]) == 4
+    assert got["b"] is None and got["c"] is None
+
+
+def test_crop_near_dup_pairs_finds_planted_crop(spark):
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    crop = base[16:32, 0:16]  # quadrant 2 (r=1, c=0)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("big", bytearray(codec.encode_png(base)), int(codec.perceptual_hash(base))),
+        ("crop", bytearray(codec.encode_png(crop)), int(codec.perceptual_hash(crop))),
+        ("other", bytearray(codec.encode_png(other)), int(codec.perceptual_hash(other))),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long")
+    got = {
+        (r.id_big, r.id_crop): (r.tile_idx, r.hamming)
+        for r in mm.crop_near_dup_pairs(df).collect()
+    }
+    assert got[("big", "crop")] == (2, 0)
+    assert ("big", "other") not in got and ("other", "crop") not in got
+    # payload bytes never cross an exchange: every shuffle carries only
+    # ids + 8-byte hashes
+    plan = mm.crop_near_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "bytes" not in m.group(0)

@@ -194,23 +194,12 @@ def fingerprint_band_table(
     instead of 8; the rows are ~20 B each and the explode is map-side.
     The table is still a pure function of ``afp``, so batch and
     streaming index builds can never drift."""
-    from itertools import combinations
+    from yadf_spark.functions.hashes import block_band_keys
 
-    assert 1 <= key_blocks < n_blocks and n_blocks * block_bits <= 64
-    mask = (1 << block_bits) - 1
-
-    def block(i: int):
-        return F.shiftrightunsigned(F.col("afp"), i * block_bits).bitwiseAND(F.lit(mask))
-
-    keys = []
-    for combo in combinations(range(n_blocks), key_blocks):
-        k = block(combo[0])
-        for b in combo[1:]:
-            k = F.shiftleft(k, block_bits).bitwiseOR(block(b))
-        keys.append(k)
+    keys = block_band_keys(F.col("afp"), n_blocks, block_bits, key_blocks)
     return fps.select(
         F.col("audio_id").alias("id"),
-        F.posexplode(F.array(*keys)),
+        F.posexplode(keys),
     ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
 
 

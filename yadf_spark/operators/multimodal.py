@@ -358,3 +358,121 @@ def flip_invariant_bands(
 
     src = with_canonical_phash(df, phash_col).filter(F.col("canonical_phash").isNotNull())
     return hash_bands(src, id_col, "canonical_phash", bands, band_bits)
+
+
+# ---------------------------------------------------------------------------
+# crop-resistant tile phash (quadrant-crop repost dedup)
+# ---------------------------------------------------------------------------
+
+TILE_GRID = 2
+
+TILE_SCHEMA = "image_id string, tiles array<long>"
+
+
+def tile_phash_kernel(px: np.ndarray, grid: int = TILE_GRID) -> list[int]:
+    """Pure: the ``grid x grid`` quadrant perceptual hashes of an
+    (h, w, 3) array, row-major. Block-mean phash of a quadrant IS the
+    phash a standalone crop of that quadrant would get (same pixels,
+    same pooling), which is what makes tile hashes a crop-detection
+    index. Module-level so the contract harness can replay it
+    single-process as stored truth. Raises for tiles smaller than the
+    8x8 phash grid (the caller quarantines)."""
+    h, w, _ = px.shape
+    th, tw = h // grid, w // grid
+    if th < 8 or tw < 8:
+        raise ValueError(f"tiles {th}x{tw} below the 8x8 phash grid")
+    return [
+        codec.perceptual_hash(px[r * th : (r + 1) * th, c * tw : (c + 1) * tw])
+        for r in range(grid)
+        for c in range(grid)
+    ]
+
+
+def with_tile_phashes(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    grid: int = TILE_GRID,
+) -> DataFrame:
+    """Decode each payload and emit its quadrant tile phashes as one
+    ``array<long>`` — a ``mapInPandas`` narrow map (payload bytes never
+    shuffle; downstream joins carry 8-byte hashes). Undecodable or
+    too-small images emit ``tiles = null`` (quarantine convention).
+    The array output dodges the Arrow nullable-long batch problem: a
+    null row nulls the whole array, never a value inside an int64
+    column."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from yadf_spark.fixtures.codec import decode_image
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    rows.append((rid, tile_phash_kernel(decode_image(bytes(payload)), grid)))
+                except Exception:
+                    rows.append((rid, None))
+            yield pd.DataFrame(rows, columns=["image_id", "tiles"])
+
+    return df.select(F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
+        kernel, TILE_SCHEMA
+    )
+
+
+def crop_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    block_bits: int = 8,
+    key_blocks: int = 2,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+    grid: int = TILE_GRID,
+) -> DataFrame:
+    """Detect "B is a quadrant crop of A": every image's TILE phashes
+    join every other image's stored WHOLE-image phash through the shared
+    multi-block Hamming band keys (``block_band_keys`` — the same
+    recall-complete-for-radius-6 table the audio path uses), then exact
+    Hamming verifies JVM-side. Never an all-pairs compare: both band
+    tables are ~20 B/row (id, band_idx, 16-bit key) so the only shuffle
+    is narrow, the phash side needs NO decode (the column is already in
+    the table), and hot band values (e.g. flat images hashing to 0) are
+    AQE skew-split at runtime.
+
+    Output ``(id_big, id_crop, tile_idx, hamming)``: ``id_crop``'s whole
+    image matched tile ``tile_idx`` of ``id_big`` within ``max_hamming``
+    bits."""
+    from yadf_spark.functions.hashes import block_band_keys, hamming64
+
+    assert max_hamming <= n_blocks - key_blocks, (
+        "banding is only recall-complete for radius <= n_blocks - key_blocks"
+    )
+    tiles = with_tile_phashes(df, id_col, bytes_col, grid).filter(F.col("tiles").isNotNull())
+    texp = tiles.select(
+        F.col("image_id").alias("id_big"), F.posexplode("tiles")
+    ).select("id_big", F.col("pos").alias("tile_idx"), F.col("col").alias("_th"))
+    # decode once: the band explode and the Hamming verify both read it
+    texp = texp.localCheckpoint(eager=False)
+    tband = texp.select(
+        "id_big",
+        "tile_idx",
+        "_th",
+        F.posexplode(block_band_keys(F.col("_th"), n_blocks, block_bits, key_blocks)),
+    ).select("id_big", "tile_idx", "_th", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
+    wband = df.select(
+        F.col(id_col).alias("id_crop"),
+        F.col(phash_col).alias("_pw"),
+        F.posexplode(block_band_keys(F.col(phash_col), n_blocks, block_bits, key_blocks)),
+    ).select("id_crop", "_pw", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
+    cand = (
+        tband.join(wband, ["band_idx", "band_hash"])
+        .where(F.col("id_big") != F.col("id_crop"))
+        .select("id_big", "id_crop", "tile_idx", "_th", "_pw")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("_th"), F.col("_pw")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_big", "id_crop", "tile_idx", "hamming")
+    )
