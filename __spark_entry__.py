@@ -2003,6 +2003,56 @@ def _crop_fixture_paths(n_bases: int = 48) -> tuple[str, str]:
     return imgs_path, tiles_path
 
 
+def _alignment_parquet(n: int = 64) -> str:
+    """Stored-truth fixture for image-caption alignment: the planted
+    corpus with each row's alignment score computed single-process by
+    the same pure kernels (multimodal.alignment_kernel) the distributed
+    path applies — float64 dot of unit-norm float32 embeddings, so the
+    replay is bit-exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures.codec import decode_image
+    from yadf_spark.fixtures.images import images_pdf
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_alignment_{n}.parquet"
+    if not os.path.exists(path):
+        pdf = images_pdf(n)
+        aligns = [
+            mm.alignment_kernel(decode_image(bytes(r.bytes)), r.caption)
+            for r in pdf.itertuples()
+        ]
+        table = pa.table(
+            {
+                "image_id": pa.array(pdf["image_id"], pa.string()),
+                "bytes": pa.array([bytes(b) for b in pdf["bytes"]], pa.binary()),
+                "caption": pa.array(pdf["caption"], pa.string()),
+                "align": pa.array(aligns, pa.float64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_caption_alignment(spark, sf_dir):
+    """Image-caption alignment ("CLIP score") per pair — the
+    LAION/DataComp model-agreement filter stage with deterministic stub
+    encoders: distributed decode+embed (mapInPandas narrow map) vs the
+    single-process stored-truth replay of the same pure kernels."""
+    from yadf_spark.operators import multimodal as mm
+
+    df = spark.read.parquet(_alignment_parquet()).select("image_id", "bytes", "caption")
+    out = mm.caption_alignment(df)
+    return (
+        out.where(F.col("ok"))
+        .select("image_id", F.round("align", 6).alias("align"))
+        .orderBy("image_id")
+    )
+
+
 def q_crop_tile_phashes(spark, sf_dir):
     """Quadrant tile phashes per image — the crop-detection index
     column. Distributed decode (mapInPandas narrow map, payloads never
@@ -2334,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_segments": q_audio_segments,
         "audio_near_dup": q_audio_near_dup,
+        "caption_alignment": q_caption_alignment,
         "crop_tile_phashes": q_crop_tile_phashes,
         "crop_near_dup_pairs": q_crop_near_dup_pairs,
         "asof_clicks_last_error": q_asof_clicks_last_error,
@@ -3308,6 +3359,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(fa, fb)) <= 6
             ORDER BY id_a, id_b""",
+        # distributed decode+embed vs the single-process stored-truth
+        # replay of the same pure kernels (multimodal.alignment_kernel)
+        "caption_alignment": f"""
+            SELECT image_id, round(align, 6) AS align
+            FROM read_parquet('{_alignment_parquet()}')
+            ORDER BY image_id""",
         # distributed decode+tile-hash vs the single-process stored-truth
         # replay of the same pure kernel (multimodal.tile_phash_kernel)
         "crop_tile_phashes": f"""

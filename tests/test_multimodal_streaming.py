@@ -652,3 +652,33 @@ def test_crop_near_dup_pairs_finds_planted_crop(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "bytes" not in m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# image-caption alignment
+# ---------------------------------------------------------------------------
+
+
+def test_caption_embedding_kernel_is_unit_norm_and_deterministic():
+    a = mm.caption_embedding_kernel("a photo of a red fox")
+    b = mm.caption_embedding_kernel("a photo of a red fox")
+    assert np.allclose(a, b) and abs(float(np.linalg.norm(a)) - 1.0) < 1e-6
+    assert not np.allclose(a, mm.caption_embedding_kernel("completely different words"))
+    z = mm.caption_embedding_kernel("")
+    assert float(np.linalg.norm(z)) == 0.0 and len(z) == 64
+
+
+def test_caption_alignment_matches_pure_kernel_and_quarantines(spark):
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    payload = codec.encode_png(px)
+    rows = [
+        ("a", bytearray(payload), "a scenic mountain view"),
+        ("b", bytearray(b"garbage"), "whatever"),
+        ("c", bytearray(payload), None),  # null caption -> zero text vec
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    got = {r.image_id: (r.align, r.ok) for r in mm.caption_alignment(df).collect()}
+    assert got["a"] == (mm.alignment_kernel(px, "a scenic mountain view"), True)
+    assert got["b"] == (None, False)
+    assert got["c"] == (0.0, True)

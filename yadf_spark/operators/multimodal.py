@@ -476,3 +476,75 @@ def crop_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_big", "id_crop", "tile_idx", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# image-caption alignment (CLIP-score-style filtering, stub encoders)
+# ---------------------------------------------------------------------------
+
+ALIGN_SCHEMA = "image_id string, align double, ok boolean"
+
+
+def caption_embedding_kernel(caption: str, dim: int = 64) -> np.ndarray:
+    """Pure hashed bag-of-words text embedding (feature hashing with
+    ±1 signs, Weinberger et al. ICML'09): each lower-cased whitespace
+    token scatters sign(md5) into bucket md5 % dim; L2-normalized
+    float32. The deterministic stand-in occupying the text-encoder
+    seam — module-level so the contract harness replays it
+    single-process as stored truth."""
+    import hashlib
+
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in (caption or "").lower().split():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        v[int(h[:8], 16) % dim] += 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def alignment_kernel(px: np.ndarray, caption: str, dim: int = 64) -> float:
+    """Pure: cosine between the image and caption stub embeddings (both
+    already unit-norm float32; the dot runs in float64 so distributed
+    and single-process replays agree bitwise). Zero-signal captions
+    (empty/null) score 0.0."""
+    a = embed_pixels(px, dim).astype(np.float64)
+    b = caption_embedding_kernel(caption, dim).astype(np.float64)
+    return float(a @ b)
+
+
+def caption_alignment(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    dim: int = 64,
+) -> DataFrame:
+    """Image-caption alignment score — the LAION/DataComp "CLIP score"
+    filtering stage (keep pairs whose encoders agree; compose with
+    ``curation.quantile_threshold_filter`` or a fixed threshold for the
+    gate). Both encoders here are deterministic stubs (intensity
+    histogram / hashed bag-of-words); a real deployment swaps the two
+    pure kernels and keeps this plumbing — a ``mapInPandas`` narrow map
+    where payload bytes never shuffle and undecodable rows quarantine
+    to ``ok=false``.
+
+    Output ``(image_id, align double, ok boolean)``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from yadf_spark.fixtures.codec import decode_image
+
+        for pdf in batches:
+            rows = []
+            for rid, payload, cap in zip(pdf[id_col], pdf[bytes_col], pdf[caption_col]):
+                try:
+                    px = decode_image(bytes(payload))
+                    rows.append((rid, alignment_kernel(px, cap, dim), True))
+                except Exception:
+                    rows.append((rid, None, False))
+            yield pd.DataFrame(rows, columns=["image_id", "align", "ok"])
+
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.col(bytes_col).alias(bytes_col),
+        F.col(caption_col).alias(caption_col),
+    ).mapInPandas(kernel, ALIGN_SCHEMA)
