@@ -2985,15 +2985,14 @@ def oracle_sql() -> dict[str, str]:
             FROM dw ORDER BY doc_id""",
         "dsir_resample_docs": f"""
             WITH {DSIR_CTE},
-            k AS (SELECT doc_id, log_w,
-                         log_w - ln(-ln(
+            k AS (SELECT doc_id, round(log_w, 6) AS log_w,
+                         round(round(log_w, 6) - ln(-ln(
                            (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'),
                                                      1, 8)) AS BIGINT) + 0.5)
-                           / 4294967296.0)) AS key
+                           / 4294967296.0)), 6) AS key
                   FROM dw),
             top AS (SELECT doc_id, log_w, key FROM k ORDER BY key DESC, doc_id LIMIT 200)
-            SELECT doc_id, round(log_w, 6) AS log_w, round(key, 6) AS key
-            FROM top ORDER BY doc_id""",
+            SELECT doc_id, log_w, key FROM top ORDER BY doc_id""",
         "winnow_fingerprints": f"""
             WITH {WINNOW_CTE}
             SELECT doc_id, array_to_string(fps, '|') AS fps FROM m ORDER BY doc_id""",

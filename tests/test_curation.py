@@ -740,3 +740,11 @@ def test_dsir_resample_is_deterministic_gumbel_topk(spark):
     # partial top-n plan, not a global sort shuffle
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_threshold_filter_rejects_bad_keep(spark):
+    import pytest
+
+    df = _docs(spark)
+    with pytest.raises(ValueError):
+        curation.quantile_threshold_filter(df, "doc_id", "source", keep="top")

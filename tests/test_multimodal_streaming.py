@@ -682,3 +682,16 @@ def test_caption_alignment_matches_pure_kernel_and_quarantines(spark):
     assert got["a"] == (mm.alignment_kernel(px, "a scenic mountain view"), True)
     assert got["b"] == (None, False)
     assert got["c"] == (0.0, True)
+
+
+def test_tile_and_alignment_respect_caller_id_column(spark):
+    rng = np.random.default_rng(2)
+    payload = codec.encode_png(rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), "some caption")], "img long, data binary, cap string"
+    )
+    t = mm.with_tile_phashes(df, id_col="img", bytes_col="data")
+    assert t.columns == ["img", "tiles"] and t.schema["img"].dataType.simpleString() == "bigint"
+    a = mm.caption_alignment(df, id_col="img", bytes_col="data", caption_col="cap")
+    assert a.columns == ["img", "align", "ok"]
+    assert a.join(df, "img").count() == 1

@@ -484,6 +484,8 @@ def quantile_threshold_filter(
     beyond that ``exact=False`` switches to ``percentile_approx``
     (bounded-memory sketch, true partial agg) at ~1e-4 quantile error.
     """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
     score = F.col(score_col).cast("double")
     if exact:
         agg = F.percentile(score, F.lit(q))
@@ -695,13 +697,6 @@ _CLS_MULT = 2654435761
 _CLS_PRIME = 10007
 
 
-def _hash_bucket(tok: Column, dim: int) -> Column:
-    """md5-prefix hashing-trick bucket — exact integer arithmetic any
-    engine replays (DuckDB: ``CAST(concat('0x', substr(md5(t),1,8)) AS
-    BIGINT) % dim``)."""
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
-
-
 def classifier_score(
     df: DataFrame, id_col: str, text_col: str, dim: int = CLS_DIM
 ) -> DataFrame:
@@ -726,8 +721,8 @@ def classifier_score(
     """
 
     def _weight(tok: Column) -> Column:
-        bucket = _hash_bucket(tok, dim)
-        return (bucket * _CLS_MULT % _CLS_PRIME) / float(_CLS_PRIME) - 0.5
+        # md5_bucket: the module's one portable hashing-trick recipe
+        return (md5_bucket(tok, dim) * _CLS_MULT % _CLS_PRIME) / float(_CLS_PRIME) - 0.5
 
     toks = _lower_tokens(F.col(text_col))
     n = F.coalesce(F.size(toks), F.lit(0))  # null text -> 0 tokens
@@ -783,7 +778,7 @@ def dsir_fit(
     def _counts(df: DataFrame) -> tuple[dict, int]:
         rows = (
             df.select(F.explode(_hashed_grams(F.col(text_col))).alias("_g"))
-            .select(_hash_bucket(F.col("_g"), dim).alias("_b"))
+            .select(md5_bucket(F.col("_g"), dim).alias("_b"))
             .groupBy("_b")
             .count()
             .collect()
@@ -824,7 +819,7 @@ def dsir_weights(
     scored = corpus.where(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
     lr = F.lit(dsir_fit(scored, target, text_col, dim=dim, smoothing=smoothing))
     grams = _hashed_grams(F.col(text_col))
-    look = F.transform(grams, lambda g: F.element_at(lr, (_hash_bucket(g, dim) + 1).cast("int")))
+    look = F.transform(grams, lambda g: F.element_at(lr, (md5_bucket(g, dim) + 1).cast("int")))
     return scored.select(
         F.col(id_col),
         F.size(grams).cast("long").alias("n_grams"),
@@ -853,24 +848,25 @@ def dsir_resample(
     TakeOrderedAndProject — per-partition partial top-n then a driver
     merge of n·P candidates, NOT a global sort shuffle.
 
-    Output: ``(id_col, log_w, key)`` rounded for display; ordering uses
-    the raw doubles.
+    Ordering uses the ROUNDED key built from the ROUNDED log weight:
+    the raw log_w is a float sum whose value depends on summation order,
+    so a raw-key cutoff at rank n could select different docs in
+    different engines (or runs); rounding both to 6 decimals first makes
+    the rank-n boundary identical wherever the rounded inputs agree,
+    with ``id_col`` breaking exact ties.
+
+    Output: ``(id_col, log_w, key)``, both rounded.
     """
     w = dsir_weights(corpus, target, id_col, text_col, dim=dim, smoothing=smoothing)
     h = F.conv(
         F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10
     ).cast("long")
     u = (h + F.lit(0.5)) / F.lit(float(1 << 32))  # (0,1): never 0 or 1
-    key = F.col("log_w") - F.log(-F.log(u))
+    key = F.round(F.round("log_w", 6) - F.log(-F.log(u)), 6)
     return (
-        w.withColumn("_key", key)
-        .orderBy(F.desc("_key"), id_col)
+        w.select(F.col(id_col), F.round("log_w", 6).alias("log_w"), key.alias("key"))
+        .orderBy(F.desc("key"), id_col)
         .limit(n)
-        .select(
-            F.col(id_col),
-            F.round("log_w", 6).alias("log_w"),
-            F.round("_key", 6).alias("key"),
-        )
     )
 
 

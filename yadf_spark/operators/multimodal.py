@@ -366,7 +366,6 @@ def flip_invariant_bands(
 
 TILE_GRID = 2
 
-TILE_SCHEMA = "image_id string, tiles array<long>"
 
 
 def tile_phash_kernel(px: np.ndarray, grid: int = TILE_GRID) -> list[int]:
@@ -412,10 +411,11 @@ def with_tile_phashes(
                     rows.append((rid, tile_phash_kernel(decode_image(bytes(payload)), grid)))
                 except Exception:
                     rows.append((rid, None))
-            yield pd.DataFrame(rows, columns=["image_id", "tiles"])
+            yield pd.DataFrame(rows, columns=[id_col, "tiles"])
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)).mapInPandas(
-        kernel, TILE_SCHEMA
+        kernel, f"{id_col} {id_type}, tiles array<long>"
     )
 
 
@@ -450,10 +450,10 @@ def crop_near_dup_pairs(
     )
     tiles = with_tile_phashes(df, id_col, bytes_col, grid).filter(F.col("tiles").isNotNull())
     texp = tiles.select(
-        F.col("image_id").alias("id_big"), F.posexplode("tiles")
+        F.col(id_col).alias("id_big"), F.posexplode("tiles")
     ).select("id_big", F.col("pos").alias("tile_idx"), F.col("col").alias("_th"))
-    # decode once: the band explode and the Hamming verify both read it
-    texp = texp.localCheckpoint(eager=False)
+    # single linear consumer (_th rides through the band join into the
+    # verify), so no checkpoint: the decode runs once either way
     tband = texp.select(
         "id_big",
         "tile_idx",
@@ -481,9 +481,6 @@ def crop_near_dup_pairs(
 # ---------------------------------------------------------------------------
 # image-caption alignment (CLIP-score-style filtering, stub encoders)
 # ---------------------------------------------------------------------------
-
-ALIGN_SCHEMA = "image_id string, align double, ok boolean"
-
 
 def caption_embedding_kernel(caption: str, dim: int = 64) -> np.ndarray:
     """Pure hashed bag-of-words text embedding (feature hashing with
@@ -528,7 +525,7 @@ def caption_alignment(
     where payload bytes never shuffle and undecodable rows quarantine
     to ``ok=false``.
 
-    Output ``(image_id, align double, ok boolean)``."""
+    Output ``(id_col, align double, ok boolean)``."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from yadf_spark.fixtures.codec import decode_image
@@ -541,10 +538,11 @@ def caption_alignment(
                     rows.append((rid, alignment_kernel(px, cap, dim), True))
                 except Exception:
                     rows.append((rid, None, False))
-            yield pd.DataFrame(rows, columns=["image_id", "align", "ok"])
+            yield pd.DataFrame(rows, columns=[id_col, "align", "ok"])
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(
         F.col(id_col).alias(id_col),
         F.col(bytes_col).alias(bytes_col),
         F.col(caption_col).alias(caption_col),
-    ).mapInPandas(kernel, ALIGN_SCHEMA)
+    ).mapInPandas(kernel, f"{id_col} {id_type}, align double, ok boolean")
