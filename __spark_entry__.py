@@ -153,6 +153,23 @@ jac AS (SELECT da AS id_a, db AS id_b, round(i / (sa.s + sb.s - i), 6) AS jaccar
         FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
 """
 
+# The caption near-dup closure on top of SHINGLE_CTE's `jac` pair table:
+# verified edges at Jaccard >= 0.8, min-label reach, (id, cluster_id).
+# Shared by every cluster-level oracle added after round 2 (the earlier
+# cluster oracles spell the same fragment inline).
+CLUSTER_CTE = """
+e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+bidir AS (
+  SELECT id_a AS u, id_b AS v FROM e
+  UNION
+  SELECT id_b AS u, id_a AS v FROM e),
+reach(id, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+  UNION
+  SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+"""
+
 # n-gram Jaccard with a document-frequency cap: shingles present in more
 # than SHINGLE_DF_CAP docs are dropped from both the intersection AND the
 # per-doc set sizes (a shared-by-everyone shingle carries no similarity
@@ -2084,6 +2101,23 @@ def q_crop_near_dup_pairs(spark, sf_dir):
     return mm.crop_near_dup_pairs(df, max_hamming=6).orderBy("id_big", "id_crop", "tile_idx")
 
 
+def _doc_clusters(spark, sf_dir):
+    """The shared caption near-dup closure: MinHash+LSH candidates at
+    the default LshConfig, exact-Jaccard verified at >= 0.8, contracted
+    to ``(id, cluster_id)`` by connected components. Every cluster-level
+    contract query (clusters, dedup rate, representatives, safe split,
+    size histogram, leakage audit) derives from this one pipeline so the
+    oracle's recursive-CTE closure replays them all from one edge set."""
+    from yadf_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    return components.connected_components(edges)
+
+
 def q_near_dup_clusters_docs(spark, sf_dir):
     """Caption near-dup CLUSTERS end-to-end, fully oracle-checked: the
     MinHash+LSH candidate stage (verified at exact Jaccard >= 0.8, same
@@ -2092,14 +2126,7 @@ def q_near_dup_clusters_docs(spark, sf_dir):
     (reference analog: the dup-group Bag materialization,
     src/bag.rs:21-44) replayed in SQL as all-pairs Jaccard edges plus a
     recursive-CTE min-label closure."""
-    from yadf_spark.operators import components
-
-    d = _t(spark, sf_dir, "documents")
-    cfg = LshConfig()
-    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
-    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
-    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
-    return components.connected_components(edges).orderBy("id")
+    return _doc_clusters(spark, sf_dir).orderBy("id")
 
 
 def q_dedup_rate_by_source(spark, sf_dir):
@@ -2109,14 +2136,8 @@ def q_dedup_rate_by_source(spark, sf_dir):
     edge-bearing (cluster size >= 2 by construction), so 'clustered'
     IS 'duplicated'; the rate join is a broadcast of the tiny per-source
     aggregate, corpus side never reshuffles."""
-    from yadf_spark.operators import components
-
     d = _t(spark, sf_dir, "documents")
-    cfg = LshConfig()
-    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
-    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
-    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
-    clusters = components.connected_components(edges)
+    clusters = _doc_clusters(spark, sf_dir)
     marked = d.select("doc_id", "source").join(
         clusters.select(F.col("id").alias("doc_id")).withColumn("dup", F.lit(1)),
         "doc_id",
@@ -2143,18 +2164,80 @@ def q_near_dup_representatives(spark, sf_dir):
     generalized to a quality axis). Single partial-agg shuffle via
     ``min_by`` over a (-quality, id) struct; the oracle replays the
     policy as max-quality filter + min-id."""
-    from yadf_spark.operators import components
-
     d = _t(spark, sf_dir, "documents")
-    cfg = LshConfig()
-    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
-    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
-    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
-    clusters = components.connected_components(edges)
+    clusters = _doc_clusters(spark, sf_dir)
     reps = curation.cluster_representatives(
         d, clusters, id_col="doc_id", quality_col=F.length("text")
     )
     return reps.orderBy("cluster_id")
+
+
+def q_cluster_safe_split_docs(spark, sf_dir):
+    """Leakage-guarded 80/10/10 split: the md5 bucket is keyed on the
+    near-dup CLUSTER id (own id for singletons), so a document and its
+    near-twin can never straddle train and val — the contamination mode
+    an id-keyed hash_split silently allows. Same determinism guarantees
+    as hash_split; the only extra cost is one broadcastable join against
+    the (dup-members-only) cluster table."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = _doc_clusters(spark, sf_dir)
+    out = curation.cluster_safe_split(
+        d, clusters, "doc_id", {"train": 80, "val": 10, "test": 10}
+    )
+    return out.select(
+        "doc_id", F.col("split_key").cast("long").alias("split_key"), "bucket", "split"
+    ).orderBy("doc_id")
+
+
+def q_split_leakage_report(spark, sf_dir):
+    """The audit that motivates cluster_safe_split: assign the NAIVE
+    id-keyed 80/10/10 split, then count near-dup clusters by how many
+    distinct splits their members touch. Rows with n_splits > 1 are
+    train/eval contamination; the same report over cluster_safe_split
+    output is all-n_splits=1 by construction (pytest-gated)."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = _doc_clusters(spark, sf_dir)
+    naive = curation.hash_split(d, "doc_id", {"train": 80, "val": 10, "test": 10})
+    rep = curation.split_leakage_report(clusters, naive, "doc_id")
+    return rep.orderBy("n_splits")
+
+
+def q_cluster_size_histogram(spark, sf_dir):
+    """Dedup observability: the cluster-size distribution (how viral is
+    the worst near-dup family?). Two partial-agg groupBys over the
+    cluster table — the dashboard number that decides salting caps and
+    survivor policy at production scale."""
+    clusters = _doc_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def q_phash_band_stats(spark, sf_dir):
+    """LSH skew observability over the image phash Hamming bands (the
+    pipeline's stage-1 prefilter, NearDupConfig 4 bands x 16 bits): per
+    band, how many buckets exist, how many are candidate-bearing
+    (size >= 2), the largest bucket, and the candidate-pair volume
+    sum(s*(s-1)/2). These are THE numbers that size the salting cap and
+    predict stage-2 load at production scale — published per run, never
+    guessed. Pure partial-agg groupBys over (band_idx, band_hash); the
+    oracle replays band extraction with the same shift/mask bit ops."""
+    df = spark.read.parquet(_images_parquet(256))
+    bands = minhash.hash_bands(df, "image_id", "phash", bands=4, band_bits=16)
+    buckets = bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("s"))
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("s") >= 2, 1).otherwise(0)).alias("n_dup_buckets"),
+            F.max("s").alias("max_bucket"),
+            F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long").alias("n_cand_pairs"),
+        )
+        .orderBy("band_idx")
+    )
 
 
 def _image_truth_pairs_parquet(n: int) -> str:
@@ -2375,6 +2458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_docs": q_near_dup_clusters_docs,
         "near_dup_representatives": q_near_dup_representatives,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "cluster_safe_split_docs": q_cluster_safe_split_docs,
+        "split_leakage_report": q_split_leakage_report,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "phash_band_stats": q_phash_band_stats,
         "simhash_docs": q_simhash_docs,
         # video_frame_sample got NO driver verdict in round 2 as the
         # 51st of 51 entries (the sweep apparently never reached it) —
@@ -3208,6 +3295,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.q = mx.rep_quality
             GROUP BY m.cluster_id, mx.rep_quality, mx.n_members
             ORDER BY cluster_id""",
+        # leakage-guarded split: bucket keyed on coalesce(cluster, id),
+        # same md5 arithmetic as hash_split_docs.
+        "cluster_safe_split_docs": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            {CLUSTER_CTE},
+            key AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+                    FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+            b AS (SELECT doc_id, split_key,
+                         CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR) || ':split'),
+                                                  1, 8)) AS BIGINT) % 100 AS bucket
+                  FROM key)
+            SELECT doc_id, split_key, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id""",
+        # naive id-keyed split audited against the closure: clusters by
+        # number of distinct splits touched.
+        "split_leakage_report": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            {CLUSTER_CTE},
+            sp AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                                   1, 8)) AS BIGINT) % 100 AS bucket
+                   FROM documents),
+            spl AS (SELECT doc_id,
+                           CASE WHEN bucket < 80 THEN 'train'
+                                WHEN bucket < 90 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM sp),
+            pc AS (SELECT cl.cluster_id, count(DISTINCT spl.split) AS n_splits,
+                          count(*) AS n_docs
+                   FROM cl JOIN spl ON spl.doc_id = cl.id GROUP BY 1)
+            SELECT n_splits, count(*) AS n_clusters,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs
+            FROM pc GROUP BY 1 ORDER BY n_splits""",
+        "cluster_size_histogram": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            {CLUSTER_CTE},
+            csz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM csz GROUP BY 1 ORDER BY cluster_size""",
+        # phash Hamming-band skew report: band extraction replayed as
+        # exact HUGEINT div/mod (DuckDB's >> on negative BIGINTs is not
+        # a reliable unsigned shift), over the same fixture parquet.
+        "phash_band_stats": f"""
+            WITH u AS (
+              SELECT image_id,
+                     CAST(phash AS HUGEINT)
+                     + CASE WHEN phash < 0
+                            THEN CAST('18446744073709551616' AS HUGEINT)
+                            ELSE 0 END AS up
+              FROM read_parquet('{_images_parquet(256)}')),
+            b AS (
+              SELECT image_id, t.band_idx,
+                     CAST((up // t.p) % 65536 AS BIGINT) AS band_hash
+              FROM u CROSS JOIN (VALUES
+                 (0, CAST(1 AS HUGEINT)),
+                 (1, CAST(65536 AS HUGEINT)),
+                 (2, CAST(4294967296 AS HUGEINT)),
+                 (3, CAST(281474976710656 AS HUGEINT))) AS t(band_idx, p)),
+            bu AS (SELECT band_idx, band_hash, count(*) AS s FROM b GROUP BY 1, 2)
+            SELECT band_idx, count(*) AS n_buckets,
+                   CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_buckets,
+                   max(s) AS max_bucket,
+                   CAST(sum(s * (s - 1) / 2) AS BIGINT) AS n_cand_pairs
+            FROM bu GROUP BY 1 ORDER BY band_idx""",
         "simhash_docs": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok

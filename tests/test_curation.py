@@ -45,6 +45,62 @@ def test_hash_split_rejects_bad_weights(spark):
         curation.hash_split(_docs(spark), "doc_id", {"train": 80, "val": 10})
 
 
+def _clusters(spark):
+    # three clusters: {0,1,2}, {10,11}, {20,21,22,23} — cluster_id is
+    # the min member, like connected_components emits
+    rows = [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20), (23, 20)]
+    return spark.createDataFrame(rows, "id long, cluster_id long")
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    df = _docs(spark, n=60)
+    cl = _clusters(spark)
+    out = curation.cluster_safe_split(df, cl, "doc_id", {"train": 50, "val": 25, "test": 25})
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 60
+    # every cluster's members share one split, keyed by the cluster id
+    for members in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        splits = {rows[m].split for m in members}
+        assert len(splits) == 1
+        for m in members:
+            assert rows[m].split_key == members[0]
+            assert rows[m].bucket == _bucket(f"{members[0]}:split")
+    # singletons fall back to their own id — identical to hash_split
+    naive = {r.doc_id: r.split for r in
+             curation.hash_split(df, "doc_id", {"train": 50, "val": 25, "test": 25}).collect()}
+    clustered = {0, 1, 2, 10, 11, 20, 21, 22, 23}
+    for doc_id, r in rows.items():
+        if doc_id not in clustered:
+            assert r.split == naive[doc_id]
+
+
+def test_split_leakage_report_flags_naive_and_clears_safe(spark):
+    df = _docs(spark, n=60)
+    cl = _clusters(spark)
+    weights = {"train": 50, "val": 25, "test": 25}
+    safe = curation.cluster_safe_split(df, cl, "doc_id", weights)
+    safe_rep = {r.n_splits: (r.n_clusters, r.n_docs)
+                for r in curation.split_leakage_report(cl, safe, "doc_id").collect()}
+    assert set(safe_rep) == {1}
+    assert safe_rep[1] == (3, 9)
+    naive = curation.hash_split(df, "doc_id", weights)
+    naive_rep = {r.n_splits: r.n_clusters
+                 for r in curation.split_leakage_report(cl, naive, "doc_id").collect()}
+    # this fixed corpus demonstrably leaks under the naive split
+    assert any(k > 1 for k in naive_rep)
+
+
+def test_cluster_safe_split_stable_under_repartition(spark):
+    df = _docs(spark, n=60)
+    cl = _clusters(spark)
+    weights = {"train": 50, "test": 50}
+    a = curation.cluster_safe_split(df, cl, "doc_id", weights)
+    b = curation.cluster_safe_split(df.repartition(7), cl.repartition(3), "doc_id", weights)
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == sorted(
+        map(tuple, b.select("doc_id", "split").collect())
+    )
+
+
 def test_stratified_sample_respects_per_stratum_rates(spark):
     df = _docs(spark, n=300)
     out = curation.stratified_sample(

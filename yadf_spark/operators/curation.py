@@ -82,13 +82,82 @@ def hash_split(
     if sum(weights.values()) != BUCKETS:
         raise ValueError(f"split weights must sum to {BUCKETS}, got {weights}")
     bucket = md5_bucket(F.col(id_col), BUCKETS, salt=salt)
+    return df.withColumn("bucket", bucket).withColumn("split", _split_label(bucket, weights))
+
+
+def _split_label(bucket: Column, weights: dict[str, int]) -> Column:
+    """Map a ``[0, BUCKETS)`` bucket to its split label by cumulative
+    weight — the shared when-chain behind hash_split/cluster_safe_split."""
     expr: Column | None = None
     lo = 0
     for label, w in weights.items():
         cond = bucket < F.lit(lo + w)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
         lo += w
-    return df.withColumn("bucket", bucket).withColumn("split", expr)
+    return expr
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    weights: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-guarded train/val/test split: every near-dup cluster
+    lands wholly inside ONE split.
+
+    ``hash_split`` keyed on the row id silently leaks: two near-identical
+    documents hash to independent buckets, so one lands in train and its
+    twin in val — the eval set then measures memorization, not
+    generalization. Here the bucket key is the row's connected-component
+    ``cluster_id`` when it has one (``clusters`` is the
+    ``connected_components`` output: ``(id, cluster_id)``, dup members
+    only) and the row's own id for singletons. Same md5 bucket, same
+    determinism guarantees as ``hash_split`` — assignments survive
+    repartitioning and incremental ingest, and a NEW member joining an
+    existing cluster inherits the cluster's split.
+
+    Scale shape: one left join against the cluster table — only dup
+    members appear there, so it is small relative to the corpus and AQE
+    broadcasts it; everything else is the same narrow codegen map as
+    ``hash_split``. Output adds ``split_key``, ``bucket``, ``split``.
+    """
+    if sum(weights.values()) != BUCKETS:
+        raise ValueError(f"split weights must sum to {BUCKETS}, got {weights}")
+    cl = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    joined = df.join(cl, id_col, "left")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = md5_bucket(key, BUCKETS, salt=salt)
+    return (
+        joined.withColumn("split_key", key)
+        .withColumn("bucket", bucket)
+        .withColumn("split", _split_label(bucket, weights))
+        .drop("cluster_id")
+    )
+
+
+def split_leakage_report(
+    clusters: DataFrame, split_df: DataFrame, id_col: str
+) -> DataFrame:
+    """How badly a split assignment leaks across near-dup clusters:
+    per-cluster count of distinct splits touched, rolled up to
+    ``(n_splits, n_clusters, n_docs)``. ``n_splits > 1`` rows are
+    train/eval contamination — zero such rows is the acceptance gate for
+    ``cluster_safe_split`` and the audit that catches a naive id-keyed
+    split. Two partial-agg groupBys over the (small) cluster-member
+    table; the corpus itself never shuffles."""
+    members = clusters.select(F.col("id").alias(id_col), "cluster_id").join(
+        split_df.select(id_col, "split"), id_col
+    )
+    per_cluster = members.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_cluster.groupBy("n_splits").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_docs").alias("n_docs"),
+    )
 
 
 def stratified_sample(
