@@ -1280,7 +1280,11 @@ def _sf_slug() -> str:
 
 
 def _srp_truth_pairs_parquet(
-    n_bits: int = 64, n_bands: int = 16, seed: int = 42, max_bucket: int = 100_000
+    n_bits: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 100_000,
+    probes: int = 0,
 ) -> str:
     """Single-process replay of ``srp_candidates`` over the contract-sf
     embeddings table, stored once as (id_a, id_b) parquet. Reuses the
@@ -1296,28 +1300,38 @@ def _srp_truth_pairs_parquet(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = f"/tmp/yadf_contract_srp_pairs_{_sf_slug()}_{n_bits}_{n_bands}_{seed}.parquet"
+    path = (
+        f"/tmp/yadf_contract_srp_pairs_{_sf_slug()}_{n_bits}_{n_bands}_{seed}"
+        f"_{probes}.parquet"
+    )
     if not os.path.exists(path):
         t = pq.read_table(
             f"{CONTRACT_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
         ids = t.column("vec_id").to_numpy().tolist()
         mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        sigs = similarity.srp_signatures(mat, similarity.srp_planes(n_bits, EMB_DIM, seed))
+        planes = similarity.srp_planes(n_bits, EMB_DIM, seed)
+        sigs = similarity.srp_signatures(mat, planes)
         band_bits = n_bits // n_bands
         mask = np.uint64((1 << band_bits) - 1)
-        pairs: set[tuple[int, int]] = set()
+        # (band_idx, band_hash) -> member ids; base memberships plus the
+        # multi-probe keys from the SAME kernel the distributed UDF runs
+        buckets: dict[tuple[int, int], list[int]] = {}
         for i in range(n_bands):
             band = ((sigs >> np.uint64(i * band_bits)) & mask).tolist()
-            buckets: dict[int, list[int]] = {}
             for vid, bh in zip(ids, band):
-                buckets.setdefault(bh, []).append(vid)
-            for members in buckets.values():
-                if 1 < len(members) <= max_bucket:
-                    members.sort()
-                    for x in range(len(members)):
-                        for y in range(x + 1, len(members)):
-                            pairs.add((members[x], members[y]))
+                buckets.setdefault((i, int(bh)), []).append(vid)
+        if probes > 0:
+            for vid, keys in zip(ids, similarity.srp_probe_keys(mat, planes, n_bands, probes)):
+                for k in keys:
+                    buckets.setdefault((k >> band_bits, k & ((1 << band_bits) - 1)), []).append(vid)
+        pairs: set[tuple[int, int]] = set()
+        for members in buckets.values():
+            members = sorted(set(members))
+            if 1 < len(members) <= max_bucket:
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        pairs.add((members[x], members[y]))
         ordered = sorted(pairs)
         table = pa.table(
             {
@@ -1389,6 +1403,19 @@ def q_ann_topk_srp(spark, sf_dir):
     rounding/tie-break contract."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ann_topk_srp_multiprobe(spark, sf_dir):
+    """Multi-probe SRP ANN (Lv et al. 2007): same 16 bands, but each
+    vector also probes the 8 buckets reached by flipping its
+    lowest-margin bits — recall that would otherwise cost extra band
+    tables (a whole extra membership shuffle each) for +8 rows per
+    record in the same shuffle. Oracle: stored-truth replay of the
+    identical seeded kernel (probes included), re-ranked by DuckDB."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16, probes=8).orderBy(
         "query_id", "rank"
     )
 
@@ -2483,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_exact_dedup": q_images_exact_dedup,
         "images_embedding_ann": q_images_embedding_ann,
         "ann_topk_srp": q_ann_topk_srp,
+        "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
         "ivf_near_dup": q_ivf_near_dup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
         "images_representatives": q_images_representatives,
@@ -3569,6 +3597,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_srp": f"""
             WITH p AS (SELECT id_a, id_b
                        FROM read_parquet('{_srp_truth_pairs_parquet()}')),
+            sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM p
+                    UNION ALL
+                    SELECT id_b AS query_id, id_a AS neighbor_id FROM p),
+            s AS (SELECT sym.query_id, sym.neighbor_id,
+                         round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                      CAST(q.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+                  FROM sym JOIN embeddings q ON q.vec_id = sym.query_id
+                           JOIN embeddings c ON c.vec_id = sym.neighbor_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)
+            SELECT query_id, neighbor_id, cosine, rank FROM r
+            WHERE rank <= 3 ORDER BY query_id, rank""",
+        "ann_topk_srp_multiprobe": f"""
+            WITH p AS (SELECT id_a, id_b
+                       FROM read_parquet('{_srp_truth_pairs_parquet(probes=8)}')),
             sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM p
                     UNION ALL
                     SELECT id_b AS query_id, id_a AS neighbor_id FROM p),

@@ -54,6 +54,65 @@ def test_srp_ann_matches_brute_force_on_clusters(spark):
     assert out.select("query_id").distinct().count() == 60
 
 
+def test_srp_probe_keys_flip_exactly_one_lowest_margin_bit(spark):
+    """Kernel contract: each probe key decodes to (band_idx, band_hash)
+    where the hash differs from the row's base band hash in exactly one
+    bit, and the flipped bits are the globally lowest-margin ones."""
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((20, DIM))
+    n_bits, n_bands, probes = 64, 8, 5
+    band_bits = n_bits // n_bands
+    planes = similarity.srp_planes(n_bits, DIM, seed=42)
+    sigs = similarity.srp_signatures(mat, planes)
+    keys = similarity.srp_probe_keys(mat, planes, n_bands, probes)
+    margins = np.abs(mat @ planes) / np.linalg.norm(planes, axis=0)[None, :]
+    for r, row_keys in enumerate(keys):
+        assert len(row_keys) == probes
+        expect_bits = set(np.argsort(margins[r], kind="stable")[:probes].tolist())
+        got_bits = set()
+        for k in row_keys:
+            band, h = k >> band_bits, k & ((1 << band_bits) - 1)
+            base = (int(sigs[r]) >> (band * band_bits)) & ((1 << band_bits) - 1)
+            diff = h ^ base
+            assert diff != 0 and diff & (diff - 1) == 0  # exactly one bit
+            got_bits.add(band * band_bits + diff.bit_length() - 1)
+        assert got_bits == expect_bits
+
+
+def test_srp_multiprobe_candidates_superset_and_recall(spark):
+    """probes>0 must only ADD candidate pairs, and on a config where the
+    base bands demonstrably miss true pairs it must recover some."""
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((4, DIM))
+    rows = [
+        (i, [float(x) for x in (cents[i % 4] + 0.2 * rng.standard_normal(DIM))], i % 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    true_pairs = {
+        (a, b)
+        for a, _, ca in rows
+        for b, _, cb in rows
+        if a < b and ca == cb
+    }
+    # 4 bands x 16 bits: selective enough that base SRP misses pairs
+    base = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_candidates(df, dim=DIM, n_bands=4, seed=1).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_candidates(
+            df, dim=DIM, n_bands=4, seed=1, probes=12
+        ).collect()
+    }
+    assert base <= probed
+    base_recall = len(base & true_pairs) / len(true_pairs)
+    probe_recall = len(probed & true_pairs) / len(true_pairs)
+    assert base_recall < 1.0, "fixture too easy — tighten it"
+    assert probe_recall > base_recall
+
+
 def test_embedding_near_dup_exact_vs_srp(spark):
     df, _ = _vecs(spark)
     exact = {

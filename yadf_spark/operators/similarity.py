@@ -224,6 +224,49 @@ def srp_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+def srp_probe_keys(
+    mat: np.ndarray, planes: np.ndarray, n_bands: int, probes: int
+) -> list[list[int]]:
+    """Multi-probe LSH (Lv et al., VLDB 2007) membership kernel: for
+    each row, the ``probes`` encoded bucket keys obtained by flipping
+    the row's lowest-margin SRP bits — the hyperplanes the point sits
+    closest to, i.e. the bits most likely to disagree between true
+    near-neighbors. Key encoding is ``(band_idx << band_bits) |
+    flipped_band_hash`` so the JVM side can split it with two bit ops.
+
+    Pure kernel (no Spark): shared verbatim by the distributed pandas
+    UDF and the single-process stored-truth oracle replay, so both
+    sides pick identical probe buckets. ``kind='stable'`` argsort makes
+    margin ties deterministic."""
+    n_bits = planes.shape[1]
+    band_bits = n_bits // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+    proj = mat @ planes  # (rows, n_bits)
+    sigs = srp_signatures(mat, planes)
+    margins = np.abs(proj) / np.linalg.norm(planes, axis=0)[None, :]
+    order = np.argsort(margins, axis=1, kind="stable")[:, :probes].astype(np.uint64)
+    bands = order // np.uint64(band_bits)
+    base_h = (sigs[:, None] >> (bands * np.uint64(band_bits))) & mask
+    flipped = base_h ^ (np.uint64(1) << (order % np.uint64(band_bits)))
+    keys = ((bands << np.uint64(band_bits)) | flipped).astype(np.int64)
+    return [row.tolist() for row in keys]
+
+
+def make_srp_probe_udf(n_bits: int, dim: int, seed: int, n_bands: int, probes: int):
+    """pandas UDF: embedding -> array of encoded multi-probe bucket
+    keys. One matmul + one argsort per Arrow batch."""
+    planes = srp_planes(n_bits, dim, seed)
+
+    @F.pandas_udf("array<long>")
+    def srp_probe(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        return pd.Series(srp_probe_keys(mat, planes, n_bands, probes))
+
+    return srp_probe
+
+
 def make_srp_udf(n_bits: int, dim: int, seed: int):
     """pandas UDF: embedding -> 64-bit signed-random-projection signature.
     One matmul per Arrow batch — fully vectorized."""
@@ -249,9 +292,20 @@ def srp_candidates(
     seed: int = 42,
     salt_bucket_above: int = 256,
     max_bucket: int = 100_000,
+    probes: int = 0,
 ) -> DataFrame:
     """Candidate pairs from SRP signature bands (salted self-join —
-    shared machinery with MinHash LSH)."""
+    shared machinery with MinHash LSH).
+
+    ``probes > 0`` enables multi-probe LSH: each row additionally joins
+    the ``probes`` buckets reached by flipping its lowest-margin bits
+    (``srp_probe_keys``). The recall knob this buys is the scale
+    argument: the classical alternative — more band tables — multiplies
+    the WHOLE bucket-membership shuffle, while multi-probe adds a
+    constant ``probes`` rows per record to the same shuffle and reuses
+    the same signatures. Probe memberships are exact supersets of the
+    base memberships' candidate space, so recall is monotone in
+    ``probes`` at fixed bands (pytest-gated)."""
     from yadf_spark.functions.hashes import band_columns
 
     band_bits = n_bits // n_bands
@@ -261,6 +315,19 @@ def srp_candidates(
     buckets = sig.select(
         "id", F.posexplode(F.array(*band_columns(F.col("_sig"), n_bands, band_bits)))
     ).select("id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash"))
+    if probes > 0:
+        probe_udf = make_srp_probe_udf(n_bits, dim, seed, n_bands, probes)
+        probe_buckets = (
+            df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("_e"))
+            .withColumn("_pk", probe_udf(F.col("_e")))
+            .select("id", F.explode("_pk").alias("_k"))
+            .select(
+                "id",
+                F.shiftrightunsigned("_k", band_bits).cast("int").alias("band_idx"),
+                F.col("_k").bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_hash"),
+            )
+        )
+        buckets = buckets.unionByName(probe_buckets)
     return candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
 
 
