@@ -2243,6 +2243,60 @@ def q_cluster_size_histogram(spark, sf_dir):
     )
 
 
+def _image_hashes_parquet(n: int = 256, seed: int = 42) -> str:
+    """Single-process replay of with_hash_ensemble's decode->ahash/dhash
+    kernels over the SAME image fixture, stored once as (image_id,
+    ahash, dhash) parquet — the decode isn't SQL-expressible, so the
+    oracle checks the distributed plumbing (mapInPandas batching, band
+    explode, salted buckets, vote join) against a sequential run of the
+    identical kernels (the _srp_truth_pairs_parquet pattern). Rows that
+    fail to decode are skipped exactly like the quarantine branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.fixtures.codec import decode_image
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_image_hashes_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        pdf = img.images_pdf(n, seed=seed)
+        ids, ah, dh = [], [], []
+        for rid, payload in zip(pdf["image_id"], pdf["bytes"]):
+            try:
+                px = decode_image(bytes(payload))
+                a, d = mm.ahash_kernel(px), mm.dhash_kernel(px)
+            except Exception:
+                continue
+            ids.append(rid)
+            ah.append(a)
+            dh.append(d)
+        table = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "ahash": pa.array(ah, pa.int64()),
+                "dhash": pa.array(dh, pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_ensemble_near_dup(spark, sf_dir):
+    """Perceptual-hash ensemble vote: pairs where >= 2 of {phash, ahash,
+    dhash} agree within 3 bits — precision from independent failure
+    modes without a decode-verify pass. All three hashes' band tables
+    feed ONE salted candidate join; recall for the vote predicate is
+    complete by pigeonhole (3 < 4 bands). Oracle: stored-truth kernel
+    replay + all-pairs bit_count vote in DuckDB."""
+    from yadf_spark.operators import multimodal as mm
+
+    df = spark.read.parquet(_images_parquet(256))
+    return mm.ensemble_near_dup_pairs(df).orderBy("id_a", "id_b")
+
+
 def q_phash_band_stats(spark, sf_dir):
     """LSH skew observability over the image phash Hamming bands (the
     pipeline's stage-1 prefilter, NearDupConfig 4 bands x 16 bits): per
@@ -2486,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_representatives": q_near_dup_representatives,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "cluster_safe_split_docs": q_cluster_safe_split_docs,
+        "ensemble_near_dup": q_ensemble_near_dup,
         "split_leakage_report": q_split_leakage_report,
         "cluster_size_histogram": q_cluster_size_histogram,
         "phash_band_stats": q_phash_band_stats,
@@ -3365,6 +3420,23 @@ def oracle_sql() -> dict[str, str]:
             csz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
             SELECT cluster_size, count(*) AS n_clusters
             FROM csz GROUP BY 1 ORDER BY cluster_size""",
+        # perceptual-hash ensemble vote: stored-truth ahash/dhash kernel
+        # replay joined to the fixture's phash, all-pairs bit_count vote
+        # (256 images -> 32k pairs, trivial oracle-side).
+        "ensemble_near_dup": f"""
+            WITH h AS (
+              SELECT i.image_id, i.phash, s.ahash, s.dhash
+              FROM read_parquet('{_images_parquet(256)}') i
+              JOIN read_parquet('{_image_hashes_parquet(256)}') s USING (image_id)),
+            p AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b,
+                     (CASE WHEN bit_count(xor(a.phash, b.phash)) <= 3 THEN 1 ELSE 0 END
+                    + CASE WHEN bit_count(xor(a.ahash, b.ahash)) <= 3 THEN 1 ELSE 0 END
+                    + CASE WHEN bit_count(xor(a.dhash, b.dhash)) <= 3 THEN 1 ELSE 0 END)
+                     AS n_votes
+              FROM h a JOIN h b ON a.image_id < b.image_id)
+            SELECT id_a, id_b, CAST(n_votes AS INT) AS n_votes
+            FROM p WHERE n_votes >= 2 ORDER BY id_a, id_b""",
         # phash Hamming-band skew report: band extraction replayed as
         # exact HUGEINT div/mod (DuckDB's >> on negative BIGINTs is not
         # a reliable unsigned shift), over the same fixture parquet.

@@ -93,6 +93,63 @@ def test_frame_sample_null_and_truncated_payloads_quarantine(spark):
     assert (out[out.video_id == "ok"].n_frames == 2).all()
 
 
+def test_hash_ensemble_kernels_and_quarantine(spark):
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (32, 36, 3), dtype=np.uint8)
+    a, d = mm.ahash_kernel(px), mm.dhash_kernel(px)
+    # deterministic, int64-signed packing
+    assert (a, d) == (mm.ahash_kernel(px), mm.dhash_kernel(px))
+    assert -(1 << 63) <= a < (1 << 63) and -(1 << 63) <= d < (1 << 63)
+    # both are invariant to a global contrast scale (rank-preserving)
+    scaled = np.clip(px.astype(np.float64) * 0.5, 0, 255).astype(np.uint8)
+    assert mm.dhash_kernel(scaled) == d
+    # too-small images raise (quarantined by the batch wrapper)
+    with pytest.raises(ValueError):
+        mm.ahash_kernel(np.zeros((4, 4, 3), np.uint8))
+    rows = [
+        ("good", codec.encode_png(px)),
+        ("tiny", codec.encode_png(np.zeros((4, 4, 3), np.uint8))),
+        ("bad", b"\x00garbage"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r["hashes"] for r in mm.with_hash_ensemble(df).collect()}
+    assert got["good"] == [a, d]
+    assert got["tiny"] is None and got["bad"] is None
+
+
+def test_ensemble_near_dup_matches_pure_python_vote(spark):
+    """The distributed band/bucket/vote plan must reproduce an all-pairs
+    pure-python replay of the same kernels exactly (recall completeness
+    of the banding + correctness of the vote join)."""
+    from yadf_spark.fixtures.images import images_pdf
+
+    df = images_df(spark, 64, seed=5)
+    got = {
+        (r.id_a, r.id_b): r.n_votes
+        for r in mm.ensemble_near_dup_pairs(df).collect()
+    }
+    pdf = images_pdf(64, seed=5)
+    hs = {}
+    for rid, payload, ph in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
+        try:
+            px = codec.decode_image(bytes(payload))
+            hs[rid] = (int(ph), mm.ahash_kernel(px), mm.dhash_kernel(px))
+        except Exception:
+            pass
+    ids = sorted(hs)
+    expect = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            votes = sum(
+                bin((hs[x][k] ^ hs[y][k]) & ((1 << 64) - 1)).count("1") <= 3
+                for k in range(3)
+            )
+            if votes >= 2:
+                expect[(x, y)] = votes
+    assert expect, "fixture planted no ensemble dupes — widen it"
+    assert got == expect
+
+
 def test_image_embedding_rejects_non_multiple_of_4_dim(spark):
     df = images_df(spark, 2, seed=1)
     with pytest.raises(ValueError, match="multiple of 4"):

@@ -479,6 +479,146 @@ def crop_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# classical perceptual-hash ensemble (ahash / dhash / phash voting)
+# ---------------------------------------------------------------------------
+
+def _pack_bits(bits: "np.ndarray") -> int:
+    """64 booleans (MSB first) -> signed int64, matching the stored
+    phash's packing convention (fixtures/codec.py perceptual_hash)."""
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def ahash_kernel(px: np.ndarray) -> int:
+    """Average hash: grayscale -> 8x8 block means -> threshold at the
+    GLOBAL mean (the phash in this repo thresholds at the median — a
+    deliberately different decision boundary, so the two hashes fail
+    independently and an ensemble vote carries signal)."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    gh, gw = (h // 8) * 8, (w // 8) * 8
+    if gh == 0 or gw == 0:
+        raise ValueError(f"image {h}x{w} below the 8x8 hash grid")
+    g = gray[:gh, :gw].reshape(8, gh // 8, 8, gw // 8).mean(axis=(1, 3))
+    return _pack_bits((g > g.mean()).flatten())
+
+
+def dhash_kernel(px: np.ndarray) -> int:
+    """Difference hash: grayscale -> 8x9 block means -> each bit is the
+    horizontal gradient sign between adjacent columns. Gradient signs
+    are invariant to global brightness/contrast shifts that move every
+    mean-threshold bit at once — the third independent failure mode."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    gh, gw = (h // 8) * 8, (w // 9) * 9
+    if gh == 0 or gw == 0:
+        raise ValueError(f"image {h}x{w} below the 8x9 dhash grid")
+    g = gray[:gh, :gw].reshape(8, gh // 8, 9, gw // 9).mean(axis=(1, 3))
+    return _pack_bits((g[:, 1:] > g[:, :-1]).flatten())
+
+
+def with_hash_ensemble(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Decode each payload ONCE and emit ``hashes = [ahash, dhash]`` as
+    one ``array<long>`` — a ``mapInPandas`` narrow map (payloads never
+    shuffle; the array output dodges the Arrow nullable-long batch
+    problem the same way ``with_tile_phashes`` does). Undecodable or
+    too-small images emit ``hashes = null`` (quarantine convention)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from yadf_spark.fixtures.codec import decode_image
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px = decode_image(bytes(payload))
+                    rows.append((rid, [ahash_kernel(px), dhash_kernel(px)]))
+                except Exception:
+                    rows.append((rid, None))
+            yield pd.DataFrame(rows, columns=[id_col, "hashes"])
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        kernel, schema=f"{id_col} string, hashes array<long>"
+    )
+
+
+def ensemble_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    min_votes: int = 2,
+    bands: int = 4,
+    band_bits: int = 16,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Near-dup pairs by MAJORITY VOTE of three independent perceptual
+    hashes: a pair qualifies when >= ``min_votes`` of {phash, ahash,
+    dhash} agree within ``max_hamming`` bits. One hash's blind spot
+    (phash: median-threshold flips on near-median blocks; ahash: global
+    brightness; dhash: column-gradient ties) rarely aligns with
+    another's, so the vote buys precision without the decode-verify
+    pass — and recall stays COMPLETE for the vote predicate: a
+    qualifying pair agrees on some hash within ``max_hamming`` <
+    ``bands``, so it shares at least one band bucket of that hash
+    (pigeonhole), and all three hashes' band tables feed one shared
+    salted candidate join.
+
+    Scale shape: the decode is one narrow ``mapInPandas``; its 16-byte
+    output (plus the stored phash — never re-decoded) is localCheckpoint
+    -ed so the band explode and the verify join both read it without a
+    second decode. Memberships are ~20 B/row x 3 hashes x ``bands``;
+    buckets share ``candidate_pairs_from_buckets``'s salting and cap.
+    Output ``(id_a, id_b, n_votes)``."""
+    from yadf_spark.functions.hashes import hamming64
+    from yadf_spark.operators.minhash import candidate_pairs_from_buckets, hash_bands
+
+    assert max_hamming < bands, "banding is only recall-complete for radius < bands"
+    hs = with_hash_ensemble(df, id_col, bytes_col).filter(F.col("hashes").isNotNull())
+    trio = (
+        df.select(id_col, F.col(phash_col).alias("_h0"))
+        .join(
+            hs.select(
+                id_col,
+                F.col("hashes")[0].alias("_h1"),
+                F.col("hashes")[1].alias("_h2"),
+            ),
+            id_col,
+        )
+        .localCheckpoint(eager=False)  # decode once: bands + verify both read it
+    )
+    memb = None
+    for kind in range(3):
+        b = hash_bands(trio, id_col, f"_h{kind}", bands, band_bits).withColumn(
+            "band_idx", (F.col("band_idx") + F.lit(kind * bands)).cast("int")
+        )
+        memb = b if memb is None else memb.unionByName(b)
+    cand = candidate_pairs_from_buckets(memb)
+    a = trio.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_h0").alias("_a0"), F.col("_h1").alias("_a1"), F.col("_h2").alias("_a2"),
+    )
+    b = trio.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_h0").alias("_b0"), F.col("_h1").alias("_b1"), F.col("_h2").alias("_b2"),
+    )
+    scored = cand.join(a, "id_a").join(b, "id_b")
+    vote = sum(
+        F.when(hamming64(F.col(f"_a{k}"), F.col(f"_b{k}")) <= max_hamming, 1).otherwise(0)
+        for k in range(3)
+    )
+    return (
+        scored.withColumn("n_votes", vote.cast("int"))
+        .filter(F.col("n_votes") >= min_votes)
+        .select("id_a", "id_b", "n_votes")
+    )
+
+
+# ---------------------------------------------------------------------------
 # image-caption alignment (CLIP-score-style filtering, stub encoders)
 # ---------------------------------------------------------------------------
 
