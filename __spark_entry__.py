@@ -425,6 +425,24 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return jac.filter(F.col("jaccard") >= 0.8).orderBy("id_a", "id_b")
 
 
+def q_edit_near_dup_pairs(spark, sf_dir):
+    """Edit-distance verification over the LSH-verified near-dup pairs:
+    exact Levenshtein (JVM codegen, candidates only — never all-pairs)
+    reported as absolute + relative distance, kept at rel <= 0.5. The
+    short-text verifier: a few-word caption gives shingle sets too
+    small for stable Jaccard, while character edits degrade gracefully.
+    Oracle: all-pairs Jaccard >= 0.8 (LSH recall ~1-5e-8 at this
+    config) + DuckDB levenshtein, same rounding."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    verified = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    return minhash.edit_distance_pairs(
+        verified, d, "doc_id", "text", max_rel_dist=0.5
+    ).orderBy("id_a", "id_b")
+
+
 def q_containment_pairs(spark, sf_dir):
     """Exact substring-containment pass (char-level, inner length >= 12)."""
     d = _t(spark, sf_dir, "documents")
@@ -2475,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "edit_near_dup_pairs": q_edit_near_dup_pairs,
         "containment_pairs": q_containment_pairs,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3378,6 +3397,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.q = mx.rep_quality
             GROUP BY m.cluster_id, mx.rep_quality, mx.n_members
             ORDER BY cluster_id""",
+        "edit_near_dup_pairs": f"""
+            WITH {SHINGLE_CTE},
+            p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+            e AS (SELECT p.id_a, p.id_b,
+                         CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+                         round(levenshtein(a.text, b.text) * 1.0 /
+                               greatest(length(a.text), length(b.text), 1), 6) AS rel_dist
+                  FROM p JOIN documents a ON a.doc_id = p.id_a
+                         JOIN documents b ON b.doc_id = p.id_b)
+            SELECT id_a, id_b, edit_dist, rel_dist
+            FROM e WHERE rel_dist <= 0.5 ORDER BY id_a, id_b""",
         # leakage-guarded split: bucket keyed on coalesce(cluster, id),
         # same md5 arithmetic as hash_split_docs.
         "cluster_safe_split_docs": f"""

@@ -172,3 +172,25 @@ def test_recall_on_fixture_corpus(spark):
     truth = images.truth_dup_pairs(n)
     missing = truth - pairs
     assert not missing, f"LSH missed {len(missing)}/{len(truth)} planted pairs"
+
+
+def test_edit_distance_pairs_exact_values_and_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fax jumps"),  # 1 substitution
+            (3, "completely different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): (r.edit_dist, r.rel_dist)
+        for r in minhash.edit_distance_pairs(pairs, docs, "doc_id", "text", 0.2).collect()
+    }
+    # (1,2): dist 1 over max-len 25 -> 0.04, kept; (1,3): far, filtered
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)][0] == 1
+    assert abs(out[(1, 2)][1] - round(1 / 25, 6)) < 1e-9

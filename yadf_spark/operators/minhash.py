@@ -397,3 +397,52 @@ def exact_jaccard(
         "id_b",
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
+
+
+def edit_distance_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_rel_dist: float = 0.2,
+) -> DataFrame:
+    """Verification refinement for SHORT texts: exact Levenshtein on
+    candidate pairs, kept when ``dist / max(len_a, len_b) <=
+    max_rel_dist``. Captions of a few words give shingle sets too small
+    for Jaccard to be stable (one edited word can halve it); character
+    edit distance degrades gracefully there, so this is the
+    alt-text/caption verifier next to ``exact_jaccard``'s document one.
+
+    Same scale shape as exact_jaccard: the corpus is cut to the
+    candidate id set by a (size-gated) broadcast semi-join before any
+    text moves; Levenshtein's O(len_a*len_b) work runs JVM-side
+    (whole-stage codegen, no Python) and only on candidate pairs —
+    never all-pairs. Output ``(id_a, id_b, edit_dist, rel_dist)``."""
+    pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    if 2 * n_pairs < 2_000_000:
+        cand_ids = F.broadcast(cand_ids)
+    txt = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(cand_ids, "_id", "left_semi")
+        .localCheckpoint(eager=True)  # two consumers, see exact_jaccard
+    )
+    a = txt.select(F.col("_id").alias("id_a"), F.col("_t").alias("t_a"))
+    b = txt.select(F.col("_id").alias("id_b"), F.col("_t").alias("t_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("t_a", "t_b")
+    rel = F.round(dist / F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1)), 6)
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            dist.cast("int").alias("edit_dist"),
+            rel.alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= max_rel_dist)
+    )
