@@ -2217,6 +2217,41 @@ def q_near_dup_representatives(spark, sf_dir):
     return reps.orderBy("cluster_id")
 
 
+def _doc_edges(spark, sf_dir, subset=None):
+    """Verified (jaccard >= 0.8) near-dup edges, optionally over a doc
+    subset — the edge feed both the batch and incremental cluster
+    queries share."""
+    d = _t(spark, sf_dir, "documents")
+    if subset is not None:
+        d = d.filter(subset)
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    return jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+
+
+def q_incremental_clusters_docs(spark, sf_dir):
+    """Incremental cluster maintenance gate: yesterday's corpus (even
+    doc_ids) is clustered batch-style; today's batch (odd doc_ids)
+    contributes only the verified edges touching an odd endpoint, folded
+    in by ``merge_assignments`` — old clusters contract to their reps,
+    components runs on the batch-sized reduced graph only. Even-even
+    edges are NOT re-fed: they were all discovered yesterday (exact-
+    Jaccard verification is deterministic, LSH recall ~1 at 0.8), so the
+    merged assignment must equal the full-corpus closure — which is
+    exactly what the oracle computes (same recursive CTE as
+    near_dup_clusters_docs)."""
+    from yadf_spark.operators import components
+
+    yesterday = components.connected_components(
+        _doc_edges(spark, sf_dir, subset=F.col("doc_id") % 2 == 0)
+    )
+    batch_edges = _doc_edges(spark, sf_dir).filter(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    )
+    return components.merge_assignments(yesterday, batch_edges).orderBy("id")
+
+
 def q_cluster_safe_split_docs(spark, sf_dir):
     """Leakage-guarded 80/10/10 split: the md5 bucket is keyed on the
     near-dup CLUSTER id (own id for singletons), so a document and its
@@ -2559,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_representatives": q_near_dup_representatives,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "cluster_safe_split_docs": q_cluster_safe_split_docs,
+        "incremental_clusters_docs": q_incremental_clusters_docs,
         "ensemble_near_dup": q_ensemble_near_dup,
         "split_leakage_report": q_split_leakage_report,
         "cluster_size_histogram": q_cluster_size_histogram,
@@ -3408,6 +3444,12 @@ def oracle_sql() -> dict[str, str]:
                          JOIN documents b ON b.doc_id = p.id_b)
             SELECT id_a, id_b, edit_dist, rel_dist
             FROM e WHERE rel_dist <= 0.5 ORDER BY id_a, id_b""",
+        # incremental merge must land on the same closure as a from-
+        # scratch batch run — the oracle IS the batch closure.
+        "incremental_clusters_docs": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            {CLUSTER_CTE}
+            SELECT id, cluster_id FROM cl ORDER BY id""",
         # leakage-guarded split: bucket keyed on coalesce(cluster, id),
         # same md5 arithmetic as hash_split_docs.
         "cluster_safe_split_docs": f"""

@@ -153,3 +153,56 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
         for r in components.connected_components(df, driver_threshold=0).collect()
     }
     assert fast == dist
+
+
+def test_merge_assignments_equals_full_cc_on_random_splits(spark):
+    """Property gate: merge_assignments(cc(E1), E2) == cc(E1 UNION E2)
+    for arbitrary edge splits — including splits that merge old
+    clusters, extend them with new nodes, and leave clusters untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for trial in range(4):
+        n_nodes, n_edges = 40, 35
+        edges = {
+            tuple(sorted(rng.integers(0, n_nodes, 2).tolist()))
+            for _ in range(n_edges)
+        }
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = int(rng.integers(0, len(edges) + 1))
+        e1, e2 = edges[:cut], edges[cut:]
+        full = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r.id, r.cluster_id)
+            for r in components.connected_components(full).collect()
+        }
+        if not e2:
+            e2 = [edges[0]]  # replayed edge: merge must be a no-op
+        assign = components.connected_components(
+            spark.createDataFrame(e1, "id_a long, id_b long")
+        ) if e1 else spark.createDataFrame([], "id long, cluster_id long")
+        merged = components.merge_assignments(
+            assign, spark.createDataFrame(e2, "id_a long, id_b long")
+        )
+        got = {(r.id, r.cluster_id) for r in merged.collect()}
+        # nodes whose only edges were replayed intra-cluster stay put;
+        # compare on the union of edge-bearing nodes from the full run
+        assert got == want, f"trial {trial}: cut {cut}: {got ^ want}"
+
+
+def test_merge_assignments_planted_semantics(spark):
+    # old: {1,2,3} labeled 1, {10,11} labeled 10
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster_id long"
+    )
+    # batch: bridge 3-10 (merges both clusters), attach new node 99 to 11,
+    # and a brand-new pair 50-51
+    new_edges = spark.createDataFrame(
+        [(3, 10), (99, 11), (50, 51)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in components.merge_assignments(assign, new_edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (99, 1), (50, 50), (51, 50)}
+    assert got == want

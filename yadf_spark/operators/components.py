@@ -172,6 +172,65 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+def merge_assignments(
+    assign: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Fold a NEW batch's duplicate edges into yesterday's ``(id,
+    cluster_id)`` assignment WITHOUT re-running components over the
+    whole corpus — the incremental-ingest step a 10^12-row table needs
+    (re-clustering everything per batch is a full-corpus job; this is a
+    batch-sized one).
+
+    Correctness (quotient-graph argument): dedup edges only ACCRETE —
+    clusters merge, never split — so every old cluster can contract to
+    one node, its ``cluster_id`` (which is the min member, so it is
+    also a member). New edges rewrite through the old assignment
+    (endpoint -> its cluster rep, else itself); components runs on that
+    REDUCED graph, whose size is bounded by the new batch's edge count,
+    never the corpus. Any path through old members reroutes through
+    their rep, so connectivity — and the min-label (the old rep is the
+    min of its members) — is preserved exactly:
+    ``merge_assignments(cc(E1), E2) == cc(E1 UNION E2)`` for every
+    edge split (pytest-gated property).
+
+    Scale shape: two hash joins rewrite the batch edges; the relabel
+    table (touched reps + new ids, <= 2x batch edges) joins the old
+    assignment once on ``cluster_id`` — the only contact the full
+    corpus has with this job, AQE-broadcast when the batch is small.
+    Output has the same shape/guarantees as ``connected_components``
+    (edge-bearing nodes only, cluster_id = min member)."""
+    a = assign.select(F.col("id").alias(src_col), F.col("cluster_id").alias("_ca"))
+    b = assign.select(F.col("id").alias(dst_col), F.col("cluster_id").alias("_cb"))
+    reduced = (
+        new_edges.join(a, src_col, "left")
+        .join(b, dst_col, "left")
+        .select(
+            F.coalesce("_ca", F.col(src_col)).alias("id_a"),
+            F.coalesce("_cb", F.col(dst_col)).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    red = connected_components(reduced)
+    relab = red.select(
+        F.col("id").alias("_node"), F.col("cluster_id").alias("_label")
+    ).localCheckpoint(eager=False)  # two consumers: relabel join + new-node anti-join
+    old = (
+        assign.join(relab, assign["cluster_id"] == F.col("_node"), "left")
+        .select(
+            assign["id"].alias("id"),
+            F.coalesce("_label", assign["cluster_id"]).alias("cluster_id"),
+        )
+    )
+    new_nodes = (
+        relab.join(assign.select("id"), relab["_node"] == F.col("id"), "left_anti")
+        .select(F.col("_node").alias("id"), F.col("_label").alias("cluster_id"))
+    )
+    return old.unionByName(new_nodes)
+
+
 def clusters_with_singletons(
     nodes: DataFrame, assignment: DataFrame, id_col: str = "image_id"
 ) -> DataFrame:
