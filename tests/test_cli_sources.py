@@ -478,6 +478,34 @@ def test_survivors_sink_text_mode(spark, tmp_path):
     assert r.rep_id == "d2" and r.n_members == 2  # d2 is longer
 
 
+def test_split_table_sink_is_leakage_free(spark, tmp_path):
+    """--split-table writes a cluster-safe split: both members of a
+    near-dup cluster land in the SAME split, every corpus row gets one."""
+    tbl = str(tmp_path / "docs.parquet")
+    rows = [
+        ("d1", "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        ("d2", "alpha beta gamma delta epsilon zeta eta theta " * 6 + "iota"),
+        ("d3", "unrelated words entirely separate vocabulary here now " * 6),
+    ]
+    spark.createDataFrame(rows, "doc_id string, caption string").write.parquet(tbl)
+    sp = tmp_path / "splits"
+    _cli(
+        spark,
+        [
+            "-f", "json", "--mode", "text-near-dup", "--table", tbl,
+            "--id-col", "doc_id", "--split-table", str(sp),
+            "--split-weights", "train=80,val=10,test=10",
+        ],
+    )
+    got = {r.image_id: r for r in spark.read.parquet(str(sp)).collect()}
+    assert set(got) == {"d1", "d2", "d3"}
+    # the near-dup pair shares a split key (the cluster id = min member)
+    assert got["d1"].split_key == got["d2"].split_key == "d1"
+    assert got["d1"].split == got["d2"].split
+    assert got["d3"].split_key == "d3"
+    assert all(r.split in {"train", "val", "test"} for r in got.values())
+
+
 def test_survivors_sink_exact_mode_keeps_min_id(spark, tree, tmp_path):
     """Exact groups hold identical payloads — the survivor is the
     smallest id (deterministic keep-first)."""
@@ -633,3 +661,17 @@ def test_glob_filter_is_whole_name_not_substring(spark, tmp_path):
     out = json.loads(_cli(spark, ["-f", "json", "-r", "over:0", "-g", "a.txt", str(d)]))
     names = sorted(os.path.basename(p) for g in out for p in g)
     assert names == ["a.txt"]
+
+
+def test_split_table_sink_exact_mode(spark, tree, tmp_path):
+    """--split-table in the exact (ladder) mode: all four identical
+    payloads share one split; every walked file gets a row."""
+    sp = tmp_path / "splits"
+    all_files = json.loads(_cli(spark, ["-f", "json", "-r", "over:0", str(tree)]))
+    n_files = sum(len(g) for g in all_files)
+    _cli(spark, ["-f", "json", "--split-table", str(sp), str(tree)])
+    rows = spark.read.parquet(str(sp)).collect()
+    assert len(rows) == n_files
+    dup_splits = {r.split for r in rows if os.path.basename(r.image_id) in
+                  {"bar", "deep_foo", "foo", "qix"}}
+    assert len(dup_splits) == 1

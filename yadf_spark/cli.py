@@ -136,6 +136,20 @@ def build_parser() -> argparse.ArgumentParser:
         "a quality axis)",
     )
     p.add_argument(
+        "--split-table",
+        default=None,
+        help="write a leakage-guarded train/val/test assignment "
+        "(image_id, split_key, bucket, split) to this parquet path: the "
+        "md5 bucket is keyed on the near-dup cluster id (own id for "
+        "unclustered rows), so no cluster ever straddles two splits",
+    )
+    p.add_argument(
+        "--split-weights",
+        default="train=90,val=5,test=5",
+        help="label=percent list for --split-table; percents must sum "
+        "to 100 (e.g. train=80,val=10,test=10)",
+    )
+    p.add_argument(
         "--export-dir",
         default=None,
         help="write the DEDUPED corpus (the keep-best survivor of every "
@@ -253,6 +267,29 @@ def _write_survivor_outputs(clusters, source_df, args: argparse.Namespace) -> No
         _export_deduped(clusters, reps, source_df, args)
 
 
+def _write_split_table(clusters, source_df, args: argparse.Namespace) -> None:
+    """The --split-table tail shared by every clustering mode: write a
+    leakage-guarded (image_id, split_key, bucket, split) assignment for
+    EVERY corpus row — clustered rows keyed on their cluster id,
+    singletons on their own id."""
+    if not args.split_table or source_df is None:
+        return
+    from pyspark.sql import functions as F
+
+    from yadf_spark.operators import curation
+
+    weights = {
+        k.strip(): int(v)
+        for k, v in (part.split("=", 1) for part in args.split_weights.split(","))
+    }
+    curation.cluster_safe_split(
+        source_df.select("image_id"),
+        clusters.select(F.col("image_id").alias("id"), "cluster_id"),
+        "image_id",
+        weights,
+    ).write.mode("overwrite").parquet(args.split_table)
+
+
 def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
     """Shared tail of every clustering mode: optionally persist the
     ``(image_id, cluster_id)`` assignment to ``--cluster-table`` and the
@@ -269,6 +306,7 @@ def _clusters_to_groups(clusters, args: argparse.Namespace, source_df=None):
             clusters, args.cluster_table, table=_as_table_ident(args.cluster_table)
         )
     _write_survivor_outputs(clusters, source_df, args)
+    _write_split_table(clusters, source_df, args)
     return (
         clusters.groupBy(F.col("cluster_id").alias("group_key"))
         .agg(F.sort_array(F.collect_list("image_id")).alias("members"), F.count("*").alias("n"))
@@ -396,7 +434,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 args.cluster_table,
                 table=_as_table_ident(args.cluster_table),
             )
-        if args.survivors or args.export_dir:
+        if args.survivors or args.export_dir or args.split_table:
             # exact groups hold byte-identical payloads, so quality is
             # a constant within each group and the policy degrades to
             # keep-min-id — the deterministic analog of the reference
@@ -408,6 +446,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 F.explode("members").alias("image_id"), F.col("group_key").alias("cluster_id")
             )
             _write_survivor_outputs(clusters_ex, df, args)
+            _write_split_table(clusters_ex, df, args)
 
     if args.output_dir:
         liners = {
