@@ -675,3 +675,33 @@ def test_split_table_sink_exact_mode(spark, tree, tmp_path):
     dup_splits = {r.split for r in rows if os.path.basename(r.image_id) in
                   {"bar", "deep_foo", "foo", "qix"}}
     assert len(dup_splits) == 1
+
+
+def test_base_clusters_incremental_equals_full_batch(spark, tmp_path):
+    """Day 1 clusters half the corpus to --cluster-table; day 2 runs the
+    full corpus with --base-clusters. The merged assignment must equal a
+    from-scratch full-corpus run (edges replayed into the merge are
+    absorbed; new edges extend/merge clusters)."""
+    base_text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    other = "unrelated words entirely separate vocabulary here now " * 6
+    day1_rows = [("d1", base_text), ("d2", base_text + "iota"), ("d5", other)]
+    day2_rows = day1_rows + [("d3", base_text + "kappa"), ("d6", other + "mu")]
+    t1, t2 = str(tmp_path / "day1.parquet"), str(tmp_path / "day2.parquet")
+    spark.createDataFrame(day1_rows, "doc_id string, caption string").write.parquet(t1)
+    spark.createDataFrame(day2_rows, "doc_id string, caption string").write.parquet(t2)
+    ct1 = str(tmp_path / "clusters1")
+    _cli(spark, ["-f", "json", "--mode", "text-near-dup", "--table", t1,
+                 "--id-col", "doc_id", "--cluster-table", ct1])
+    ct2 = str(tmp_path / "clusters2")
+    _cli(spark, ["-f", "json", "--mode", "text-near-dup", "--table", t2,
+                 "--id-col", "doc_id", "--base-clusters", ct1,
+                 "--cluster-table", ct2])
+    ctf = str(tmp_path / "clusters_full")
+    _cli(spark, ["-f", "json", "--mode", "text-near-dup", "--table", t2,
+                 "--id-col", "doc_id", "--cluster-table", ctf])
+    merged = {(r.image_id, r.cluster_id)
+              for r in spark.read.parquet(ct2).collect()}
+    full = {(r.image_id, r.cluster_id)
+            for r in spark.read.parquet(ctf).collect()}
+    assert merged == full
+    assert ("d3", "d1") in merged  # the new doc joined the old cluster

@@ -289,3 +289,40 @@ def test_star_and_trivial_branches_never_duplicate_a_pair(spark):
     assert len(keys) == len(set(keys)), f"duplicate pair rows: {sorted(keys)}"
     verified = {(r["id_a"], r["id_b"]) for r in out if r["verified"]}
     assert ("a-x", "a-y") in verified  # still linked, exactly once
+
+
+def test_incremental_pipeline_equals_full_batch(spark):
+    """near_dup_pipeline(base_assignment=day1) over the full corpus must
+    reproduce the from-scratch full-corpus clusters, and rows only the
+    base knows about must carry through."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.fixtures import images
+
+    full_df = images.images_df(spark, 120, seed=42).cache()
+    day1 = full_df.filter(F.col("image_id") < "img-000000060")
+    base = (
+        pipeline.near_dup_pipeline(day1)["clusters"]
+        .select(F.col("image_id").alias("id"), "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    merged = pipeline.near_dup_pipeline(
+        full_df, base_assignment=base, base_fingerprint="day1"
+    )["clusters"]
+    want = {
+        (r.image_id, r.cluster_id)
+        for r in pipeline.near_dup_pipeline(full_df)["clusters"].collect()
+    }
+    got = {(r.image_id, r.cluster_id) for r in merged.collect()}
+    assert got == want
+    # batch-only input: rows known only to the base carry through with
+    # their day-1 labels (the cumulative-assignment contract)
+    day2 = full_df.filter(F.col("image_id") >= "img-000000060")
+    cumulative = pipeline.near_dup_pipeline(
+        day2, base_assignment=base, base_fingerprint="day1"
+    )["clusters"]
+    cum = {r.image_id: r.cluster_id for r in cumulative.collect()}
+    for r in base.collect():
+        assert cum[r.id] == r.cluster_id
+    assert set(cum) >= {r.image_id for r in day2.select("image_id").collect()}
+    full_df.unpersist()

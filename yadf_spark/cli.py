@@ -136,6 +136,15 @@ def build_parser() -> argparse.ArgumentParser:
         "a quality axis)",
     )
     p.add_argument(
+        "--base-clusters",
+        default=None,
+        help="incremental ingest: a prior run's cluster-assignment "
+        "parquet (image_id, cluster_id). Today's verified duplicate "
+        "edges fold into it via a quotient-graph merge (components run "
+        "on a batch-sized reduced graph, never the corpus); rows only "
+        "the base knows about carry through unchanged",
+    )
+    p.add_argument(
         "--split-table",
         default=None,
         help="write a leakage-guarded train/val/test assignment "
@@ -267,6 +276,23 @@ def _write_survivor_outputs(clusters, source_df, args: argparse.Namespace) -> No
         _export_deduped(clusters, reps, source_df, args)
 
 
+def _assign_or_merge(pairs, base):
+    """Shared clustering tail for the text/audio modes: from-scratch
+    components, or — under --base-clusters — the quotient-graph merge
+    into the prior assignment (which then carries ALL base rows through,
+    making the output cumulative)."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.operators import components
+
+    out = (
+        components.connected_components(pairs)
+        if base is None
+        else components.merge_assignments(base, pairs)
+    )
+    return out.select(F.col("id").alias("image_id"), "cluster_id")
+
+
 def _write_split_table(clusters, source_df, args: argparse.Namespace) -> None:
     """The --split-table tail shared by every clustering mode: write a
     leakage-guarded (image_id, split_key, bucket, split) assignment for
@@ -354,13 +380,23 @@ def run(args: argparse.Namespace, spark=None) -> int:
     # run into the single output action (fewer driver round trips)
     eager = bool(args.checkpoint_dir or args.report or args.verbose)
 
+    base = None
+    if args.base_clusters:
+        base = spark.read.parquet(args.base_clusters).select(
+            F.col("image_id").alias("id"), "cluster_id"
+        )
+
     if args.mode == "near-dup":
         from yadf_spark.operators import pipeline as pl
 
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         images = pl.prepare_images(exact.apply_scan_filters(df, flt))
         out = pl.near_dup_pipeline(
-            images, NearDupConfig(flip_invariant=args.flip_invariant), checkpointer=ck
+            images,
+            NearDupConfig(flip_invariant=args.flip_invariant),
+            checkpointer=ck,
+            base_assignment=base,
+            base_fingerprint=args.base_clusters,
         )
         groups = _clusters_to_groups(out["clusters"], args, source_df=images)
         metrics = out["metrics"] if "metrics" in out else None
@@ -391,9 +427,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
             .filter(F.col("jaccard") >= args.jaccard)
             .select("id_a", "id_b"),
         )
-        clusters = components.connected_components(pairs).select(
-            F.col("id").alias("image_id"), "cluster_id"
-        )
+        clusters = _assign_or_merge(pairs, base)
         groups = _clusters_to_groups(clusters, args, source_df=docs)
         metrics = ck.metrics() if eager else None
     elif args.mode == "audio-near-dup":
@@ -410,12 +444,17 @@ def run(args: argparse.Namespace, spark=None) -> int:
         # singleton clips never form a group, so the components output
         # (edge-bearing nodes only) is the complete cluster assignment
         # for display purposes
-        clusters = components.connected_components(pairs).select(
-            F.col("id").alias("image_id"), "cluster_id"
-        )
+        clusters = _assign_or_merge(pairs, base)
         groups = _clusters_to_groups(clusters, args, source_df=clips)
         metrics = ck.metrics() if eager else None
     else:
+        if base is not None:
+            log.warning(
+                "--base-clusters applies to the clustering modes "
+                "(near-dup / text-near-dup / audio-near-dup); the exact "
+                "ladder recomputes groups from content hashes each run "
+                "— flag ignored"
+            )
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
         assignments = ck.stage(
             "exact_ladder",

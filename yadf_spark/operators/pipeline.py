@@ -126,9 +126,21 @@ def near_dup_pipeline(
     images: DataFrame,
     cfg: NearDupConfig | None = None,
     checkpointer: Checkpointer | None = None,
+    base_assignment: DataFrame | None = None,
+    base_fingerprint: str | None = None,
 ) -> dict:
     """Returns ``{"clusters": DataFrame(image_id, cluster_id),
-    "verified_pairs": DataFrame, "metrics": [...]}``."""
+    "verified_pairs": DataFrame, "metrics": [...]}``.
+
+    ``base_assignment`` (yesterday's ``(id, cluster_id)`` table, as
+    written by the cluster-assignment sink with ``image_id`` renamed to
+    ``id``) switches the final stage from a from-scratch
+    ``connected_components`` to the quotient-graph
+    ``merge_assignments``: today's verified edges fold into the
+    existing clusters on a batch-sized reduced graph, and rows present
+    only in the base carry through unchanged — the incremental-ingest
+    path. ``base_fingerprint`` keys the checkpoint stage (pass the base
+    table's path/version so a resume against a different base misses)."""
     cfg = cfg or NearDupConfig()
     ck = checkpointer or Checkpointer(spark=images.sparkSession, workdir=None)
 
@@ -166,14 +178,29 @@ def near_dup_pipeline(
     # its input anyway, so an extra exchange would be pure overhead
     dup_edges = verified.filter(F.col("verified")).select("id_a", "id_b").unionByName(e_exact)
 
-    assignment = ck.stage(
-        "connected_components",
-        {"max_iter": cfg.max_cc_iterations},
-        lambda: components.connected_components(
-            dup_edges, max_iterations=cfg.max_cc_iterations
-        ),
-    )
-    clusters = components.clusters_with_singletons(images, assignment)
+    if base_assignment is None:
+        assignment = ck.stage(
+            "connected_components",
+            {"max_iter": cfg.max_cc_iterations},
+            lambda: components.connected_components(
+                dup_edges, max_iterations=cfg.max_cc_iterations
+            ),
+        )
+        clusters = components.clusters_with_singletons(images, assignment)
+    else:
+        assignment = ck.stage(
+            "merge_assignments",
+            {"max_iter": cfg.max_cc_iterations, "base": base_fingerprint},
+            lambda: components.merge_assignments(base_assignment, dup_edges),
+        )
+        today = components.clusters_with_singletons(images, assignment)
+        # rows only the base knows about (not re-observed today) carry
+        # through with their existing labels — the assignment table is
+        # cumulative under incremental ingest
+        carried = assignment.join(
+            images.select(F.col("image_id").alias("id")), "id", "left_anti"
+        ).select(F.col("id").alias("image_id"), "cluster_id")
+        clusters = today.unionByName(carried)
 
     result = {
         "clusters": clusters,
