@@ -377,6 +377,39 @@ def q_exact_dedup_docs(spark, sf_dir):
     )
 
 
+def q_normalized_dedup_docs(spark, sf_dir):
+    """Normalization-insensitive exact dedup (the CCNet/C4 canonical-form
+    pass): group by ``fingerprint(text)`` — lowercase, strip
+    punctuation, collapse whitespace, md5 — so retyped copies that raw
+    byte-equality misses (case flips, stray punctuation, double spaces)
+    land in one group. The corpus has no such variants naturally, so the
+    query PLANTS them: every 20th document re-enters as an
+    uppercased+punctuated copy under ``doc_id + 1_000_000`` (both
+    engines build the identical union — the semantic_dedup planted-
+    perturbation pattern), and the output is exactly the plant list:
+    non-vacuous by construction. One narrow codegen map + one partial-agg
+    groupBy on a 16-byte key; text never shuffles beyond the members
+    collect (bounded: only n>1 groups survive)."""
+    d = _t(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    allv = d.select("doc_id", "text").unionByName(variants)
+    return (
+        allv.groupBy(T.fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), "|"
+            ).alias("members"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy("fp")
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (word 3-grams, >= 0.5) under the
     SHINGLE_DF_CAP document-frequency cap (see CAPPED_SHINGLE_CTE): the
@@ -441,6 +474,34 @@ def q_edit_near_dup_pairs(spark, sf_dir):
     return minhash.edit_distance_pairs(
         verified, d, "doc_id", "text", max_rel_dist=0.5
     ).orderBy("id_a", "id_b")
+
+
+def q_jaccard_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning observability: pair counts at every
+    candidate verify threshold in [0.8, 1.0], computed in ONE pass over
+    the LSH-verified pair set (explode a 5-element threshold array over
+    the >= 0.8 survivors — never 5 reruns of the candidate join). The
+    dashboard that decides where to set the production Jaccard bar:
+    the drop-off shape separates true templates (flat to 1.0) from
+    paraphrase tails. Thresholds stay >= 0.8 so the LSH recall ~ 1-5e-8
+    argument (q_minhash_lsh_pairs) covers every reported bucket, and
+    the all-pairs oracle agrees exactly."""
+    d = _t(spark, sf_dir, "documents")
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates(d, cfg, id_col="doc_id", text_col="text")
+    jac = minhash.exact_jaccard(cand, d, "doc_id", "text", k=cfg.shingle_k)
+    ths = [0.8, 0.85, 0.9, 0.95, 1.0]
+    return (
+        jac.filter(F.col("jaccard") >= 0.8)
+        .select("jaccard", F.explode(F.array(*[F.lit(t) for t in ths])).alias("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_pairs")
+        )
+        .orderBy("threshold")
+    )
 
 
 def q_containment_pairs(spark, sf_dir):
@@ -1581,6 +1642,75 @@ def q_images_exact_dedup(spark, sf_dir):
     )
 
 
+def _images_mislabelled_parquet(n: int = 256, seed: int = 42) -> str:
+    """Image fixture with PLANTED metadata lies, so the format audit is
+    non-vacuous: every 16th row's declared ``fmt`` is flipped
+    (png<->jpeg — the Content-Type header lying about the payload), and
+    three appended rows carry real-world magic bytes (PNG signature /
+    JFIF 0xFFD8) or garbage under wrong declarations, exercising the
+    real-format and unknown sniff branches the fake-codec rows never
+    reach. Written once, read by both engines (the _images_parquet
+    pattern)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import images as img
+
+    path = f"/tmp/yadf_contract_images_mislabel_{n}_{seed}.parquet"
+    if not os.path.exists(path):
+        pdf = img.images_pdf(n, seed=seed)
+        flip = pdf.index % 16 == 0
+        pdf.loc[flip, "fmt"] = pdf.loc[flip, "fmt"].map(
+            {"png": "jpeg", "jpeg": "png"}
+        )
+        extra = pd.DataFrame(
+            [
+                # real PNG signature declared as jpeg
+                ("img-real-png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 24, 1, 1, "jpeg", "", 0),
+                # real JFIF declared as bmp (sniffs jpeg, both wrong)
+                ("img-real-jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 24, 1, 1, "bmp", "", 0),
+                # 2-byte garbage payload declared png (sniffs unknown;
+                # also proves the short-payload substring path)
+                ("img-truncated", b"GA", 1, 1, "png", "", 0),
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+        )
+        extra["w"] = extra["w"].astype("int32")
+        extra["h"] = extra["h"].astype("int32")
+        extra["phash"] = extra["phash"].astype("int64")
+        out = pd.concat([pdf, extra], ignore_index=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(out), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _magic_case_sql() -> str:
+    """The WHEN arms of the DuckDB sniff CASE, generated from the same
+    ``multimodal.MAGIC_HEX`` precedence table the Spark column
+    expression compiles from — one source of truth for both engines."""
+    from yadf_spark.operators.multimodal import MAGIC_HEX
+
+    return " ".join(
+        f"WHEN substring(hex(bytes), 1, {len(magic)}) = '{magic}' THEN '{label}'"
+        for magic, label in MAGIC_HEX
+    )
+
+
+def q_images_format_audit(spark, sf_dir):
+    """Declared-vs-actual container-format audit over a fixture with
+    planted metadata lies: magic-byte sniffing as a PURE JVM expression
+    (hex the first 8 payload bytes, when-chain of prefix compares — no
+    decode, no Python), so at corpus scale the audit runs at scan speed.
+    The oracle replays the identical hex-prefix decision table in
+    DuckDB over the same parquet."""
+    from yadf_spark.operators import multimodal as mm
+
+    df = spark.read.parquet(_images_mislabelled_parquet(256))
+    return mm.format_audit(df).orderBy("image_id")
+
+
 def q_ivf_near_dup(spark, sf_dir):
     """IVF-bucketed embedding near-dup pairs (coarse k-means cells +
     salted self-join + exact cosine verify — the ANN scale path beside
@@ -2528,6 +2658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
+        "normalized_dedup_docs": q_normalized_dedup_docs,
         "edit_near_dup_pairs": q_edit_near_dup_pairs,
         "containment_pairs": q_containment_pairs,
         "ann_topk": q_ann_topk,
@@ -2615,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_events": q_sessionized_events,
         "clicks_within_error_window": q_clicks_within_error_window,
         "images_metadata": q_images_metadata,
+        "images_format_audit": q_images_format_audit,
         "images_quality_filter": q_images_quality_filter,
         "images_resize": q_images_resize,
         "images_exact_dedup": q_images_exact_dedup,
@@ -2713,12 +2846,37 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keeper, count(*) AS n
             FROM documents GROUP BY text ORDER BY keeper""",
+        "normalized_dedup_docs": """
+            WITH v AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, upper(text) || '  !!'
+              FROM documents WHERE doc_id % 20 = 0),
+            n AS (SELECT doc_id,
+                         md5(trim(regexp_replace(regexp_replace(lower(text),
+                             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+                  FROM v)
+            SELECT fp, min(doc_id) AS keeper,
+                   array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), '|')
+                     AS members,
+                   count(*) AS n
+            FROM n GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
         "ngram_jaccard_pairs": f"""
             WITH {CAPPED_SHINGLE_CTE}
             SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
         "minhash_lsh_pairs": f"""
             WITH {SHINGLE_CTE}
             SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+        "jaccard_threshold_sweep": f"""
+            WITH {SHINGLE_CTE},
+            t(threshold) AS (VALUES (CAST(0.8 AS DOUBLE)), (CAST(0.85 AS DOUBLE)),
+                                    (CAST(0.9 AS DOUBLE)), (CAST(0.95 AS DOUBLE)),
+                                    (CAST(1.0 AS DOUBLE))),
+            p AS (SELECT jaccard FROM jac WHERE jaccard >= 0.8)
+            SELECT threshold,
+                   CAST(sum(CASE WHEN p.jaccard >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pairs
+            FROM t, p GROUP BY threshold ORDER BY threshold""",
         "containment_pairs": """
             SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
             FROM documents a, documents b
@@ -3568,6 +3726,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels
             FROM read_parquet('{_images_parquet(128)}')
             ORDER BY image_id""",
+        # magic-byte sniff replay: the CASE arms are GENERATED from the
+        # same MAGIC_HEX table the Spark expression compiles from, so
+        # the two decision tables cannot drift
+        "images_format_audit": f"""
+            WITH s AS (
+              SELECT image_id, fmt AS declared,
+                     CASE {_magic_case_sql()} ELSE 'unknown' END AS sniffed
+              FROM read_parquet('{_images_mislabelled_parquet(256)}'))
+            SELECT image_id, declared, sniffed,
+                   (declared <> sniffed) AS mismatch
+            FROM s ORDER BY image_id""",
         # resolution/aspect curation gate over the same fixture's stored
         # dims (integer predicates — no float boundary ambiguity)
         "images_quality_filter": f"""

@@ -752,3 +752,46 @@ def test_tile_and_alignment_respect_caller_id_column(spark):
     a = mm.caption_alignment(df, id_col="img", bytes_col="data", caption_col="cap")
     assert a.columns == ["img", "align", "ok"]
     assert a.join(df, "img").count() == 1
+
+
+def test_sniffed_format_col_matches_python_kernel(spark):
+    """The JVM hex-prefix when-chain and fixtures.codec.sniff_format
+    must classify every payload identically — fake-codec magics, real
+    PNG/JFIF signatures, garbage, and a payload shorter than the
+    longest magic (the substring-past-end path)."""
+    from yadf_spark.fixtures.images import images_pdf
+
+    payloads = [bytes(b) for b in images_pdf(32, seed=7)["bytes"]] + [
+        b"\x89PNG\r\n\x1a\n" + b"\x01" * 16,
+        b"\xff\xd8\xff\xe0junk",
+        b"\x89PNG\r\n",  # truncated real-PNG signature: NOT png
+        b"GA",  # shorter than every magic
+        b"\x00" * 12,
+    ]
+    rows = [(f"p{i:03d}", p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {
+        r["image_id"]: r["sniffed"]
+        for r in df.select("image_id", mm.sniffed_format_col(F.col("bytes")).alias("sniffed")).collect()
+    }
+    want = {rid: codec.sniff_format(p) for rid, p in rows}
+    assert got == want
+    assert set(want.values()) == {"png", "jpeg", "unknown"}  # non-vacuous
+
+
+def test_format_audit_flags_planted_lies(spark):
+    px = np.random.default_rng(3).integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rows = [
+        ("ok-png", codec.encode_png(px), "png"),
+        ("lie-png", codec.encode_png(px), "jpeg"),
+        ("lie-real", b"\xff\xd8\xff\xe0" + b"\x00" * 8, "png"),
+        ("garbage", b"XY", "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: (r["sniffed"], r["mismatch"]) for r in mm.format_audit(df).collect()}
+    assert got == {
+        "ok-png": ("png", False),
+        "lie-png": ("png", True),
+        "lie-real": ("jpeg", True),
+        "garbage": ("unknown", True),
+    }
