@@ -288,3 +288,33 @@ def test_token_histogram_partial_agg(spark, docs):
     plan = _formatted(out)
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_format_audit_zero_exchange_codegen(spark):
+    """The magic-byte format audit must run at scan speed: a single
+    codegen projection over the source — no exchange, no Python worker,
+    no decode stage."""
+    from __spark_entry__ import _images_mislabelled_parquet
+    from yadf_spark.operators import multimodal as mm
+
+    src = spark.read.parquet(_images_mislabelled_parquet(256))
+    plan = _formatted(mm.format_audit(src))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "* Project" in plan  # one codegen projection over the scan
+
+
+def test_jaccard_threshold_sweep_single_pass_partial_agg(spark):
+    """The threshold sweep must be ONE pass over the verified pair set:
+    the constant threshold array explodes (Generate) over survivors and
+    the per-threshold counts combine map-side — never one candidate
+    join per threshold."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_jaccard_threshold_sweep(spark, "/root/testdata/sf0.001")
+    plan = _formatted(out)
+    assert plan.count("Generate") >= 1  # the explode
+    assert "partial_sum" in plan  # map-side combine of the vote counts
+    # exactly one MinHash signature stage: the candidate machinery is
+    # not replicated per threshold (5 thresholds -> would be 5 batches)
+    assert plan.count("BatchEvalPython") <= 1 and plan.count("ArrowEvalPython") <= 1
