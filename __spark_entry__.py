@@ -2542,6 +2542,75 @@ def _image_truth_pairs_parquet(n: int) -> str:
     return path
 
 
+def q_export_shard_stats(spark, sf_dir):
+    """Shard-balance audit for the WebDataset export: per tar shard
+    (the SAME content-addressed ``md5_bucket(id, salt='wds')`` the
+    writer in ``sinks/webdataset.py`` assigns), row count, total payload
+    bytes, and the largest member — the numbers that tell you whether
+    the export's one payload shuffle is balanced BEFORE you move 100 TB
+    of blobs. Pure partial-agg rollup over (8-byte shard, byte length);
+    payloads never shuffle for the audit itself. Oracle replays the md5
+    bucket arithmetic bit-for-bit (the hash_split pattern)."""
+    df = spark.read.parquet(_images_parquet(256))
+    shard = curation.md5_bucket(F.col("image_id"), 8, salt="wds")
+    return (
+        df.select(shard.alias("shard"), F.length("bytes").cast("long").alias("_nb"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_nb").alias("total_bytes"),
+            F.max("_nb").alias("max_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_images_dedup_savings(spark, sf_dir):
+    """Dedup ROI report: per duplicate cluster, member count, total
+    payload bytes, bytes kept by the survivor (highest w*h, ties →
+    smallest id — the images_representatives policy), and bytes saved —
+    the number that justifies the dedup job's own cost at corpus scale.
+    Narrow shape: clusters join byte LENGTHS (never payloads), one
+    partial-agg groupBy per rollup. Oracle: the planted-truth closure
+    with the same arithmetic over the same parquet."""
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import pipeline as pl
+
+    df = img.images_df(spark, 256, seed=42)
+    out = pl.near_dup_pipeline(df)
+    clusters = out["clusters"]
+    sz = df.select("image_id", F.length("bytes").cast("long").alias("nbytes"))
+    agg = (
+        clusters.join(sz, "image_id")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), F.sum("nbytes").alias("bytes_total"))
+    )
+    reps = curation.cluster_representatives(
+        df,
+        clusters,
+        id_col="image_id",
+        quality_col=F.col("w").cast("long") * F.col("h"),
+        cluster_member_col="image_id",
+    )
+    kept = (
+        reps.select("cluster_id", F.col("rep_id").alias("image_id"))
+        .join(sz, "image_id")
+        .select("cluster_id", F.col("nbytes").alias("bytes_kept"))
+    )
+    return (
+        agg.join(kept, "cluster_id")
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            "bytes_total",
+            "bytes_kept",
+            (F.col("bytes_total") - F.col("bytes_kept")).alias("bytes_saved"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_images_near_dup_clusters(spark, sf_dir):
     """Full near-dup pipeline (phash bands + MinHash LSH + PSNR verify +
     connected components) over the synthetic image table. Oracle-checked
@@ -2768,6 +2837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_near_dup": q_ivf_near_dup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
         "images_representatives": q_images_representatives,
+        "images_dedup_savings": q_images_dedup_savings,
+        "export_shard_stats": q_export_shard_stats,
         "images_flip_near_dup": q_images_flip_near_dup,
     }
 
@@ -4026,6 +4097,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE m.q = mx.rep_quality
             GROUP BY m.cluster_id, mx.rep_quality, mx.n_members
             ORDER BY cluster_id""",
+        # dedup ROI over the same closure: byte totals per cluster, the
+        # survivor's bytes (max w*h, ties min id), and the difference
+        "images_dedup_savings": f"""
+            WITH RECURSIVE
+            nodes AS (SELECT printf('img-%09d', CAST(i AS INT)) AS id
+                      FROM range(256) r(i)),
+            e AS (SELECT id_a, id_b
+                  FROM read_parquet('{_image_truth_pairs_parquet(256)}')),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            cl AS (SELECT n.id AS image_id, coalesce(c.cluster_id, n.id) AS cluster_id
+                   FROM nodes n LEFT JOIN comp c ON c.id = n.id),
+            mem AS (SELECT cl.cluster_id, i.image_id,
+                           CAST(i.w AS BIGINT) * CAST(i.h AS BIGINT) AS q,
+                           CAST(octet_length(i.bytes) AS BIGINT) AS nbytes
+                    FROM cl JOIN read_parquet('{_images_parquet(256)}') i
+                    USING (image_id)),
+            mx AS (SELECT cluster_id, max(q) AS mq,
+                          count(*) AS n_members,
+                          CAST(sum(nbytes) AS BIGINT) AS bytes_total
+                   FROM mem GROUP BY 1),
+            rep AS (SELECT m.cluster_id, min(m.image_id) AS rep_id
+                    FROM mem m JOIN mx ON m.cluster_id = mx.cluster_id
+                                       AND m.q = mx.mq
+                    GROUP BY 1)
+            SELECT mx.cluster_id, mx.n_members, mx.bytes_total,
+                   k.nbytes AS bytes_kept,
+                   mx.bytes_total - k.nbytes AS bytes_saved
+            FROM mx JOIN rep USING (cluster_id)
+                    JOIN mem k ON k.cluster_id = mx.cluster_id
+                               AND k.image_id = rep.rep_id
+            WHERE mx.n_members > 1 ORDER BY cluster_id""",
+        # shard-balance audit: replay the writer's content-addressed
+        # md5 bucket (id || ':wds') and roll up byte lengths
+        "export_shard_stats": f"""
+            WITH s AS (
+              SELECT CAST(concat('0x', substr(md5(image_id || ':wds'), 1, 8))
+                          AS BIGINT) % 8 AS shard,
+                     CAST(octet_length(bytes) AS BIGINT) AS nbytes
+              FROM read_parquet('{_images_parquet(256)}'))
+            SELECT shard, count(*) AS n_rows,
+                   CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+                   max(nbytes) AS max_bytes
+            FROM s GROUP BY 1 ORDER BY shard""",
         # flip-invariant candidates: band-OR join over the stored-truth
         # canonical-dihedral-phash bands (same pure kernels, computed
         # single-process at fixture-build time).
