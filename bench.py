@@ -80,6 +80,8 @@ HEADLINE = [
     "fuzzy_decontaminate_docs",
     "kmeans_assign",
     "cluster_prune_keep",
+    "normalized_dedup_docs",
+    "images_format_audit",
 ]
 
 

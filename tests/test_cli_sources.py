@@ -705,3 +705,38 @@ def test_base_clusters_incremental_equals_full_batch(spark, tmp_path):
             for r in spark.read.parquet(ctf).collect()}
     assert merged == full
     assert ("d3", "d1") in merged  # the new doc joined the old cluster
+
+
+def test_drop_format_mismatch_gates_near_dup_input(spark, tmp_path):
+    """--drop-format-mismatch removes rows whose payload magic
+    contradicts the declared fmt (and unknown-magic payloads) BEFORE the
+    pipeline: the lying row and the garbage row disappear from the
+    singleton-backfilled cluster output; without the flag they survive
+    as singletons (garbage quarantines through prepare_images)."""
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for i in range(3):
+        px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        rows.append((f"ok-{i}", codec.encode_png(px), f"caption {i} words here", "png"))
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    rows.append(("liar", codec.encode_png(px), "caption liar words here", "jpeg"))
+    rows.append(("junk", b"\x00garbage-not-an-image", "caption junk words here", "png"))
+    tbl = str(tmp_path / "mix.parquet")
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary, caption string, fmt string"
+    ).write.parquet(tbl)
+
+    def ids(flags, dest):
+        ct = str(tmp_path / dest)
+        _cli(spark, ["-f", "json", "--mode", "near-dup", "--table", tbl,
+                     "--cluster-table", ct, *flags])
+        return sorted(
+            r["image_id"] for r in spark.read.parquet(ct).select("image_id").collect()
+        )
+
+    assert ids(["--drop-format-mismatch"], "ct_gated") == ["ok-0", "ok-1", "ok-2"]
+    assert ids([], "ct_all") == ["junk", "liar", "ok-0", "ok-1", "ok-2"]

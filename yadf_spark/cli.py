@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
         "orientation-max PSNR verification",
     )
     p.add_argument(
+        "--drop-format-mismatch",
+        action="store_true",
+        help="(--mode near-dup) drop rows whose payload magic bytes "
+        "contradict the declared fmt column (or sniff as unknown) "
+        "before any decode stage — the web-corpus lying-Content-Type "
+        "gate, evaluated as a pure JVM scan-speed expression; sources "
+        "without a fmt column drop only unknown-magic payloads",
+    )
+    p.add_argument(
         "--survivors",
         default=None,
         help="write one keep-best row per cluster (cluster_id, rep_id, "
@@ -390,7 +399,16 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from yadf_spark.operators import pipeline as pl
 
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
-        images = pl.prepare_images(exact.apply_scan_filters(df, flt))
+        filtered = exact.apply_scan_filters(df, flt)
+        if args.drop_format_mismatch:
+            from yadf_spark.operators import multimodal as mm
+
+            sniffed = mm.sniffed_format_col(F.col("bytes"))
+            keep = sniffed != F.lit("unknown")
+            if "fmt" in filtered.columns:
+                keep = keep & (F.col("fmt") == sniffed)
+            filtered = filtered.filter(keep)
+        images = pl.prepare_images(filtered)
         out = pl.near_dup_pipeline(
             images,
             NearDupConfig(flip_invariant=args.flip_invariant),
