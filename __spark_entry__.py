@@ -1510,6 +1510,67 @@ def q_ann_topk_srp_multiprobe(spark, sf_dir):
     )
 
 
+def q_ann_recall_report(spark, sf_dir):
+    """ANN quality dashboard: recall@3 of each SRP configuration against
+    the exact brute-force top-3 ground truth — the measured basis for
+    choosing bands/probes at a new corpus instead of guessing (the
+    multi-probe scale argument is only real if the recall it buys is
+    observed). One brute-force pass (two-phase partial top-k, reused by
+    every variant via localCheckpoint) + one semi-join and count per
+    variant; output is one row per config. Oracle: the stored-truth SRP
+    candidate replays re-ranked in DuckDB against its own all-pairs
+    top-3."""
+    e = _t(spark, sf_dir, "embeddings")
+    truth = (
+        similarity.brute_force_topk(e, e, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # three consumers: total + 2 variants
+    )
+    tot = truth.agg(F.count("*").alias("total"))
+
+    def variant(name: str, **kw):
+        approx = similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16, **kw).select(
+            "query_id", "neighbor_id"
+        )
+        return (
+            truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+
+    rep = variant("srp_16b").unionByName(variant("srp_16b_probe8", probes=8))
+    return (
+        rep.crossJoin(tot)
+        .withColumn("recall_at_k", F.round(F.col("hits") / F.col("total"), 6))
+        .orderBy("method")
+    )
+
+
+def _srp_topk_sql(name: str, path: str) -> str:
+    """CTE fragment: re-rank a stored-truth SRP candidate parquet to
+    per-query top-3 — the ann_topk_srp oracle pattern, parameterized so
+    the recall report composes one per variant."""
+    return f"""
+            p_{name} AS (SELECT id_a, id_b FROM read_parquet('{path}')),
+            sym_{name} AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM p_{name}
+                           UNION ALL
+                           SELECT id_b AS query_id, id_a AS neighbor_id FROM p_{name}),
+            s_{name} AS (SELECT sym_{name}.query_id, sym_{name}.neighbor_id,
+                         round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                      CAST(q.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+                  FROM sym_{name} JOIN embeddings q ON q.vec_id = sym_{name}.query_id
+                           JOIN embeddings c ON c.vec_id = sym_{name}.neighbor_id),
+            r_{name} AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank FROM s_{name}),
+            top_{name} AS (SELECT query_id, neighbor_id FROM r_{name} WHERE rank <= 3),
+            h_{name} AS (SELECT count(*) AS hits
+                         FROM truth JOIN top_{name} USING (query_id, neighbor_id))"""
+
+
 def _images_parquet(n: int, seed: int = 42) -> str:
     """The deterministic image fixture written ONCE to a parquet file
     both engines read — Spark runs the ladder over it, DuckDB groups the
@@ -2833,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_exact_dedup": q_images_exact_dedup,
         "images_embedding_ann": q_images_embedding_ann,
         "ann_topk_srp": q_ann_topk_srp,
+        "ann_recall_report": q_ann_recall_report,
         "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
         "ivf_near_dup": q_ivf_near_dup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
@@ -4027,6 +4089,34 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank FROM s)
             SELECT query_id, neighbor_id, cosine, rank FROM r
             WHERE rank <= 3 ORDER BY query_id, rank""",
+        # recall@3 of each SRP variant vs the all-pairs brute-force
+        # top-3: the stored-truth candidate replays (base + probes=8)
+        # re-ranked by the same rounded-cosine contract, semi-joined
+        # against the exact truth, rolled to one row per variant
+        "ann_recall_report": f"""
+            WITH tq AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                         round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                      CAST(a.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+                  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+            tr AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank FROM tq),
+            truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 3),
+            tot AS (SELECT count(*) AS total FROM truth),
+            {_srp_topk_sql("base", _srp_truth_pairs_parquet())},
+            {_srp_topk_sql("mp", _srp_truth_pairs_parquet(probes=8))}
+            SELECT 'srp_16b' AS method, h_base.hits, tot.total,
+                   round(h_base.hits * 1.0 / tot.total, 6) AS recall_at_k
+            FROM h_base, tot
+            UNION ALL
+            SELECT 'srp_16b_probe8', h_mp.hits, tot.total,
+                   round(h_mp.hits * 1.0 / tot.total, 6)
+            FROM h_mp, tot
+            ORDER BY method""",
         "ivf_near_dup": f"""
             WITH p AS (SELECT id_a, id_b
                        FROM read_parquet('{_ivf_truth_pairs_parquet()}')),
