@@ -1528,17 +1528,35 @@ def q_ann_recall_report(spark, sf_dir):
     )
     tot = truth.agg(F.count("*").alias("total"))
 
-    def variant(name: str, **kw):
-        approx = similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16, **kw).select(
-            "query_id", "neighbor_id"
-        )
+    def hits_of(name: str, approx):
         return (
-            truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            truth.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
             .agg(F.count("*").alias("hits"))
             .select(F.lit(name).alias("method"), "hits")
         )
 
-    rep = variant("srp_16b").unionByName(variant("srp_16b_probe8", probes=8))
+    def srp(name: str, **kw):
+        return hits_of(name, similarity.ann_topk_srp(e, dim=EMB_DIM, k=3, n_bands=16, **kw))
+
+    eo = e.orderBy("vec_id")  # the IVF trainer's sample-order contract
+    ivf_top = similarity.topk_from_candidates(
+        e,
+        similarity.ivf_candidates(
+            eo, EMB_DIM, n_centroids=32, n_probe=4,
+            centroids=similarity.train_ivf_centroids(eo, EMB_DIM, n_centroids=32),
+        ),
+        k=3,
+        dim=EMB_DIM,
+    )
+    rep = (
+        srp("srp_16b")
+        .unionByName(srp("srp_16b_probe8", probes=8))
+        .unionByName(hits_of("ivf_32c_probe4", ivf_top))
+    )
     return (
         rep.crossJoin(tot)
         .withColumn("recall_at_k", F.round(F.col("hits") / F.col("total"), 6))
@@ -4108,7 +4126,8 @@ def oracle_sql() -> dict[str, str]:
             truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 3),
             tot AS (SELECT count(*) AS total FROM truth),
             {_srp_topk_sql("base", _srp_truth_pairs_parquet())},
-            {_srp_topk_sql("mp", _srp_truth_pairs_parquet(probes=8))}
+            {_srp_topk_sql("mp", _srp_truth_pairs_parquet(probes=8))},
+            {_srp_topk_sql("ivf", _ivf_truth_pairs_parquet())}
             SELECT 'srp_16b' AS method, h_base.hits, tot.total,
                    round(h_base.hits * 1.0 / tot.total, 6) AS recall_at_k
             FROM h_base, tot
@@ -4116,6 +4135,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'srp_16b_probe8', h_mp.hits, tot.total,
                    round(h_mp.hits * 1.0 / tot.total, 6)
             FROM h_mp, tot
+            UNION ALL
+            SELECT 'ivf_32c_probe4', h_ivf.hits, tot.total,
+                   round(h_ivf.hits * 1.0 / tot.total, 6)
+            FROM h_ivf, tot
             ORDER BY method""",
         "ivf_near_dup": f"""
             WITH p AS (SELECT id_a, id_b

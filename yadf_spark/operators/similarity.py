@@ -331,18 +331,21 @@ def srp_candidates(
     return candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
 
 
-def ann_topk_srp(
+def topk_from_candidates(
     corpus: DataFrame,
-    dim: int,
+    pairs: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    **srp_kwargs,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: SRP candidates -> exact cosine
-    re-rank. Returns (query_id, neighbor_id, cosine, rank) for every
-    vector that had at least one candidate."""
-    pairs = srp_candidates(corpus, dim, id_col, emb_col, **srp_kwargs)
+    """Re-rank a candidate pair frame ``(id_a, id_b)`` to per-query
+    top-k by exact cosine — the shared tail of every bucketed ANN path
+    (SRP, multi-probe SRP, IVF). Candidates symmetrize (each endpoint
+    sees the other), embeddings re-attach by id, and the rounded-cosine
+    window (ties broken by neighbor id) picks k — the same deterministic
+    contract as ``brute_force_topk``, so recall measurements compare
+    like with like."""
     # symmetrize: each endpoint sees the other as a neighbor candidate
     sym = pairs.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
@@ -359,6 +362,21 @@ def ann_topk_srp(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_topk_srp(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **srp_kwargs,
+) -> DataFrame:
+    """Approximate all-pairs top-k: SRP candidates -> exact cosine
+    re-rank. Returns (query_id, neighbor_id, cosine, rank) for every
+    vector that had at least one candidate."""
+    pairs = srp_candidates(corpus, dim, id_col, emb_col, **srp_kwargs)
+    return topk_from_candidates(corpus, pairs, k, id_col, emb_col, dim)
 
 
 def embedding_near_dup_pairs(
@@ -490,14 +508,9 @@ def ivf_near_dup_pairs(
 
     A precomputed ``centroids`` array makes the operator deterministic
     across restarts (persist it next to the stage checkpoint)."""
-    if centroids is None:
-        centroids = train_ivf_centroids(df, dim, n_centroids, emb_col, id_col=id_col)
-    assign = make_ivf_assign_udf(centroids, n_probe)
-    cells = df.select(
-        F.col(id_col).alias("id"), F.explode(assign(F.col(emb_col))).alias("band_hash")
-    ).withColumn("band_idx", F.lit(0).cast("int"))
-    cand = candidate_pairs_from_buckets(
-        cells.select("id", "band_idx", "band_hash"), salt_bucket_above, max_bucket
+    cand = ivf_candidates(
+        df, dim, id_col, emb_col, n_centroids, n_probe,
+        salt_bucket_above, max_bucket, centroids,
     )
     a = _side(df, id_col, emb_col, "id_a", "a")
     b = _side(df, id_col, emb_col, "id_b", "b")
@@ -505,6 +518,32 @@ def ivf_near_dup_pairs(
         _cosine_from_norms(cand.join(a, "id_a").join(b, "id_b"), dim)
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_candidates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Raw IVF candidate pairs ``(id_a, id_b)`` — the cell-bucketed
+    front half of ``ivf_near_dup_pairs``, exposed so top-k re-ranking
+    (``topk_from_candidates``) and recall measurement can consume the
+    same candidate stream the threshold path verifies."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, dim, n_centroids, emb_col, id_col=id_col)
+    assign = make_ivf_assign_udf(centroids, n_probe)
+    cells = df.select(
+        F.col(id_col).alias("id"), F.explode(assign(F.col(emb_col))).alias("band_hash")
+    ).withColumn("band_idx", F.lit(0).cast("int"))
+    return candidate_pairs_from_buckets(
+        cells.select("id", "band_idx", "band_hash"), salt_bucket_above, max_bucket
     )
 
 
