@@ -487,6 +487,44 @@ def q_edit_near_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_cross_corpus_near_dup_pairs(spark, sf_dir):
+    """Batch-vs-history near-dup matches: documents split by
+    ``doc_id % 5`` into a "new batch" (== 0) and the "history" corpus
+    (!= 0), candidates from the two-sided LSH band join
+    (minhash.cross_candidate_pairs_from_buckets — never a history
+    self-join), verified by exact Jaccard >= 0.8. Oracle: all-pairs
+    Jaccard restricted to cross-split pairs (LSH recall ~1-5e-8 at this
+    config, the q_minhash_lsh_pairs argument)."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    history = d.filter(F.col("doc_id") % 5 != 0)
+    cfg = LshConfig()
+    cand = minhash.minhash_candidates_between(batch, history, cfg, "doc_id", "text")
+    jac = minhash.exact_jaccard_between(cand, batch, history, "doc_id", "text", k=cfg.shingle_k)
+    return (
+        jac.filter(F.col("jaccard") >= 0.8)
+        .select(
+            F.col("id_a").alias("new_id"), F.col("id_b").alias("hist_id"), "jaccard"
+        )
+        .orderBy("new_id", "hist_id")
+    )
+
+
+def q_cross_corpus_dedup_survivors(spark, sf_dir):
+    """The fuzzy ingest gate end-to-end: new-batch documents that survive
+    near-dup matching against the history corpus
+    (minhash.near_dup_anti_join — the batch-mode fuzzy complement of
+    bloom.incremental_dedup's exact gate). Same split and config as
+    q_cross_corpus_near_dup_pairs; output is the surviving batch ids."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    history = d.filter(F.col("doc_id") % 5 != 0)
+    survivors = minhash.near_dup_anti_join(
+        batch, history, LshConfig(), id_col="doc_id", text_col="text", threshold=0.8
+    )
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
 def q_jaccard_threshold_sweep(spark, sf_dir):
     """Dedup-threshold tuning observability: pair counts at every
     candidate verify threshold in [0.8, 1.0], computed in ONE pass over
@@ -2817,6 +2855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "cross_corpus_near_dup_pairs": q_cross_corpus_near_dup_pairs,
+        "cross_corpus_dedup_survivors": q_cross_corpus_dedup_survivors,
         "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
         "normalized_dedup_docs": q_normalized_dedup_docs,
         "edit_near_dup_pairs": q_edit_near_dup_pairs,
@@ -3029,6 +3069,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH {SHINGLE_CTE}
             SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""",
+        "cross_corpus_near_dup_pairs": f"""
+            WITH {SHINGLE_CTE}
+            SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS new_id,
+                   CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS hist_id,
+                   jaccard
+            FROM jac
+            WHERE jaccard >= 0.8 AND ((id_a % 5 = 0) <> (id_b % 5 = 0))
+            ORDER BY new_id, hist_id""",
+        "cross_corpus_dedup_survivors": f"""
+            WITH {SHINGLE_CTE}
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
+              SELECT 1 FROM jac
+              WHERE jaccard >= 0.8
+                AND ((id_a = d.doc_id AND id_b % 5 <> 0)
+                  OR (id_b = d.doc_id AND id_a % 5 <> 0)))
+            ORDER BY doc_id""",
         "jaccard_threshold_sweep": f"""
             WITH {SHINGLE_CTE},
             t(threshold) AS (VALUES (CAST(0.8 AS DOUBLE)), (CAST(0.85 AS DOUBLE)),

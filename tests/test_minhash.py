@@ -194,3 +194,94 @@ def test_edit_distance_pairs_exact_values_and_filter(spark):
     assert set(out) == {(1, 2)}
     assert out[(1, 2)][0] == 1
     assert abs(out[(1, 2)][1] - round(1 / 25, 6)) < 1e-9
+
+
+def _two_corpora(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batch = spark.createDataFrame(
+        [
+            ("n1", base),  # near-dup of history h1/h2
+            ("n2", base + " again"),  # near-dup of h1
+            ("n3", "entirely novel content about arrow batches and codegen spans"),
+            ("n4", "short text"),  # exact short dup of h4
+        ],
+        "image_id string, caption string",
+    )
+    history = spark.createDataFrame(
+        [
+            ("h1", base),
+            ("h2", base),
+            ("h3", "completely different words about spark shuffles and parquet files"),
+            ("h4", "short text"),
+        ],
+        "image_id string, caption string",
+    )
+    return batch, history
+
+
+def test_cross_corpus_candidates_and_verification(spark):
+    """The two-sided band join finds batch-vs-history near-dups, never
+    history-internal pairs (h1-h2 are identical but must not appear),
+    and exact_jaccard_between verifies them with per-side resolution."""
+    batch, history = _two_corpora(spark)
+    cand = minhash.minhash_candidates_between(batch, history, CFG, "image_id", "caption")
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert ("n1", "h1") in pairs and ("n1", "h2") in pairs
+    assert ("n4", "h4") in pairs
+    assert not any(a.startswith("h") for a, _ in pairs)  # id_a always batch-side
+    assert not any(b.startswith("n") for _, b in pairs)  # id_b always history-side
+    jac = minhash.exact_jaccard_between(cand, batch, history, "image_id", "caption")
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert by_pair[("n1", "h1")] == 1.0
+    assert by_pair[("n4", "h4")] == 1.0
+    assert 0.5 < by_pair.get(("n2", "h1"), 0.0) < 1.0
+
+
+def test_cross_corpus_salting_equals_plain_join(spark):
+    """Aggressive salting (salt_bucket_above=2, forcing the salted-join
+    branch) must produce exactly the unsalted pair set."""
+    batch, history = _two_corpora(spark)
+    ba = minhash.explode_bands(minhash.add_signature(batch, CFG), CFG, id_col="image_id")
+    bb = minhash.explode_bands(minhash.add_signature(history, CFG), CFG, id_col="image_id")
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.cross_candidate_pairs_from_buckets(ba, bb, 10**6).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.cross_candidate_pairs_from_buckets(ba, bb, 2).collect()
+    }
+    assert plain == salted and plain
+
+
+def test_cross_corpus_side_cap_drops_viral_buckets(spark):
+    """A bucket whose history side exceeds max_bucket is dropped with a
+    logged count — same documented recall trade as the self-join path."""
+    batch, history = _two_corpora(spark)
+    viral = history.unionByName(
+        spark.createDataFrame(
+            [(f"h{i}", "the quick brown fox jumps over the lazy dog near the river bank today")
+             for i in range(10, 20)],
+            "image_id string, caption string",
+        )
+    )
+    ba = minhash.explode_bands(minhash.add_signature(batch, CFG), CFG, id_col="image_id")
+    bb = minhash.explode_bands(minhash.add_signature(viral, CFG), CFG, id_col="image_id")
+    logged: list[str] = []
+    pairs = minhash.cross_candidate_pairs_from_buckets(
+        ba, bb, salt_bucket_above=4, max_bucket=5, log=logged.append
+    ).collect()
+    assert logged and "dropped" in logged[0]
+    assert not any(r["id_b"] == "h1" for r in pairs)  # the viral bucket is gone
+    assert any(r["id_a"] == "n4" and r["id_b"] == "h4" for r in pairs)  # small bucket survives
+
+
+def test_near_dup_anti_join_survivors(spark):
+    """End-to-end fuzzy ingest gate: only the novel batch row survives;
+    all batch columns pass through untouched."""
+    batch, history = _two_corpora(spark)
+    out = minhash.near_dup_anti_join(
+        batch, history, CFG, id_col="image_id", text_col="caption", threshold=0.8
+    )
+    assert set(out.columns) == set(batch.columns)
+    assert {r["image_id"] for r in out.collect()} == {"n3"}

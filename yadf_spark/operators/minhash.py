@@ -399,6 +399,195 @@ def exact_jaccard(
     )
 
 
+def cross_candidate_pairs_from_buckets(
+    buckets_a: DataFrame,
+    buckets_b: DataFrame,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+    log=None,
+) -> DataFrame:
+    """Candidate pairs BETWEEN two corpora: ``(id_a from A, id_b from B)``
+    for every bucket key ``(band_idx, band_hash)`` populated on both
+    sides — the batch-vs-history join a production ingest runs daily
+    (dedup today's crawl against the accumulated corpus by NEAR-dup, the
+    fuzzy complement of the bloom exact path, operators/bloom.py).
+
+    Never a self-join: the history side is only ever paired against the
+    batch, so a bucket costs ``n_a * n_b`` pair rows instead of the
+    union's ``(n_a + n_b)^2 / 2``, and history-internal duplicates (long
+    since resolved) generate nothing. Same scale discipline as
+    ``candidate_pairs_from_buckets``: ONE shuffle builds the per-side id
+    lists; buckets whose sides both fit under ``salt_bucket_above``
+    expand as a pure JVM cross-product expression; a bucket with a viral
+    side takes a salted join (A replicates to ``s`` cells, B lands in
+    one — no single-reducer straggler); sides above ``max_bucket`` are
+    dropped with a logged count, a documented recall trade, never a
+    silent one."""
+    tagged = buckets_a.select(
+        "id", "band_idx", "band_hash", F.lit(0).alias("_side")
+    ).unionByName(buckets_b.select("id", "band_idx", "band_hash", F.lit(1).alias("_side")))
+    # collect_list skips nulls, so each side's WHEN picks out its ids
+    grouped = (
+        tagged.groupBy("band_idx", "band_hash")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("_side") == 0, F.col("id")))).alias(
+                "ids_a"
+            ),
+            F.sort_array(F.collect_list(F.when(F.col("_side") == 1, F.col("id")))).alias(
+                "ids_b"
+            ),
+        )
+        .withColumn("na", F.size("ids_a"))
+        .withColumn("nb", F.size("ids_b"))
+        # a bucket empty on either side pairs nothing — drop it before
+        # the checkpoint materializes the id lists
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    # lazy checkpoint fused with the stats scan: one job computes the
+    # aggregation, stores the blocks, and returns the side maximum that
+    # decides whether the salted-join subplan exists at all (its
+    # driver-side fixed cost is Amdahl serial time when no bucket needs
+    # it — same elision rule as the self-join path)
+    grouped = grouped.localCheckpoint(eager=False)
+    stats = grouped.agg(
+        F.max(F.greatest("na", "nb")).alias("m"),
+        F.count(
+            F.when((F.col("na") > max_bucket) | (F.col("nb") > max_bucket), True)
+        ).alias("dropped"),
+    ).first()
+    n_max = (stats["m"] if stats is not None else 0) or 0
+    n_dropped = (stats["dropped"] if stats is not None else 0) or 0
+    if n_dropped:
+        (log or log_default)(
+            f"cross-lsh: dropped {n_dropped} buckets with a side larger than {max_bucket} rows"
+        )
+    kept = grouped.filter((F.col("na") <= max_bucket) & (F.col("nb") <= max_bucket))
+    small = (
+        kept.filter(F.greatest("na", "nb") <= salt_bucket_above)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids_a"),
+                        lambda x: F.transform(
+                            F.col("ids_b"),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+    )
+    if n_max <= salt_bucket_above:
+        return small.distinct()
+
+    big = kept.filter(F.greatest("na", "nb") > salt_bucket_above).withColumn(
+        "s", F.ceil(F.greatest("na", "nb") / F.lit(salt_bucket_above)).cast("int")
+    )
+    a_rows = big.select("band_idx", "band_hash", "s", F.explode("ids_a").alias("id_a")).select(
+        "band_idx",
+        "band_hash",
+        "id_a",
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("cell"),
+    )
+    b_rows = big.select("band_idx", "band_hash", "s", F.explode("ids_b").alias("id_b")).select(
+        "band_idx",
+        "band_hash",
+        "id_b",
+        F.pmod(F.xxhash64("id_b"), F.col("s")).cast("int").alias("cell"),
+    )
+    big_pairs = a_rows.join(b_rows, ["band_idx", "band_hash", "cell"]).select("id_a", "id_b")
+    return small.unionByName(big_pairs).distinct()
+
+
+def minhash_candidates_between(
+    batch: DataFrame,
+    history: DataFrame,
+    cfg: LshConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH candidate pairs between a new batch and a history
+    corpus: signatures per side (same permutation family — same seed —
+    so band hashes are comparable), band explode per side, then the
+    cross bucket join. ``(id_a, id_b)`` with id_a from ``batch``."""
+    sa = add_signature(batch.select(id_col, text_col), cfg, text_col=text_col)
+    sb = add_signature(history.select(id_col, text_col), cfg, text_col=text_col)
+    return cross_candidate_pairs_from_buckets(
+        explode_bands(sa, cfg, id_col=id_col),
+        explode_bands(sb, cfg, id_col=id_col),
+        cfg.salt_bucket_above,
+        cfg.max_bucket,
+    )
+
+
+def exact_jaccard_between(
+    pairs: DataFrame,
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard verification for CROSS-corpus candidate
+    pairs: ``id_a`` resolves against ``batch``, ``id_b`` against
+    ``history`` (the two corpora may use overlapping id spaces — each
+    side joins only its own). Same scale shape as ``exact_jaccard``:
+    each (potentially huge) corpus is cut to its candidate id set by a
+    size-gated broadcast semi-join before any text shuffles."""
+    pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+
+    def _side(df: DataFrame, pair_col: str, out_id: str, out_sh: str) -> DataFrame:
+        ids = pairs.select(F.col(pair_col).alias("_id")).distinct()
+        if n_pairs < 2_000_000:
+            ids = F.broadcast(ids)
+        return (
+            df.select(
+                F.col(id_col).alias("_id"), T.word_shingles(F.col(text_col), k).alias("_sh")
+            )
+            .join(ids, "_id", "left_semi")
+            .select(F.col("_id").alias(out_id), F.col("_sh").alias(out_sh))
+        )
+
+    a = _side(batch, "id_a", "id_a", "sh_a")
+    b = _side(history, "id_b", "id_b", "sh_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def near_dup_anti_join(
+    batch: DataFrame,
+    history: DataFrame,
+    cfg: LshConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Rows of ``batch`` with NO near-duplicate in ``history`` — the
+    batch-mode fuzzy ingest gate (the exact-match version is
+    ``bloom.incremental_dedup``; the streaming version is the persisted
+    band index, streaming/dedup.py). All ``batch`` columns pass through
+    untouched; ``history`` never self-joins and never shuffles payload
+    (bands + the candidate semi-join subset only)."""
+    cfg = cfg or LshConfig()
+    cand = minhash_candidates_between(batch, history, cfg, id_col, text_col)
+    jac = exact_jaccard_between(cand, batch, history, id_col, text_col, k=cfg.shingle_k)
+    matched = (
+        jac.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(matched, id_col, "left_anti")
+
+
 def edit_distance_pairs(
     pairs: DataFrame,
     df: DataFrame,
