@@ -740,3 +740,47 @@ def test_drop_format_mismatch_gates_near_dup_input(spark, tmp_path):
 
     assert ids(["--drop-format-mismatch"], "ct_gated") == ["ok-0", "ok-1", "ok-2"]
     assert ids([], "ct_all") == ["junk", "liar", "ok-0", "ok-1", "ok-2"]
+
+
+def test_against_ingest_gate_text_mode(spark, tmp_path):
+    """--against matches the batch against a history corpus (never a
+    history self-join): groups pair each matched batch row with its
+    history near-dups, and --novel-table receives the unmatched batch
+    rows with all input columns."""
+    batch_tbl = str(tmp_path / "batch.parquet")
+    hist_tbl = str(tmp_path / "hist.parquet")
+    novel_tbl = str(tmp_path / "novel.parquet")
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    spark.createDataFrame(
+        [("n1", base + "iota"), ("n2", "entirely novel vocabulary nothing shared here " * 6)],
+        "doc_id string, caption string",
+    ).write.parquet(batch_tbl)
+    spark.createDataFrame(
+        # h1/h2 are identical — an internal history dup that must NOT
+        # appear as a group on its own
+        [("h1", base), ("h2", base), ("h3", "other unrelated history words " * 6)],
+        "doc_id string, caption string",
+    ).write.parquet(hist_tbl)
+    out = _cli(
+        spark,
+        [
+            "-f", "json", "--mode", "text-near-dup",
+            "--table", batch_tbl, "--id-col", "doc_id",
+            "--against", hist_tbl, "--novel-table", novel_tbl,
+        ],
+    )
+    groups = json.loads(out)
+    assert len(groups) == 1
+    assert sorted(groups[0]) == ["h1", "h2", "n1"]
+    novel = spark.read.parquet(novel_tbl)
+    assert set(novel.columns) == {"image_id", "caption"}
+    assert [r["image_id"] for r in novel.collect()] == ["n2"]
+
+
+def test_against_flag_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        run(build_parser().parse_args(["--against", "x", "--mode", "exact", "."]), spark=spark)
+    with _pytest.raises(SystemExit):
+        run(build_parser().parse_args(["--novel-table", "y", "."]), spark=spark)

@@ -110,6 +110,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--jaccard", type=float, default=0.8,
         help="exact-Jaccard verification threshold for text-near-dup",
     )
+    p.add_argument(
+        "--against",
+        default=None,
+        help="(--mode text-near-dup) fuzzy ingest gate: match the input "
+        "batch against this HISTORY corpus (parquet path / Iceberg table "
+        "with the same id/text columns) instead of self-clustering — the "
+        "history is never self-joined. Groups pair each matched batch row "
+        "with its history near-dups; --novel-table receives the batch "
+        "rows that matched nothing",
+    )
+    p.add_argument(
+        "--novel-table",
+        default=None,
+        help="(--against) write the surviving batch rows (all input "
+        "columns) to this parquet path — the deduped ingest hand-off",
+    )
     p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume directory")
     p.add_argument(
         "--cluster-table",
@@ -363,6 +379,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
         stream=sys.stderr,
         format="%(levelname)s %(name)s: %(message)s",
     )
+    if args.against and args.mode != "text-near-dup":
+        raise SystemExit("--against requires --mode text-near-dup")
+    if args.novel_table and not args.against:
+        raise SystemExit("--novel-table requires --against")
     spark = spark or get_spark(app_name="yadf-spark-cli", cores=args.cores)
 
     min_size = 1 if (args.no_empty and args.min is None) else args.min
@@ -424,29 +444,75 @@ def run(args: argparse.Namespace, spark=None) -> int:
         from yadf_spark.operators import minhash as mh
 
         ck = Checkpointer(spark=spark, workdir=args.checkpoint_dir, eager=eager)
-        docs = exact.apply_scan_filters(df, flt)
-        if args.text_col in docs.columns:
-            docs = docs.select("image_id", F.col(args.text_col).alias("text"))
-        else:
+        batch_full = exact.apply_scan_filters(df, flt)
+
+        def _text_view(frame):
+            if args.text_col in frame.columns:
+                return frame.select("image_id", F.col(args.text_col).alias("text"))
             # filesystem corpora carry raw payloads — treat them as
             # UTF-8 text files (the narrow-map decode never shuffles)
-            docs = docs.select("image_id", F.decode(F.col("bytes"), "UTF-8").alias("text"))
+            return frame.select("image_id", F.decode(F.col("bytes"), "UTF-8").alias("text"))
+
+        docs = _text_view(batch_full)
         cfg = LshConfig()
-        pairs = ck.stage(
-            "text_pairs",
-            {"lsh": cfg, "jaccard": args.jaccard, "filter": flt},
-            lambda: mh.exact_jaccard(
-                mh.minhash_candidates(docs, cfg, id_col="image_id", text_col="text"),
-                docs,
-                "image_id",
-                "text",
-                k=cfg.shingle_k,
+        if args.against:
+            # fuzzy ingest gate: batch-vs-history only, never a history
+            # self-join (minhash.cross_candidate_pairs_from_buckets)
+            hist = _text_view(
+                src.table_corpus(spark, args.against, args.id_col, args.payload_col)
             )
-            .filter(F.col("jaccard") >= args.jaccard)
-            .select("id_a", "id_b"),
-        )
-        clusters = _assign_or_merge(pairs, base)
-        groups = _clusters_to_groups(clusters, args, source_df=docs)
+            pairs = ck.stage(
+                "cross_pairs",
+                {"lsh": cfg, "jaccard": args.jaccard, "filter": flt, "against": args.against},
+                lambda: mh.exact_jaccard_between(
+                    mh.minhash_candidates_between(docs, hist, cfg, "image_id", "text"),
+                    docs,
+                    hist,
+                    "image_id",
+                    "text",
+                    k=cfg.shingle_k,
+                )
+                .filter(F.col("jaccard") >= args.jaccard)
+                .select("id_a", "id_b"),
+            )
+            if args.novel_table:
+                matched = pairs.select(F.col("id_a").alias("image_id")).distinct()
+                batch_full.join(matched, "image_id", "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(args.novel_table)
+            if base is not None:
+                log.warning(
+                    "--base-clusters does not apply under --against (the gate "
+                    "emits batch-keyed match groups, not a cumulative "
+                    "assignment) — flag ignored"
+                )
+            # each matched batch row IS its group: members are the row
+            # plus its history near-dups, keyed on the batch id
+            clusters = (
+                pairs.select(F.col("id_a").alias("cluster_id"), F.col("id_b").alias("image_id"))
+                .unionByName(
+                    pairs.select(
+                        F.col("id_a").alias("cluster_id"), F.col("id_a").alias("image_id")
+                    ).distinct()
+                )
+            )
+            groups = _clusters_to_groups(clusters, args, source_df=docs)
+        else:
+            pairs = ck.stage(
+                "text_pairs",
+                {"lsh": cfg, "jaccard": args.jaccard, "filter": flt},
+                lambda: mh.exact_jaccard(
+                    mh.minhash_candidates(docs, cfg, id_col="image_id", text_col="text"),
+                    docs,
+                    "image_id",
+                    "text",
+                    k=cfg.shingle_k,
+                )
+                .filter(F.col("jaccard") >= args.jaccard)
+                .select("id_a", "id_b"),
+            )
+            clusters = _assign_or_merge(pairs, base)
+            groups = _clusters_to_groups(clusters, args, source_df=docs)
         metrics = ck.metrics() if eager else None
     elif args.mode == "audio-near-dup":
         from yadf_spark.operators import audio as au
