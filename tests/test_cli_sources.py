@@ -784,3 +784,54 @@ def test_against_flag_validation(spark):
         run(build_parser().parse_args(["--against", "x", "--mode", "exact", "."]), spark=spark)
     with _pytest.raises(SystemExit):
         run(build_parser().parse_args(["--novel-table", "y", "."]), spark=spark)
+
+
+def test_against_ingest_gate_image_mode(spark, tmp_path):
+    """--against in image mode: an exact byte dup and a lossy re-encode
+    of history images are matched (and gated out of --novel-table); a
+    novel image survives. The history's internal dup pair (h_orig /
+    h_copy share bytes) must not form a group of its own."""
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    third = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    batch_tbl = str(tmp_path / "batch_imgs.parquet")
+    hist_tbl = str(tmp_path / "hist_imgs.parquet")
+    novel_tbl = str(tmp_path / "novel_imgs.parquet")
+    spark.createDataFrame(
+        [
+            ("n_exact", bytearray(codec.encode_png(px)), "a caption"),
+            ("n_lossy", bytearray(codec.encode_jpeg(other, step=2)), "same words here"),
+            ("n_novel", bytearray(codec.encode_png(third)), "novel caption"),
+        ],
+        "image_id string, bytes binary, caption string",
+    ).write.parquet(batch_tbl)
+    spark.createDataFrame(
+        [
+            ("h_orig", bytearray(codec.encode_png(px)), "a caption"),
+            ("h_copy", bytearray(codec.encode_png(px)), "a caption"),
+            ("h_other", bytearray(codec.encode_png(other)), "same words here"),
+        ],
+        "image_id string, bytes binary, caption string",
+    ).write.parquet(hist_tbl)
+    out = json.loads(
+        _cli(
+            spark,
+            [
+                "-f", "json", "--mode", "near-dup",
+                "--table", batch_tbl, "--against", hist_tbl,
+                "--novel-table", novel_tbl,
+            ],
+        )
+    )
+    groups = {g[0] if False else tuple(sorted(g)) for g in out}
+    assert ("h_copy", "h_orig", "n_exact") in groups
+    assert ("h_other", "n_lossy") in groups
+    assert len(groups) == 2
+    novel = spark.read.parquet(novel_tbl)
+    assert [r["image_id"] for r in novel.collect()] == ["n_novel"]
+    assert set(novel.columns) == {"image_id", "bytes", "caption"}

@@ -113,12 +113,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--against",
         default=None,
-        help="(--mode text-near-dup) fuzzy ingest gate: match the input "
-        "batch against this HISTORY corpus (parquet path / Iceberg table "
-        "with the same id/text columns) instead of self-clustering — the "
-        "history is never self-joined. Groups pair each matched batch row "
-        "with its history near-dups; --novel-table receives the batch "
-        "rows that matched nothing",
+        help="(--mode text-near-dup / near-dup) fuzzy ingest gate: match "
+        "the input batch against this HISTORY corpus (parquet path / "
+        "Iceberg table with the same columns) instead of self-clustering "
+        "— the history is never self-joined. Text mode matches on "
+        "shingle MinHash; image mode on phash + caption bands + a "
+        "full-content-hash band, verified by the pipeline's two-tier "
+        "caption/PSNR pass. Groups pair each matched batch row with its "
+        "history near-dups; --novel-table receives the batch rows that "
+        "matched nothing",
     )
     p.add_argument(
         "--novel-table",
@@ -379,8 +382,8 @@ def run(args: argparse.Namespace, spark=None) -> int:
         stream=sys.stderr,
         format="%(levelname)s %(name)s: %(message)s",
     )
-    if args.against and args.mode != "text-near-dup":
-        raise SystemExit("--against requires --mode text-near-dup")
+    if args.against and args.mode not in ("text-near-dup", "near-dup"):
+        raise SystemExit("--against requires --mode text-near-dup or near-dup")
     if args.novel_table and not args.against:
         raise SystemExit("--novel-table requires --against")
     spark = spark or get_spark(app_name="yadf-spark-cli", cores=args.cores)
@@ -429,15 +432,45 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 keep = keep & (F.col("fmt") == sniffed)
             filtered = filtered.filter(keep)
         images = pl.prepare_images(filtered)
-        out = pl.near_dup_pipeline(
-            images,
-            NearDupConfig(flip_invariant=args.flip_invariant),
-            checkpointer=ck,
-            base_assignment=base,
-            base_fingerprint=args.base_clusters,
-        )
-        groups = _clusters_to_groups(out["clusters"], args, source_df=images)
-        metrics = out["metrics"] if "metrics" in out else None
+        if args.against:
+            # fuzzy image ingest gate: batch-vs-history band join only,
+            # never a history self-join (pipeline.near_dup_gate)
+            hist = pl.prepare_images(
+                src.table_corpus(spark, args.against, args.id_col, args.payload_col)
+            )
+            gate = pl.near_dup_gate(
+                images, hist, NearDupConfig(flip_invariant=args.flip_invariant)
+            )
+            if args.novel_table:
+                # anti-join the PRE-prepare frame: the hand-off keeps the
+                # input columns, not the synthesized caption/phash
+                filtered.join(gate["matched_ids"], "image_id", "left_anti").write.mode(
+                    "overwrite"
+                ).parquet(args.novel_table)
+            if base is not None:
+                log.warning(
+                    "--base-clusters does not apply under --against — flag ignored"
+                )
+            vpairs = gate["verified_pairs"].filter(F.col("verified")).select("id_a", "id_b")
+            clusters = vpairs.select(
+                F.col("id_a").alias("cluster_id"), F.col("id_b").alias("image_id")
+            ).unionByName(
+                vpairs.select(
+                    F.col("id_a").alias("cluster_id"), F.col("id_a").alias("image_id")
+                ).distinct()
+            )
+            groups = _clusters_to_groups(clusters, args, source_df=images)
+            metrics = None
+        else:
+            out = pl.near_dup_pipeline(
+                images,
+                NearDupConfig(flip_invariant=args.flip_invariant),
+                checkpointer=ck,
+                base_assignment=base,
+                base_fingerprint=args.base_clusters,
+            )
+            groups = _clusters_to_groups(out["clusters"], args, source_df=images)
+            metrics = out["metrics"] if "metrics" in out else None
     elif args.mode == "text-near-dup":
         from yadf_spark.config import LshConfig
         from yadf_spark.operators import components

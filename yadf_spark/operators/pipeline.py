@@ -122,6 +122,59 @@ def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
     return phash_b.unionByName(mh_b)
 
 
+def near_dup_gate(
+    batch: DataFrame,
+    history: DataFrame,
+    cfg: NearDupConfig | None = None,
+) -> dict:
+    """Fuzzy IMAGE ingest gate: match a new batch of image rows against
+    a history corpus by near-duplicate — the image sibling of
+    ``minhash.near_dup_anti_join`` (text) and the exact-match
+    broadcast-Bloom path. Both frames must be ``prepare_images``-ready
+    (caption/phash synthesized when absent) with distinct id spaces.
+
+    Candidates come from the two-sided band join over each side's
+    ``candidate_buckets`` (phash Hamming bands + caption MinHash bands),
+    PLUS a full-content-hash band (band_idx 200) so byte-identical
+    payloads are candidates even when undecodable (null phash) and
+    caption-less — the gate must never miss an exact duplicate. The
+    history is never self-joined: a viral history cluster contributes
+    band rows, not pairs. Verification is the pipeline's own two-tier
+    ``verify_pairs`` (hash-equality narrow tier, PSNR decode tier) over
+    the unioned evidence columns — payload bytes still never shuffle.
+
+    Returns ``{"verified_pairs": DataFrame(id_a=batch, id_b=history,
+    verified, ...), "matched_ids": DataFrame(image_id),
+    "novel": DataFrame}`` where ``novel`` is ``batch`` rows (all
+    columns) with no verified history match."""
+    cfg = cfg or NearDupConfig()
+    from yadf_spark.operators import minhash
+
+    def _buckets(side: DataFrame) -> DataFrame:
+        byte_band = side.select(
+            F.col("image_id").alias("id"),
+            F.lit(200).alias("band_idx"),
+            F.xxhash64("bytes").alias("band_hash"),
+        )
+        return candidate_buckets(side, cfg).unionByName(byte_band)
+
+    cand = minhash.cross_candidate_pairs_from_buckets(
+        _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
+    )
+    evidence_cols = ["image_id", "bytes", "caption", "phash"]
+    evidence = batch.select(*evidence_cols).unionByName(history.select(*evidence_cols))
+    verified = verify.verify_pairs(
+        cand, evidence, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
+    )
+    matched = (
+        verified.filter(F.col("verified"))
+        .select(F.col("id_a").alias("image_id"))
+        .distinct()
+    )
+    novel = batch.join(matched, "image_id", "left_anti")
+    return {"verified_pairs": verified, "matched_ids": matched, "novel": novel}
+
+
 def near_dup_pipeline(
     images: DataFrame,
     cfg: NearDupConfig | None = None,
