@@ -318,3 +318,38 @@ def test_jaccard_threshold_sweep_single_pass_partial_agg(spark):
     # exactly one MinHash signature stage: the candidate machinery is
     # not replicated per threshold (5 thresholds -> would be 5 batches)
     assert plan.count("BatchEvalPython") <= 1 and plan.count("ArrowEvalPython") <= 1
+
+
+def test_cross_corpus_pairs_single_shuffle_no_join_when_small(spark):
+    """The cross-corpus gate's pair generation mirrors the self-join
+    path's plan discipline: the two-sided bucket agg is checkpointed
+    once (ExistingRDD, no collect_list downstream), the salted-join
+    subplan is elided when no bucket needs it, expansion stays JVM-side,
+    and no signature column crosses an exchange."""
+    from yadf_spark.config import LshConfig
+    from yadf_spark.operators import minhash
+
+    batch = spark.createDataFrame(
+        [(f"n{i}", f"some caption text number {i % 8} for similarity") for i in range(16)],
+        "image_id string, caption string",
+    )
+    hist = spark.createDataFrame(
+        [(f"h{i}", f"some caption text number {i % 8} for similarity") for i in range(48)],
+        "image_id string, caption string",
+    )
+    cfg = LshConfig()
+    ba = minhash.explode_bands(minhash.add_signature(batch, cfg), cfg, id_col="image_id")
+    bb = minhash.explode_bands(minhash.add_signature(hist, cfg), cfg, id_col="image_id")
+    pairs = minhash.cross_candidate_pairs_from_buckets(
+        ba, bb, cfg.salt_bucket_above, cfg.max_bucket
+    )
+    plan = _formatted(pairs)
+    assert "ExistingRDD" in plan, plan
+    assert "collect_list" not in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"{n_shuffles} shuffles:\n{plan}"
+    assert "Join" not in plan, "salted join must be elided for small buckets:\n" + plan
+    assert "MapInPandas" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "sig" not in ln.split("[")[0], ln
