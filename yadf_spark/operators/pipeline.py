@@ -166,6 +166,11 @@ def near_dup_gate(
     verified = verify.verify_pairs(
         cand, evidence, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
     )
+    # lazy checkpoint: the gate hands out three consumers (matched_ids,
+    # novel, and the caller's own use of verified_pairs) — without
+    # truncation each would re-run the whole candidate+verify DAG,
+    # PSNR decode tier included
+    verified = verified.localCheckpoint(eager=False)
     matched = (
         verified.filter(F.col("verified"))
         .select(F.col("id_a").alias("image_id"))
