@@ -2682,6 +2682,32 @@ def q_export_shard_stats(spark, sf_dir):
     )
 
 
+def q_images_ingest_gate(spark, sf_dir):
+    """Fuzzy IMAGE ingest gate over the planted fixture: the 256-image
+    table splits by numeric id into a batch (id % 4 == 0) and a history
+    corpus, pipeline.near_dup_gate matches batch-vs-history (two-sided
+    band join + full-content-hash band, caption/PSNR verify), and each
+    batch row reports whether it gated. Oracle: a batch image is
+    matched iff its planted truth cluster (transitive closure of the
+    truth pairs) contains at least one history member — the same
+    closure the flagship images_near_dup_clusters oracle trusts."""
+    from yadf_spark.fixtures import images as img
+    from yadf_spark.operators import pipeline as pl
+
+    df = pl.prepare_images(img.images_df(spark, 256, seed=42))
+    num = F.substring("image_id", 5, 9).cast("int")
+    batch = df.filter(num % 4 == 0)
+    history = df.filter(num % 4 != 0)
+    gate = pl.near_dup_gate(batch, history)
+    matched = gate["matched_ids"].withColumn("matched", F.lit(True))
+    return (
+        batch.select("image_id")
+        .join(matched, "image_id", "left")
+        .select("image_id", F.coalesce("matched", F.lit(False)).alias("matched"))
+        .orderBy("image_id")
+    )
+
+
 def q_images_dedup_savings(spark, sf_dir):
     """Dedup ROI report: per duplicate cluster, member count, total
     payload bytes, bytes kept by the survivor (highest w*h, ties →
@@ -2957,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_near_dup": q_ivf_near_dup,
         "images_near_dup_clusters": q_images_near_dup_clusters,
         "images_representatives": q_images_representatives,
+        "images_ingest_gate": q_images_ingest_gate,
         "images_dedup_savings": q_images_dedup_savings,
         "export_shard_stats": q_export_shard_stats,
         "images_flip_near_dup": q_images_flip_near_dup,
@@ -4269,6 +4296,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cluster_id""",
         # dedup ROI over the same closure: byte totals per cluster, the
         # survivor's bytes (max w*h, ties min id), and the difference
+        # the gate oracle reuses the flagship's trusted closure: a batch
+        # image is matched iff its truth component holds a history member
+        "images_ingest_gate": f"""
+            WITH RECURSIVE
+            nodes AS (SELECT printf('img-%09d', CAST(i AS INT)) AS id
+                      FROM range(256) r(i)),
+            e AS (SELECT id_a, id_b
+                  FROM read_parquet('{_image_truth_pairs_parquet(256)}')),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            cl AS (SELECT n.id, coalesce(c.cluster_id, n.id) AS cluster_id
+                   FROM nodes n LEFT JOIN comp c ON c.id = n.id),
+            b AS (SELECT id, cluster_id FROM cl
+                  WHERE CAST(substr(id, 5) AS INT) % 4 = 0),
+            h AS (SELECT id, cluster_id FROM cl
+                  WHERE CAST(substr(id, 5) AS INT) % 4 <> 0)
+            SELECT b.id AS image_id, count(h.id) > 0 AS matched
+            FROM b LEFT JOIN h USING (cluster_id)
+            GROUP BY b.id ORDER BY image_id""",
         "images_dedup_savings": f"""
             WITH RECURSIVE
             nodes AS (SELECT printf('img-%09d', CAST(i AS INT)) AS id
