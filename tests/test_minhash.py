@@ -285,3 +285,23 @@ def test_near_dup_anti_join_survivors(spark):
     )
     assert set(out.columns) == set(batch.columns)
     assert {r["image_id"] for r in out.collect()} == {"n3"}
+
+
+def test_near_dup_anti_join_overlapping_ids_never_self_match(spark):
+    """A row is never its own duplicate: with history == batch (same ids,
+    same texts) plus one unrelated doc, no batch row may be gated out by
+    its own copy — only a DIFFERENT row may match."""
+    batch, _ = _two_corpora(spark)
+    history = batch.unionByName(
+        spark.createDataFrame(
+            [("h9", "unrelated vocabulary entirely elsewhere now")],
+            "image_id string, caption string",
+        )
+    )
+    out = minhash.near_dup_anti_join(
+        batch, history, CFG, id_col="image_id", text_col="caption", threshold=0.8
+    )
+    # n1/n2 share the long base text -> they match EACH OTHER's history
+    # copy (different id) and gate out; n3/n4 have unique texts whose
+    # only history copy carries their own id -> they must survive
+    assert {r["image_id"] for r in out.collect()} == {"n3", "n4"}

@@ -579,6 +579,10 @@ def near_dup_anti_join(
     (bands + the candidate semi-join subset only)."""
     cfg = cfg or LshConfig()
     cand = minhash_candidates_between(batch, history, cfg, id_col, text_col)
+    # a row is never its own duplicate: when the id spaces overlap (a
+    # history that accidentally contains the batch), the self-pair must
+    # not gate the row out — only a DIFFERENT row may
+    cand = cand.filter(F.col("id_a") != F.col("id_b"))
     jac = exact_jaccard_between(cand, batch, history, id_col, text_col, k=cfg.shingle_k)
     matched = (
         jac.filter(F.col("jaccard") >= threshold)

@@ -161,6 +161,11 @@ def near_dup_gate(
     cand = minhash.cross_candidate_pairs_from_buckets(
         _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
     )
+    # a row is never its own duplicate: under overlapping id spaces the
+    # self-pair must not gate a batch row out (same rule as
+    # minhash.near_dup_anti_join); it would also make the evidence
+    # union ambiguous for that id, so drop it before verification
+    cand = cand.filter(F.col("id_a") != F.col("id_b"))
     evidence_cols = ["image_id", "bytes", "caption", "phash"]
     evidence = batch.select(*evidence_cols).unionByName(history.select(*evidence_cols))
     verified = verify.verify_pairs(
