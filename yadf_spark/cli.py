@@ -460,7 +460,15 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 ).distinct()
             )
             groups = _clusters_to_groups(clusters, args, source_df=images)
-            metrics = None
+            if args.report or args.verbose:
+                metrics = [
+                    {"stage": "gate_batch", "rows": images.count(), "seconds": -1.0,
+                     "resumed": False},
+                    {"stage": "gate_matched", "rows": gate["matched_ids"].count(),
+                     "seconds": -1.0, "resumed": False},
+                ]
+            else:
+                metrics = None
         else:
             out = pl.near_dup_pipeline(
                 images,
