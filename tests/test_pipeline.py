@@ -326,3 +326,31 @@ def test_incremental_pipeline_equals_full_batch(spark):
         assert cum[r.id] == r.cluster_id
     assert set(cum) >= {r.image_id for r in day2.select("image_id").collect()}
     full_df.unpersist()
+
+
+def test_gate_checkpoint_resume(spark, tmp_path):
+    """The ingest gate's stages resume from their parquet checkpoints
+    like the pipeline's: a second run with the same config reads both
+    stage manifests and produces identical matched/novel sets."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.plans.checkpoint import Checkpointer
+
+    df = pipeline.prepare_images(spark.createDataFrame(images.images_pdf(160)))
+    num = F.substring("image_id", 5, 9).cast("int")
+    batch = df.filter(num % 4 == 0)
+    hist = df.filter(num % 4 != 0)
+
+    ck1 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    g1 = pipeline.near_dup_gate(batch, hist, checkpointer=ck1)
+    m1 = sorted(r["image_id"] for r in g1["matched_ids"].collect())
+    n1 = sorted(r["image_id"] for r in g1["novel"].collect())
+    assert not any(m["resumed"] for m in ck1.metrics())
+    assert [m["stage"] for m in ck1.metrics()] == ["gate_candidates", "gate_verify"]
+
+    ck2 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    g2 = pipeline.near_dup_gate(batch, hist, checkpointer=ck2)
+    assert all(m["resumed"] for m in ck2.metrics())
+    assert sorted(r["image_id"] for r in g2["matched_ids"].collect()) == m1
+    assert sorted(r["image_id"] for r in g2["novel"].collect()) == n1
+    assert m1 and n1  # non-vacuous split

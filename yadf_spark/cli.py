@@ -439,7 +439,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 src.table_corpus(spark, args.against, args.id_col, args.payload_col)
             )
             gate = pl.near_dup_gate(
-                images, hist, NearDupConfig(flip_invariant=args.flip_invariant)
+                images,
+                hist,
+                NearDupConfig(flip_invariant=args.flip_invariant),
+                checkpointer=ck,
             )
             if args.novel_table:
                 # anti-join the PRE-prepare frame: the hand-off keeps the
@@ -461,7 +464,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
             )
             groups = _clusters_to_groups(clusters, args, source_df=images)
             if args.report or args.verbose:
-                metrics = [
+                metrics = (ck.metrics() if eager else []) + [
                     {"stage": "gate_batch", "rows": images.count(), "seconds": -1.0,
                      "resumed": False},
                     {"stage": "gate_matched", "rows": gate["matched_ids"].count(),

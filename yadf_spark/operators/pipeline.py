@@ -126,6 +126,7 @@ def near_dup_gate(
     batch: DataFrame,
     history: DataFrame,
     cfg: NearDupConfig | None = None,
+    checkpointer: Checkpointer | None = None,
 ) -> dict:
     """Fuzzy IMAGE ingest gate: match a new batch of image rows against
     a history corpus by near-duplicate — the image sibling of
@@ -143,11 +144,18 @@ def near_dup_gate(
     ``verify_pairs`` (hash-equality narrow tier, PSNR decode tier) over
     the unioned evidence columns — payload bytes still never shuffle.
 
+    ``checkpointer`` gives the gate the pipeline's resume semantics: a
+    workdir-backed Checkpointer makes the candidate and verify stages
+    restartable (a crashed daily gate resumes after its last completed
+    stage); the default is the lazy in-memory truncation every stage
+    boundary gets anyway.
+
     Returns ``{"verified_pairs": DataFrame(id_a=batch, id_b=history,
     verified, ...), "matched_ids": DataFrame(image_id),
-    "novel": DataFrame}`` where ``novel`` is ``batch`` rows (all
-    columns) with no verified history match."""
+    "novel": DataFrame, "checkpointer": Checkpointer}`` where ``novel``
+    is ``batch`` rows (all columns) with no verified history match."""
     cfg = cfg or NearDupConfig()
+    ck = checkpointer or Checkpointer(spark=batch.sparkSession, workdir=None, eager=False)
     from yadf_spark.operators import minhash
 
     def _buckets(side: DataFrame) -> DataFrame:
@@ -158,31 +166,42 @@ def near_dup_gate(
         )
         return candidate_buckets(side, cfg).unionByName(byte_band)
 
-    cand = minhash.cross_candidate_pairs_from_buckets(
-        _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
-    )
     # a row is never its own duplicate: under overlapping id spaces the
     # self-pair must not gate a batch row out (same rule as
     # minhash.near_dup_anti_join); it would also make the evidence
     # union ambiguous for that id, so drop it before verification
-    cand = cand.filter(F.col("id_a") != F.col("id_b"))
+    cand = ck.stage(
+        "gate_candidates",
+        {"lsh": cfg.lsh, "phash_bands": cfg.phash_bands, "flip": cfg.flip_invariant},
+        lambda: minhash.cross_candidate_pairs_from_buckets(
+            _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
+        ).filter(F.col("id_a") != F.col("id_b")),
+    )
     evidence_cols = ["image_id", "bytes", "caption", "phash"]
     evidence = batch.select(*evidence_cols).unionByName(history.select(*evidence_cols))
-    verified = verify.verify_pairs(
-        cand, evidence, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
+    # the stage boundary's checkpoint also serves the gate's fan-out:
+    # three consumers (matched_ids, novel, the caller's verified_pairs)
+    # would otherwise each re-run the whole verify DAG, PSNR decode
+    # tier included
+    verified = ck.stage(
+        "gate_verify",
+        {"psnr": cfg.psnr_min_db, "flip": cfg.flip_invariant},
+        lambda: verify.verify_pairs(
+            cand, evidence, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
+        ),
     )
-    # lazy checkpoint: the gate hands out three consumers (matched_ids,
-    # novel, and the caller's own use of verified_pairs) — without
-    # truncation each would re-run the whole candidate+verify DAG,
-    # PSNR decode tier included
-    verified = verified.localCheckpoint(eager=False)
     matched = (
         verified.filter(F.col("verified"))
         .select(F.col("id_a").alias("image_id"))
         .distinct()
     )
     novel = batch.join(matched, "image_id", "left_anti")
-    return {"verified_pairs": verified, "matched_ids": matched, "novel": novel}
+    return {
+        "verified_pairs": verified,
+        "matched_ids": matched,
+        "novel": novel,
+        "checkpointer": ck,
+    }
 
 
 def near_dup_pipeline(
