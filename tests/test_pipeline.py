@@ -354,3 +354,28 @@ def test_gate_checkpoint_resume(spark, tmp_path):
     assert sorted(r["image_id"] for r in g2["matched_ids"].collect()) == m1
     assert sorted(r["image_id"] for r in g2["novel"].collect()) == n1
     assert m1 and n1  # non-vacuous split
+
+
+def test_checkpoint_upstream_change_invalidates_downstream(spark, tmp_path):
+    """Changing an UPSTREAM stage's config must recompute everything
+    after it: with a different LSH config, candidate_pairs (whose own
+    {salt, cap} config is unchanged) must NOT resume the stale parquet
+    built from the old buckets — the lineage-fingerprint chain."""
+    from yadf_spark.config import LshConfig, NearDupConfig
+    from yadf_spark.plans.checkpoint import Checkpointer
+
+    df = spark.createDataFrame(images.images_pdf(160))
+    ck1 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    pipeline.near_dup_pipeline(df, checkpointer=ck1)
+
+    cfg = NearDupConfig(lsh=LshConfig(num_perm=64, bands=16))
+    ck2 = Checkpointer(spark=spark, workdir=str(tmp_path))
+    pipeline.near_dup_pipeline(df, cfg=cfg, checkpointer=ck2)
+    resumed = {m["stage"]: m["resumed"] for m in ck2.metrics()}
+    assert resumed["exact_ladder"], "untouched upstream stage may resume"
+    assert not resumed["candidate_buckets"], "changed config must recompute"
+    assert not resumed["candidate_pairs"], (
+        "downstream of a changed stage must recompute even when its own "
+        "config is unchanged"
+    )
+    assert not resumed["verify"] and not resumed["connected_components"]

@@ -81,6 +81,17 @@ class Checkpointer:
     runs: list[StageRun] = field(default_factory=list)
     _lazy_stages: list = field(default_factory=list)
     _boundary_idx: int = 0
+    #: running lineage fingerprint: each stage's effective fingerprint
+    #: folds in every PRIOR stage's, so changing an upstream stage's
+    #: config invalidates everything after it. Without this, changing
+    #: e.g. the LSH config recomputed candidate_buckets but let
+    #: candidate_pairs (fingerprinted only on its own {salt, cap})
+    #: resume a STALE checkpoint built from the old buckets. Chaining
+    #: by call order over-invalidates parallel branches (a verify-only
+    #: change also recomputes nothing-upstream stages that FOLLOW it in
+    #: call order) — the safe direction: a resume can be wasteful,
+    #: never wrong.
+    _chain_fp: str = ""
 
     def stage(self, name: str, config, fn: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.monotonic()
@@ -127,7 +138,8 @@ class Checkpointer:
         stage_dir = Path(self.workdir) / name
         data_dir = stage_dir / "data"
         manifest_path = stage_dir / "manifest.json"
-        fp = fingerprint(config)
+        fp = fingerprint({"config": config, "upstream": self._chain_fp})
+        self._chain_fp = fp
 
         if manifest_path.exists():
             manifest = json.loads(manifest_path.read_text())
