@@ -828,7 +828,7 @@ def test_against_ingest_gate_image_mode(spark, tmp_path):
             ],
         )
     )
-    groups = {g[0] if False else tuple(sorted(g)) for g in out}
+    groups = {tuple(sorted(g)) for g in out}
     assert ("h_copy", "h_orig", "n_exact") in groups
     assert ("h_other", "n_lossy") in groups
     assert len(groups) == 2

@@ -379,3 +379,55 @@ def test_checkpoint_upstream_change_invalidates_downstream(spark, tmp_path):
         "config is unchanged"
     )
     assert not resumed["verify"] and not resumed["connected_components"]
+
+
+def test_gate_drops_same_side_pairs_and_keeps_orientation(spark):
+    """Two byte-identical BATCH rows and one identical history row: the
+    batch-batch pair (a real candidate via every band) must not appear
+    in verified_pairs — only cross pairs, oriented id_a=batch — and
+    both batch rows still gate out via the history copy."""
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+
+    px = np.random.default_rng(21).integers(0, 256, (32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    enc = bytearray(codec.encode_png(px))
+    batch = pipeline.prepare_images(
+        spark.createDataFrame(
+            [("n1a", enc, "same cap"), ("n1b", enc, "same cap")],
+            "image_id string, bytes binary, caption string",
+        )
+    )
+    hist = pipeline.prepare_images(
+        spark.createDataFrame(
+            [("h1", enc, "same cap")], "image_id string, bytes binary, caption string"
+        )
+    )
+    g = pipeline.near_dup_gate(batch, hist)
+    vp = g["verified_pairs"].collect()
+    assert vp, "cross pairs must survive"
+    assert all(r["id_a"].startswith("n") and r["id_b"] == "h1" for r in vp)
+    assert sorted(r["image_id"] for r in g["matched_ids"].collect()) == ["n1a", "n1b"]
+    assert g["novel"].count() == 0
+
+
+def test_gate_null_payloads_share_no_byte_band(spark):
+    """Fetch-failed rows (null bytes) on both sides with DIFFERENT
+    captions must produce no match: the full-content-hash band skips
+    null payloads (xxhash64(NULL) is a shared constant), and nothing
+    else collides."""
+    batch = pipeline.prepare_images(
+        spark.createDataFrame(
+            [("n1", None, "caption alpha words here")],
+            "image_id string, bytes binary, caption string",
+        )
+    )
+    hist = pipeline.prepare_images(
+        spark.createDataFrame(
+            [("h1", None, "caption beta other words"), ("h2", None, "gamma text")],
+            "image_id string, bytes binary, caption string",
+        )
+    )
+    g = pipeline.near_dup_gate(batch, hist)
+    assert g["matched_ids"].count() == 0
+    assert [r["image_id"] for r in g["novel"].collect()] == ["n1"]

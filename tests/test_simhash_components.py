@@ -206,3 +206,29 @@ def test_merge_assignments_planted_semantics(spark):
     }
     want = {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (99, 1), (50, 50), (51, 50)}
     assert got == want
+
+
+def test_verify_pairs_null_payloads_never_verify(spark):
+    """xxhash64 leaves its seed untouched for NULL input, so two
+    fetch-failed rows (null bytes, equal captions) would hash-compare
+    byte-identical without the null guard; they must route to the
+    decode tier and come back unverified — the G7 degrade posture."""
+    import numpy as np
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import verify
+
+    px = np.random.default_rng(5).integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("null1", None, "same caption"),
+        ("null2", None, "same caption"),
+        ("real", bytearray(codec.encode_png(px)), "same caption"),
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    pairs = spark.createDataFrame(
+        [("null1", "null2"), ("null1", "real")], "id_a string, id_b string"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in verify.verify_pairs(pairs, images).collect()}
+    assert not out[("null1", "null2")]["verified"]
+    assert out[("null1", "null2")]["psnr_db"] == -1.0
+    assert not out[("null1", "real")]["verified"]

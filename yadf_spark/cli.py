@@ -386,6 +386,16 @@ def run(args: argparse.Namespace, spark=None) -> int:
         raise SystemExit("--against requires --mode text-near-dup or near-dup")
     if args.novel_table and not args.against:
         raise SystemExit("--novel-table requires --against")
+    if args.against and (args.survivors or args.export_dir or args.split_table):
+        # the gate's clusters are batch-keyed MATCH groups whose history
+        # members are absent from the source frame — the survivor
+        # election would silently crown every duplicate batch row its
+        # own cluster's keep-best and export it
+        raise SystemExit(
+            "--survivors/--export-dir/--split-table do not apply under "
+            "--against (an ingest gate, not a clustering run); the "
+            "deduped hand-off is --novel-table"
+        )
     spark = spark or get_spark(app_name="yadf-spark-cli", cores=args.cores)
 
     min_size = 1 if (args.no_empty and args.min is None) else args.min
@@ -443,6 +453,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 hist,
                 NearDupConfig(flip_invariant=args.flip_invariant),
                 checkpointer=ck,
+                history_fingerprint=args.against,
             )
             if args.novel_table:
                 # anti-join the PRE-prepare frame: the hand-off keeps the

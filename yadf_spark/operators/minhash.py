@@ -511,7 +511,10 @@ def minhash_candidates_between(
     """MinHash+LSH candidate pairs between a new batch and a history
     corpus: signatures per side (same permutation family — same seed —
     so band hashes are comparable), band explode per side, then the
-    cross bucket join. ``(id_a, id_b)`` with id_a from ``batch``."""
+    cross bucket join. ``(id_a, id_b)`` with id_a from ``batch``.
+    Self-pairs (same id on both sides — a history that accidentally
+    contains the batch) are dropped here: a row is never a near-dup
+    CANDIDATE of itself, whatever the caller's threshold."""
     sa = add_signature(batch.select(id_col, text_col), cfg, text_col=text_col)
     sb = add_signature(history.select(id_col, text_col), cfg, text_col=text_col)
     return cross_candidate_pairs_from_buckets(
@@ -519,7 +522,7 @@ def minhash_candidates_between(
         explode_bands(sb, cfg, id_col=id_col),
         cfg.salt_bucket_above,
         cfg.max_bucket,
-    )
+    ).filter(F.col("id_a") != F.col("id_b"))
 
 
 def exact_jaccard_between(

@@ -127,6 +127,7 @@ def near_dup_gate(
     history: DataFrame,
     cfg: NearDupConfig | None = None,
     checkpointer: Checkpointer | None = None,
+    history_fingerprint: str | None = None,
 ) -> dict:
     """Fuzzy IMAGE ingest gate: match a new batch of image rows against
     a history corpus by near-duplicate — the image sibling of
@@ -148,7 +149,9 @@ def near_dup_gate(
     workdir-backed Checkpointer makes the candidate and verify stages
     restartable (a crashed daily gate resumes after its last completed
     stage); the default is the lazy in-memory truncation every stage
-    boundary gets anyway.
+    boundary gets anyway. Pass ``history_fingerprint`` (the history
+    table's path/version) with a workdir so a resume against a
+    DIFFERENT history misses instead of replaying stale candidates.
 
     Returns ``{"verified_pairs": DataFrame(id_a=batch, id_b=history,
     verified, ...), "matched_ids": DataFrame(image_id),
@@ -159,7 +162,14 @@ def near_dup_gate(
     from yadf_spark.operators import minhash
 
     def _buckets(side: DataFrame) -> DataFrame:
-        byte_band = side.select(
+        # null payloads contribute no byte band: xxhash64(NULL) is the
+        # constant seed, and a shared constant key would collapse every
+        # fetch-failed row on both sides into one garbage mega-bucket
+        # whose pairs then "verify" as byte-identical (NULL hash ==
+        # NULL hash) — the same null-key rule candidate_buckets applies
+        # to phash and captions. Zero-length payloads keep their band:
+        # two empty payloads ARE byte-identical.
+        byte_band = side.filter(F.col("bytes").isNotNull()).select(
             F.col("image_id").alias("id"),
             F.lit(200).alias("band_idx"),
             F.xxhash64("bytes").alias("band_hash"),
@@ -172,13 +182,44 @@ def near_dup_gate(
     # union ambiguous for that id, so drop it before verification
     cand = ck.stage(
         "gate_candidates",
-        {"lsh": cfg.lsh, "phash_bands": cfg.phash_bands, "flip": cfg.flip_invariant},
+        {
+            "lsh": cfg.lsh,
+            "phash_bands": cfg.phash_bands,
+            "bits": cfg.phash_band_bits,
+            "flip": cfg.flip_invariant,
+            "history": history_fingerprint,
+        },
         lambda: minhash.cross_candidate_pairs_from_buckets(
             _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
         ).filter(F.col("id_a") != F.col("id_b")),
     )
     evidence_cols = ["image_id", "bytes", "caption", "phash"]
     evidence = batch.select(*evidence_cols).unionByName(history.select(*evidence_cols))
+
+    def _verify_oriented() -> DataFrame:
+        v = verify.verify_pairs(
+            cand, evidence, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
+        )
+        # verify's viral-caption star tier rewrites its pairs as
+        # (least(id, rep), greatest(id, rep)) and may pair two BATCH
+        # rows (or two history rows) inside one star subgroup — neither
+        # says anything about whether a batch row duplicates the
+        # HISTORY. Re-attach each end's side, drop same-side pairs, and
+        # restore the id_a=batch / id_b=history orientation the gate's
+        # matched/novel split depends on.
+        sides = batch.select(F.col("image_id").alias("id"), F.lit(0).alias("_s")).unionByName(
+            history.select(F.col("image_id").alias("id"), F.lit(1).alias("_s"))
+        )
+        v = v.join(
+            sides.select(F.col("id").alias("id_a"), F.col("_s").alias("_sa")), "id_a"
+        ).join(sides.select(F.col("id").alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+        rest = [c for c in v.columns if c not in ("id_a", "id_b", "_sa", "_sb")]
+        return v.filter(F.col("_sa") != F.col("_sb")).select(
+            F.when(F.col("_sa") == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("id_a"),
+            F.when(F.col("_sa") == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("id_b"),
+            *rest,
+        )
+
     # the stage boundary's checkpoint also serves the gate's fan-out:
     # three consumers (matched_ids, novel, the caller's verified_pairs)
     # would otherwise each re-run the whole verify DAG, PSNR decode
@@ -186,9 +227,7 @@ def near_dup_gate(
     verified = ck.stage(
         "gate_verify",
         {"psnr": cfg.psnr_min_db, "flip": cfg.flip_invariant},
-        lambda: verify.verify_pairs(
-            cand, evidence, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
-        ),
+        _verify_oriented,
     )
     matched = (
         verified.filter(F.col("verified"))

@@ -127,10 +127,16 @@ def verify_pairs(
     # churn the pipeline Checkpointer's durable workdir stages bound the
     # blast radius to one stage re-run (see SCALE.md stage 6).
     pairs = pairs.localCheckpoint(eager=True)
+    # a NULL payload must never hash-compare equal: xxhash64 leaves the
+    # seed untouched for null input, so xxhash64(NULL) == xxhash64(NULL)
+    # would claim two fetch-failed rows are byte-identical. Null hash →
+    # null equality → coalesced to "not equal" below, routing the pair
+    # to the decode tier, whose kernel already returns -1.0 (never
+    # verifies) for null payloads — the G7 degrade posture end to end.
     feats = images.select(
         F.col(id_col).alias("id"),
         F.xxhash64(F.col(caption_col)).alias("_cap_h"),
-        F.xxhash64(F.col(bytes_col)).alias("_byte_h"),
+        F.when(F.col(bytes_col).isNotNull(), F.xxhash64(F.col(bytes_col))).alias("_byte_h"),
     )
     a = feats.select(F.col("id").alias("id_a"), F.col("_cap_h").alias("cap_a"), F.col("_byte_h").alias("bh_a"))
     b = feats.select(F.col("id").alias("id_b"), F.col("_cap_h").alias("cap_b"), F.col("_byte_h").alias("bh_b"))
@@ -141,7 +147,7 @@ def verify_pairs(
             "id_a",
             "id_b",
             (F.col("cap_a") == F.col("cap_b")).alias("caption_equal"),
-            (F.col("bh_a") == F.col("bh_b")).alias("bytes_equal"),
+            F.coalesce(F.col("bh_a") == F.col("bh_b"), F.lit(False)).alias("bytes_equal"),
         )
         # materialize NOW (eager checkpoint): the broadcast build below
         # runs on a driver thread concurrently with the main job, and an
