@@ -1905,6 +1905,36 @@ def q_images_quality_filter(spark, sf_dir):
     )
 
 
+def q_images_aspect_buckets(spark, sf_dir):
+    """SDXL-style aspect-ratio bucket assignment — the batching prep a
+    resolution-diverse image corpus needs so one training batch shares
+    a crop shape. Spark assigns from DECODED dimensions (the mapInPandas
+    decode path); the DuckDB oracle replays the exact-integer argmin
+    key over the fixture's stored w/h (equal by the decode-vs-stored
+    invariant images_metadata already gates). The bucket VALUES list in
+    the oracle is GENERATED from the same SDXL_BUCKETS constant the
+    Spark literal array compiles from, so the two tables cannot
+    drift."""
+    from yadf_spark.operators import multimodal as mm
+
+    df = spark.read.parquet(_images_parquet(128))
+    meta = mm.decode_metadata(df).filter(F.col("ok"))
+    return mm.aspect_bucket_assignments(meta).orderBy("image_id")
+
+
+def _aspect_bucket_values_sql() -> str:
+    """DuckDB VALUES rows (idx, bw, bh, lcm/bh) generated from the same
+    SDXL_BUCKETS table the Spark expression uses."""
+    import math
+
+    from yadf_spark.operators.multimodal import SDXL_BUCKETS
+
+    lcm = math.lcm(*[bh for _, bh in SDXL_BUCKETS])
+    return ", ".join(
+        f"({i}, {bw}, {bh}, {lcm // bh})" for i, (bw, bh) in enumerate(SDXL_BUCKETS)
+    )
+
+
 def q_source_quality_profile(spark, sf_dir):
     """Per-source quality quartiles — the profile that decides which
     sources to cap or drop. Quality scores are 6-dp by construction, so
@@ -2972,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized_events": q_sessionized_events,
         "clicks_within_error_window": q_clicks_within_error_window,
         "images_metadata": q_images_metadata,
+        "images_aspect_buckets": q_images_aspect_buckets,
         "images_format_audit": q_images_format_audit,
         "images_quality_filter": q_images_quality_filter,
         "images_resize": q_images_resize,
@@ -3971,6 +4002,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
                    CAST(w AS BIGINT) * CAST(h AS BIGINT) AS n_pixels
             FROM read_parquet('{_images_parquet(128)}')
+            ORDER BY image_id""",
+        # exact-integer nearest-aspect argmin: key_i = |w*bh_i - h*bw_i|
+        # * (lcm(bh)/bh_i) shares denominator h*lcm(bh) across buckets,
+        # so ORDER BY (k, i) replays Spark's struct array_min bit-for-bit
+        "images_aspect_buckets": f"""
+            WITH b(i, bw, bh, m) AS (VALUES {_aspect_bucket_values_sql()}),
+            keyed AS (
+              SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                     b.i, b.bw, b.bh,
+                     abs(CAST(w AS BIGINT) * b.bh - CAST(h AS BIGINT) * b.bw) * b.m AS k
+              FROM read_parquet('{_images_parquet(128)}') CROSS JOIN b),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY k, i) AS rn
+              FROM keyed)
+            SELECT image_id, w, h, i AS bucket_idx, bw AS bucket_w, bh AS bucket_h
+            FROM ranked WHERE rn = 1
             ORDER BY image_id""",
         # magic-byte sniff replay: the CASE arms are GENERATED from the
         # same MAGIC_HEX table the Spark expression compiles from, so

@@ -795,3 +795,34 @@ def test_format_audit_flags_planted_lies(spark):
         "lie-real": ("jpeg", True),
         "garbage": ("unknown", True),
     }
+
+
+def test_aspect_bucket_assignments_planted(spark):
+    # square -> bucket 0; 2:1 wide -> (1344,768); 1:2 tall -> (768,1344);
+    # extreme 10:1 -> the widest bucket (1536,640)
+    rows = [
+        ("sq", 100, 100),
+        ("wide", 200, 100),
+        ("tall", 100, 200),
+        ("pano", 1000, 100),
+        # 16/14 = 8/7 sits EXACTLY midway (linear distance) between the
+        # 1:1 and 1152:896 (=9/7) buckets: both scaled keys are 2*lcm,
+        # so the tie must break to the lower bucket index (0)
+        ("tie", 16, 14),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    got = {
+        r["image_id"]: (r["bucket_idx"], r["bucket_w"], r["bucket_h"])
+        for r in mm.aspect_bucket_assignments(df).collect()
+    }
+    assert got["sq"] == (0, 1024, 1024)
+    assert got["wide"] == (5, 1344, 768)
+    assert got["tall"] == (6, 768, 1344)
+    assert got["pano"] == (7, 1536, 640)
+    assert got["tie"] == (0, 1024, 1024)
+
+
+def test_aspect_bucket_plan_is_narrow(spark):
+    df = spark.createDataFrame([("a", 10, 20)], "image_id string, w int, h int")
+    plan = mm.aspect_bucket_assignments(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -736,3 +736,81 @@ def caption_alignment(
         F.col(bytes_col).alias(bytes_col),
         F.col(caption_col).alias(caption_col),
     ).mapInPandas(kernel, f"{id_col} {id_type}, align double, ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing (training-shard prep)
+# ---------------------------------------------------------------------------
+
+# The SDXL-style ~1-megapixel bucket ladder (public: NovelAI aspect-bucket
+# scheme, Podell et al. 2023 appendix I) — landscape and portrait pairs
+# around square, all multiples of 64. Assignment depends only on the
+# bucket's RATIO, so the same table serves any input resolution.
+SDXL_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1024, 1024),
+    (1152, 896),
+    (896, 1152),
+    (1216, 832),
+    (832, 1216),
+    (1344, 768),
+    (768, 1344),
+    (1536, 640),
+    (640, 1536),
+)
+
+
+def aspect_bucket_assignments(
+    df: DataFrame,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    buckets: tuple[tuple[int, int], ...] = SDXL_BUCKETS,
+) -> DataFrame:
+    """Assign every image to the nearest aspect-ratio bucket — the
+    batching prep step resolution-diverse image training uses so a
+    batch shares one crop shape (aspect bucketing; no reference analog,
+    north-rule training-pipeline addition).
+
+    Nearest means min |w/h - bw_i/bh_i|, computed in EXACT integer
+    arithmetic so any engine replays it bit-for-bit: the distances
+    share denominator h * lcm(bh) once each bucket's |w*bh_i - h*bw_i|
+    is scaled by lcm(bh)/bh_i, so the argmin key is
+
+        key_i = abs(w*bh_i - h*bw_i) * (lcm(bh)/bh_i)
+
+    (h is common to all buckets and drops out). Ties break to the
+    lowest bucket index via lexicographic struct comparison. Magnitude:
+    w,h <= 2^31, bh <= 2^11, lcm/bh < 2^18 -> key < 2^61, inside long.
+
+    The whole assignment is one whole-stage-codegen projection —
+    ``array_min`` over a literal struct array; zero shuffle, zero
+    Python, no join against a bucket table (the table is a plan
+    literal, the idiom `curation.denylist_filter` uses for small
+    InSet-able dimensions).
+
+    Output: ``(id_col, w, h, bucket_idx int, bucket_w int, bucket_h
+    int)``.
+    """
+    import math
+
+    lcm = math.lcm(*[bh for _, bh in buckets])
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    entries = [
+        F.struct(
+            (F.abs(w * F.lit(bh) - h * F.lit(bw)) * F.lit(lcm // bh)).alias("k"),
+            F.lit(i).alias("i"),
+            F.lit(bw).alias("bw"),
+            F.lit(bh).alias("bh"),
+        )
+        for i, (bw, bh) in enumerate(buckets)
+    ]
+    best = F.array_min(F.array(*entries))
+    return df.select(
+        F.col(id_col).alias(id_col),
+        w.alias("w"),
+        h.alias("h"),
+        best["i"].alias("bucket_idx"),
+        best["bw"].alias("bucket_w"),
+        best["bh"].alias("bucket_h"),
+    )
