@@ -251,27 +251,61 @@ def run_image_pipeline(
     return min(rounds), recall, precision, rounds, stage_rows
 
 
-def run_exact_ladder(spark, n_images: int, repeats: int = 2) -> float:
-    """Best wall seconds for the EXACT dup ladder alone over the image
-    table — the honest like-for-like against the reference's headline
-    number (233k files/s warm content-hash scan, README.md:142): same
-    semantics (size -> prefix -> suffix -> full hash duplicate groups),
-    same warm-input protocol (the table is memory-cached), minus the
-    filesystem walk neither side is measuring here."""
+#: large corpus size for the ladder's marginal-throughput measurement
+LADDER_4X_IMAGES = int(os.environ.get("SPARK_GRAFT_LADDER_4X_IMAGES", str(4 * N_IMAGES)))
+
+
+def run_exact_ladder(spark, n_images: int, repeats: int = 2) -> dict:
+    """Wall seconds for the EXACT dup ladder alone over the image table —
+    the honest like-for-like against the reference's headline number
+    (233k files/s warm content-hash scan, README.md:142): same semantics
+    (size -> prefix -> suffix -> full hash duplicate groups), same
+    warm-input protocol (the table is memory-cached), minus the
+    filesystem walk neither side is measuring here.
+
+    Measured at TWO sizes (n and 4n), interleaved, because at sandbox
+    corpus sizes the wall is dominated by per-job FIXED cost (Catalyst
+    planning + AQE re-optimization rounds + stage scheduling, ~2.5 s —
+    paid once per job regardless of row count, amortized to nothing over
+    a 10^12-row run). The size-independent fixed cost cancels in the
+    difference, so the MARGINAL throughput
+
+        (4n - n) / (t_4n - t_n)
+
+    is the per-row rate a large corpus actually sees — the number
+    comparable to the reference's (its 150k-file corpus pays its ~ms
+    process startup, not a distributed scheduler's seconds). Both raw
+    walls and all rounds are reported so the derivation is auditable."""
     from yadf_spark.operators import exact
 
-    df = _images_cached(spark, n_images)
+    df_small = _images_cached(spark, n_images)
+    df_large = _images_cached(spark, LADDER_4X_IMAGES)
 
-    def run():
-        _force(exact.exact_assignments(df))
-
-    run()  # warmup: codegen
-    best = float("inf")
-    for _ in range(repeats):
+    def run(df) -> float:
         t0 = time.monotonic()
-        run()
-        best = min(best, time.monotonic() - t0)
-    return best
+        _force(exact.exact_assignments(df))
+        return time.monotonic() - t0
+
+    run(df_small)  # warmup: codegen + python workers
+    run(df_large)
+    rounds: dict[str, list[float]] = {"small": [], "large": []}
+    for _ in range(repeats):
+        # interleaved: host-noise windows last minutes, so back-to-back
+        # same-size samples would let one window bias a single size
+        rounds["small"].append(round(run(df_small), 3))
+        rounds["large"].append(round(run(df_large), 3))
+    df_large.unpersist()
+    t_n, t_4n = min(rounds["small"]), min(rounds["large"])
+    marginal = (
+        round((LADDER_4X_IMAGES - n_images) / (t_4n - t_n), 1) if t_4n > t_n else None
+    )
+    return {
+        "sec": round(t_n, 3),
+        "sec_4x": round(t_4n, 3),
+        "n_images_4x": LADDER_4X_IMAGES,
+        "rounds": rounds,
+        "marginal_images_per_sec": marginal,
+    }
 
 
 def run_recall_at(spark, n_images: int) -> tuple[float, float]:
@@ -307,6 +341,11 @@ def main() -> None:
     # scaling session is never stuck generating 200k images
     spark = restart_spark(CPUS, app_name="bench-queries")
     queries = run_headline_queries(spark)
+    # exact ladder on THIS full-core session: the reference's 233k
+    # files/s is a warm ALL-cores single-node scan, so the like-for-like
+    # runs at the sandbox's full width too (the 8-core scaling session
+    # would conflate the comparison with a core-count handicap)
+    ladder = run_exact_ladder(spark, N_IMAGES)
     _images_cached(spark, N_IMAGES).unpersist()
     if SCALING_IMAGES != N_IMAGES:
         _images_cached(spark, SCALING_IMAGES).unpersist()
@@ -394,7 +433,6 @@ def main() -> None:
     # full near-dup pipeline throughput, on the last large session
     t_pipeline, recall, precision, pipeline_rounds, stage_rows = run_image_pipeline(spark, N_IMAGES)
     recall2, precision2 = run_recall_at(spark, RECALL_2_IMAGES)
-    t_ladder = run_exact_ladder(spark, N_IMAGES)
 
     efficiency = (t_small * SMALL_CORES) / (t_large * LARGE_CORES)
     result.update(
@@ -408,9 +446,15 @@ def main() -> None:
             "pipeline_stage_rows": stage_rows,
             "pipeline_images_per_sec": round(N_IMAGES / t_pipeline, 1),
             # the one like-for-like vs the reference's warm content-hash
-            # scan (exact ladder, same semantics, warm input)
-            "exact_ladder_sec": round(t_ladder, 3),
-            "exact_ladder_images_per_sec": round(N_IMAGES / t_ladder, 1),
+            # scan (exact ladder, same semantics, warm input). The
+            # headline rate divides out the ~2.5 s per-job fixed cost
+            # via the two-size difference quotient (see run_exact_ladder)
+            "exact_ladder_sec": ladder["sec"],
+            "exact_ladder_sec_4x": ladder["sec_4x"],
+            "exact_ladder_n_images_4x": ladder["n_images_4x"],
+            "exact_ladder_rounds": ladder["rounds"],
+            "exact_ladder_images_per_sec": round(N_IMAGES / ladder["sec"], 1),
+            "exact_ladder_marginal_images_per_sec": ladder["marginal_images_per_sec"],
             "dup_pair_recall": round(recall, 6),
             "dup_pair_recall_by_size": {
                 str(N_IMAGES): round(recall, 6),

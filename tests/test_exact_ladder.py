@@ -319,3 +319,49 @@ def test_prefix_stage_never_merges_differing_tails(spark):
     assert out["t1"].group_key != out["t2"].group_key
     assert out["d1"].group_key == out["d2"].group_key
     assert out["t1"].stage == "full" and out["d1"].stage == "full"
+
+
+def test_truncate_lineage_is_result_invariant(spark):
+    """truncate_lineage only changes WHERE the narrow frame's bytes live
+    (one eager executor-local materialization vs per-branch recompute) —
+    every (id, group_key, stage) verdict must be identical, including
+    null-payload routing through the size-0 bucket."""
+    payloads = {
+        "a": b"mmmmm", "b": b"mmmmm",           # small dup pair
+        "c": bytes(range(256)) * 300,            # 75 KiB unique (suffix stage)
+        "d": bytes(range(256)) * 300,            # its dup
+        "e": b"x" * 5000, "f": b"y" * 5000,      # same size, differ at prefix
+    }
+    df = _df(spark, payloads)
+    df = df.unionByName(
+        spark.createDataFrame([("g", None)], "image_id string, bytes binary")
+    )
+
+    def verdicts(truncate: bool):
+        cfg = LadderConfig(truncate_lineage=truncate)
+        return {
+            r.id: (r.size, r.group_key, r.stage)
+            for r in exact.exact_assignments(df, cfg=cfg).collect()
+        }
+
+    assert verdicts(True) == verdicts(False)
+
+
+def test_truncate_lineage_materializes_narrow_once(spark):
+    """With truncation on (the default) the union branches must all scan
+    the checkpointed narrow RDD — the payload-hashing projection runs
+    exactly once, not once per branch. Observable in the plan: the
+    branches read an ExistingRDD and no prefix-hash expression survives
+    downstream of it; with truncation off the declarative plan keeps the
+    hash expressions (the pure-plan mode plan tests rely on)."""
+    rows = [(f"id{i}", bytes([i % 7]) * (50 + i % 3)) for i in range(64)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    on = exact.exact_assignments(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in on or "LogicalRDD" in on
+    off = (
+        exact.exact_assignments(df, cfg=LadderConfig(truncate_lineage=False))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" in off

@@ -30,6 +30,17 @@ class LadderConfig:
     #: broadcast it for the semi-join against the source scan (avoids
     #: shuffling the payload column entirely)
     broadcast_candidates_below: int = 2_000_000
+    #: materialize the narrow (id, size, p_hash, s_hash) frame once
+    #: (eager localCheckpoint) before the stage group-bys fan out. The
+    #: ladder's four output branches are a union whose subplans Catalyst
+    #: does NOT de-duplicate (no ReusedExchange across the branches —
+    #: measured), so without this each branch re-reads the payload and
+    #: re-runs the prefix/suffix hashing: the hash pass — THE dominant
+    #: cost at 100 TB — would execute up to 4x. Truncating costs one
+    #: ~60 B/row materialization to executor-local storage (the same
+    #: stage-boundary posture as plans.checkpoint.Checkpointer); set
+    #: False to get a pure declarative plan (plan tests / explain).
+    truncate_lineage: bool = True
 
 
 @dataclass(frozen=True)

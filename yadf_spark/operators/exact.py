@@ -122,6 +122,17 @@ def exact_assignments(
             hashes.suffix_hash(F.col("payload"), cfg.suffix_len, cfg.algo),
         ).alias("s_hash"),
     )
+    if cfg.truncate_lineage:
+        # The four output branches below are a UNION over subplans that
+        # all contain `narrow`; Catalyst plans each branch independently
+        # and does not reuse exchanges across them (measured: zero
+        # ReusedExchange in the ladder plan), so a lazy `narrow` gets its
+        # payload scan + prefix/suffix hashing re-executed per branch —
+        # the one pass that must run exactly once at 100 TB. One eager
+        # ~60 B/row materialization (executor-local blocks, released by
+        # the context cleaner with the returned frame) pins it to once;
+        # measured ~2x wall on the 150k-image bench corpus.
+        narrow = narrow.localCheckpoint(eager=True)
 
     # stage 1: size grouping — the zero-cost prefilter (G1/G2).
     t1 = _with_group_count(narrow, ["size"], "n_size")
