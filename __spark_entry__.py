@@ -2820,13 +2820,15 @@ def q_images_representatives(spark, sf_dir):
 
 
 def _flip_images_parquet(n_bases: int = 48) -> str:
-    """Fixture for flip-invariant near-dup: deterministic images with
-    8-multiple dims (where the dihedral bit-permutation is exact);
-    every 4th base gains a mirrored copy and every 8th a 180-rotated
-    copy. Stored truth: each image's four 16-bit bands over the
-    canonical dihedral phash, computed single-process by the SAME pure
-    kernels (codec.perceptual_hash -> multimodal.canonical_phash_kernel)
-    the distributed path applies — DuckDB replays the band-OR join."""
+    """Fixture for flip/rotation-invariant near-dup: deterministic
+    images with 8-multiple dims (where the dihedral bit-permutation is
+    exact); every 4th base gains a mirrored copy, every 8th a
+    180-rotated copy, and every 6th a 90-rotated copy (w/h swap — the
+    full-D4 case the Klein subgroup missed). Stored truth: each image's
+    four 16-bit bands over the canonical dihedral phash, computed
+    single-process by the SAME pure kernels (codec.perceptual_hash ->
+    multimodal.canonical_phash_kernel) the distributed path applies —
+    DuckDB replays the band-OR join."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -2834,13 +2836,16 @@ def _flip_images_parquet(n_bases: int = 48) -> str:
     from yadf_spark.fixtures import codec
     from yadf_spark.operators import multimodal as mm
 
-    path = f"/tmp/yadf_contract_flip_images_{n_bases}.parquet"
+    # _d4 suffix: the canonical kernel widened from the Klein 4-group to
+    # full D4 — a stale 4-orbit stored-truth file must never be reused
+    path = f"/tmp/yadf_contract_flip_images_d4_{n_bases}.parquet"
     if not os.path.exists(path):
         ids: list[str] = []
         payloads: list[bytes] = []
         phashes: list[int] = []
 
         def add(iid: str, px) -> None:
+            px = np.ascontiguousarray(px)
             ids.append(iid)
             payloads.append(codec.encode_png(px))
             phashes.append(codec.perceptual_hash(px))
@@ -2854,6 +2859,8 @@ def _flip_images_parquet(n_bases: int = 48) -> str:
                 add(f"flip-{i:04d}", px[:, ::-1])
             if i % 8 == 0:
                 add(f"rot-{i:04d}", px[::-1, ::-1])
+            if i % 6 == 0:
+                add(f"rot90-{i:04d}", px.transpose(1, 0, 2)[::-1, :, :])
         canon = mm.canonical_phash_kernel(np.array(phashes, dtype=np.int64))
         cu = canon.view(np.uint64)
         cols = {
@@ -2872,11 +2879,11 @@ def _flip_images_parquet(n_bases: int = 48) -> str:
 
 def q_images_flip_near_dup(spark, sf_dir):
     """Mirror/rotation-invariant near-dup candidates: decode -> phash ->
-    canonical dihedral phash (orbit minimum over 4 bit permutations —
-    no extra decode per transform) -> 4x16-bit bands -> the shared
-    salted bucket expansion. Catches mirrored/rotated reposts the plain
-    phash bands miss; oracle replays the band-OR join over stored-truth
-    bands from the same pure kernels."""
+    canonical dihedral phash (orbit minimum over the 8 D4 bit
+    permutations — no extra decode per transform) -> 4x16-bit bands ->
+    the shared salted bucket expansion. Catches mirrored AND 90/180/270-
+    rotated reposts the plain phash bands miss; oracle replays the
+    band-OR join over stored-truth bands from the same pure kernels."""
     from yadf_spark.operators import multimodal as mm
     from yadf_spark.operators import pipeline as pl
 

@@ -553,14 +553,22 @@ def test_stateful_dedup_counts(spark, tmp_path):
 
 
 def test_dihedral_phash_orbit_invariance():
-    """canonical_phash is identical for an image and its mirror /
-    vertical flip / 180-rotation (exact when dims are multiples of 8):
-    the transform lifts from pixels to a pure bit permutation."""
+    """canonical_phash is identical for an image and ALL EIGHT of its
+    D4 transforms — flips, 180, and the rot90 family that swaps w/h on
+    this deliberately NON-SQUARE image (exact when dims are multiples
+    of 8): each transform lifts from pixels to a pure bit permutation."""
     rng = np.random.default_rng(11)
     px = rng.integers(0, 256, (56, 40, 3), dtype=np.uint8)
-    variants = [px, px[:, ::-1], px[::-1, :], px[::-1, ::-1]]
-    phs = np.array([codec.perceptual_hash(v) for v in variants], dtype=np.int64)
-    assert len(set(phs.tolist())) == 4  # plain phash misses all of them
+    t = px.transpose(1, 0, 2)
+    variants = [
+        px, px[:, ::-1], px[::-1, :], px[::-1, ::-1],        # Klein subgroup
+        t, t[::-1, :], t[:, ::-1], t[::-1, ::-1],            # rot90 family
+    ]
+    phs = np.array(
+        [codec.perceptual_hash(np.ascontiguousarray(v)) for v in variants],
+        dtype=np.int64,
+    )
+    assert len(set(phs.tolist())) == 8  # plain phash misses all of them
     canon = mm.canonical_phash_kernel(phs)
     assert len(set(canon.tolist())) == 1
     # the orbit of the base phash covers every transform's phash

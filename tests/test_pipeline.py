@@ -255,6 +255,40 @@ def test_flip_invariant_pipeline_clusters_mirrored_repost(spark):
     assert len(set(others)) == len(others)
 
 
+def test_flip_invariant_pipeline_clusters_rotated_repost(spark):
+    """A 90-rotated re-encode of a NON-SQUARE image sharing its caption:
+    the rotation swaps w/h, so neither the plain phash bands nor a
+    Klein-subgroup canonicalization can catch it — the full-D4 orbit
+    does, and orientation-max PSNR verifies against the transposed
+    views. Default config must still keep the pair apart."""
+    import numpy as np
+
+    from yadf_spark.config import NearDupConfig
+    from yadf_spark.fixtures import codec
+
+    rng = np.random.default_rng(27)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+        cap = f"distinct rotated-test caption {i} with several words " * 3
+        rows.append((f"rt-{i:02d}", codec.encode_png(px), cap))
+        if i == 5:
+            rot90 = np.ascontiguousarray(px.transpose(1, 0, 2)[::-1, :, :])
+            rows.append((f"rt-{i:02d}-rot90", codec.encode_png(rot90), cap))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    df = pipeline.prepare_images(df)
+
+    base = pipeline.near_dup_pipeline(df, NearDupConfig())
+    b = {r.image_id: r.cluster_id for r in base["clusters"].collect()}
+    assert b["rt-05"] != b["rt-05-rot90"]
+
+    flip = pipeline.near_dup_pipeline(df, NearDupConfig(flip_invariant=True))
+    m = {r.image_id: r.cluster_id for r in flip["clusters"].collect()}
+    assert m["rt-05"] == m["rt-05-rot90"]
+    others = [v for k, v in m.items() if not k.startswith("rt-05")]
+    assert len(set(others)) == len(others)
+
+
 def test_star_and_trivial_branches_never_duplicate_a_pair(spark):
     """Regression: x<y<z share a viral caption, bytes(x)==bytes(y) but
     z differs, x is the subgroup rep — (x,y) used to be emitted by BOTH

@@ -127,7 +127,8 @@ class NearDupConfig:
     caption_min_jaccard: float = 0.8
     psnr_min_db: float = 40.0
     max_cc_iterations: int = 20
-    #: catch mirrored / vertically-flipped / 180-rotated reposts: bands
-    #: the CANONICAL dihedral phash (orbit-min bit permutation) and
-    #: verifies with orientation-max PSNR + canonical star subgroups
+    #: catch mirrored / vertically-flipped / 90-180-270-rotated reposts
+    #: (the full dihedral group D4): bands the CANONICAL dihedral phash
+    #: (orbit-min over 8 bit permutations, no extra decode) and verifies
+    #: with orientation-max PSNR + canonical star subgroups
     flip_invariant: bool = False

@@ -317,18 +317,23 @@ def frame_sample(
 # ---------------------------------------------------------------------------
 
 def dihedral_phash_orbit(phash_arr: np.ndarray) -> np.ndarray:
-    """The 4 phash values an image's Klein-group transforms (identity,
-    mirror, vertical flip, 180-degree rotation) would produce — computed
-    as pure BIT permutations of the stored 64-bit phash, no pixel decode.
+    """The 8 phash values an image's full dihedral-group (D4) transforms
+    — identity, mirror, vertical flip, 180-rotation, transpose, 90- and
+    270-rotation, anti-transpose — would produce, computed as pure BIT
+    permutations of the stored 64-bit phash, no pixel decode.
 
     The block-mean phash grid of ``fliplr(img)`` IS the column-reversed
-    grid of ``img`` (mean pooling commutes with the flip and the median
-    threshold is permutation-invariant), so the transform lifts to a
+    grid of ``img``, and the grid of ``rot90(img)`` IS a transposed+
+    reversed grid (mean pooling commutes with every D4 element because
+    the 8x8 cell boundaries map onto each other, and the median
+    threshold is permutation-invariant), so each transform lifts to a
     bit shuffle — exact when w and h are multiples of the 8x8 grid, a
     recall heuristic (verification still gates) otherwise, since the
-    crop-to-multiple-of-8 then trims opposite edges.
+    crop-to-multiple-of-8 then trims opposite edges. The 8 transforms
+    form a group, so canonicalizing by orbit-min is idempotent across
+    any chain of flips/rotations of a repost.
 
-    Vectorized: (n,) int64 -> (n, 4) uint64, a few numpy reshapes."""
+    Vectorized: (n,) int64 -> (n, 8) uint64, a few numpy reshapes."""
     n = len(phash_arr)
     u = phash_arr.astype(np.int64).view(np.uint64)
     # little-endian uint64 -> MSB-first bit matrix = the flattened 8x8
@@ -337,13 +342,18 @@ def dihedral_phash_orbit(phash_arr: np.ndarray) -> np.ndarray:
         np.unpackbits(u.view(np.uint8).reshape(n, 8)[:, ::-1], axis=1)
         .reshape(n, 8, 8)
     )
+    tgrid = grid.transpose(0, 2, 1)    # transpose: the rot90 family's base
     variants = (
         grid,
         grid[:, :, ::-1],          # fliplr: columns reverse
         grid[:, ::-1, :],          # flipud: rows reverse
         grid[:, ::-1, ::-1],       # rot180: both
+        tgrid,                     # transpose (main diagonal)
+        tgrid[:, ::-1, :],         # rot90
+        tgrid[:, :, ::-1],         # rot270
+        tgrid[:, ::-1, ::-1],      # anti-transpose
     )
-    out = np.empty((n, 4), dtype=np.uint64)
+    out = np.empty((n, 8), dtype=np.uint64)
     for j, v in enumerate(variants):
         b8 = np.packbits(np.ascontiguousarray(v).reshape(n, 64), axis=1)
         val = np.zeros(n, dtype=np.uint64)
@@ -355,8 +365,10 @@ def dihedral_phash_orbit(phash_arr: np.ndarray) -> np.ndarray:
 
 def canonical_phash_kernel(phash_arr: np.ndarray) -> np.ndarray:
     """Orbit minimum (unsigned) of ``dihedral_phash_orbit`` as signed
-    int64 — identical for an image and any of its 4 transforms, so one
-    band pass over this value catches mirrored/rotated reposts."""
+    int64 — identical for an image and any of its 8 D4 transforms, so
+    one band pass over this value catches mirrored AND rotated reposts
+    (90/180/270), including non-square images whose rotation swaps
+    w and h."""
     return dihedral_phash_orbit(phash_arr).min(axis=1).view(np.int64)
 
 

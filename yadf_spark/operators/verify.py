@@ -46,12 +46,15 @@ def _pair_psnr_kernel(bytes_a: pd.Series, bytes_b: pd.Series) -> pd.Series:
 
 
 def _pair_psnr_kernel_dihedral(bytes_a: pd.Series, bytes_b: pd.Series) -> pd.Series:
-    """Orientation-max PSNR: the best PSNR of ``a`` against ``b``'s four
-    Klein-group transforms (identity, mirror, vertical flip, 180
-    rotation) — a mirrored re-encode of the same shot scores as the
-    re-encode it is. One decode per side; the three extra orientations
-    are numpy views, so the added cost is 3 more elementwise diffs on
-    the (already tiny) decode-tier pair set."""
+    """Orientation-max PSNR: the best PSNR of ``a`` against ``b``'s
+    eight dihedral-group (D4) transforms — identity, mirror, vertical
+    flip, 180-rotation, transpose, 90/270-rotation, anti-transpose — so
+    a mirrored OR rotated re-encode of the same shot scores as the
+    re-encode it is. One decode per side; the seven extra orientations
+    are numpy views, and the shape guard skips the rot90 family for
+    free on non-square pairs whose dims can't match (a 90-rotated
+    repost of a non-square image has swapped w/h, which the guard
+    matches against ``a``'s own shape)."""
     import numpy as np
 
     from yadf_spark.fixtures.codec import decode_image, psnr
@@ -64,8 +67,12 @@ def _pair_psnr_kernel_dihedral(bytes_a: pd.Series, bytes_b: pd.Series) -> pd.Ser
         try:
             pa_ = decode_image(bytes(a))
             pb_ = decode_image(bytes(b))
+            tb = pb_.transpose(1, 0, 2)
             best = -1.0
-            for t in (pb_, pb_[:, ::-1], pb_[::-1, :], pb_[::-1, ::-1]):
+            for t in (
+                pb_, pb_[:, ::-1], pb_[::-1, :], pb_[::-1, ::-1],
+                tb, tb[:, ::-1], tb[::-1, :], tb[::-1, ::-1],
+            ):
                 if t.shape == pa_.shape:
                     v = psnr(pa_, t)
                     best = max(best, 1e9 if np.isinf(v) else float(v))
