@@ -784,6 +784,32 @@ def q_dedup_lines_docs(spark, sf_dir):
     return out.orderBy("doc")
 
 
+def q_repeated_spans_docs(spark, sf_dir):
+    """Corpus-level EXACT repeated substrings (the ExactSubstr pass of
+    Lee et al. 2022): maximal character spans covered by a 30-char
+    window occurring in >= 2 distinct documents. Windows explode as
+    (id, pos, md5) rows — ~24 B each, text never shuffles — and the
+    per-doc merge is the sessionize lag+cumsum idiom. md5 keys so the
+    DuckDB oracle replays window hashing, the hot set, and the interval
+    merge bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.repeated_spans(d, "doc_id", "text", min_len=30, algo="md5")
+    return out.select(
+        F.col("id").alias("doc_id"), "span_start", "span_end"
+    ).orderBy("doc_id", "span_start")
+
+
+def q_strip_spans_docs(spark, sf_dir):
+    """ExactSubstr applied: every repeated span cut from every document
+    (the paper's all-occurrences policy). The oracle reconstructs the
+    cleaned STRING too — gap substrings between consecutive spans plus
+    the tail, string_agg'd in span order — so the JVM fold that builds
+    clean_text is value-checked end to end, not just its length."""
+    d = _t(spark, sf_dir, "documents")
+    out = curation.strip_repeated_spans(d, "doc_id", "text", min_len=30, algo="md5")
+    return out.orderBy("doc_id")
+
+
 def q_shuffle_shards_docs(spark, sf_dir):
     """Deterministic sharded training-order shuffle: content-addressed
     shard in [0,8) plus an in-shard position ordered by an independent
@@ -2944,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "chunk_docs": q_chunk_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
+        "repeated_spans_docs": q_repeated_spans_docs,
+        "strip_spans_docs": q_strip_spans_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
         "quantile_filter_docs": q_quantile_filter_docs,
         "source_overlap": q_source_overlap,
@@ -3431,6 +3459,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM f GROUP BY doc ORDER BY doc""",
+        # ExactSubstr shared CTE shape: window hashes -> hot set ->
+        # lag+cumsum interval merge — the exact replay of
+        # curation.repeated_spans(min_len=30, min_docs=2, algo='md5')
+        "repeated_spans_docs": """
+            WITH w AS (
+              SELECT d.doc_id, CAST(p.pos AS BIGINT) AS pos,
+                     md5(substr(d.text, CAST(p.pos AS INT) + 1, 30)) AS h
+              FROM documents d,
+                   LATERAL unnest(range(0, length(d.text) - 30 + 1)) p(pos)
+              WHERE length(d.text) >= 30),
+            hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            m AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
+            g AS (SELECT doc_id, pos,
+                         CASE WHEN lag(pos) OVER w1 IS NULL
+                               OR pos > lag(pos) OVER w1 + 30 THEN 1 ELSE 0 END AS brk
+                  FROM m WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+            gg AS (SELECT doc_id, pos,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM g)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 30 AS span_end
+            FROM gg GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+        "strip_spans_docs": """
+            WITH w AS (
+              SELECT d.doc_id, CAST(p.pos AS BIGINT) AS pos,
+                     md5(substr(d.text, CAST(p.pos AS INT) + 1, 30)) AS h
+              FROM documents d,
+                   LATERAL unnest(range(0, length(d.text) - 30 + 1)) p(pos)
+              WHERE length(d.text) >= 30),
+            hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            m AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
+            g AS (SELECT doc_id, pos,
+                         CASE WHEN lag(pos) OVER w1 IS NULL
+                               OR pos > lag(pos) OVER w1 + 30 THEN 1 ELSE 0 END AS brk
+                  FROM m WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+            gg AS (SELECT doc_id, pos,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM g),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 30 AS e
+                      FROM gg GROUP BY doc_id, grp),
+            -- per-doc sentinel (len, len): its gap is the tail after the
+            -- last span; docs with no spans get the whole text as one gap
+            sent AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS s,
+                            CAST(length(text) AS BIGINT) AS e
+                     FROM documents WHERE text IS NOT NULL),
+            allsp AS (SELECT * FROM spans UNION ALL SELECT * FROM sent),
+            gaps AS (SELECT doc_id, s,
+                            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                              AS prev_e
+                     FROM allsp),
+            parts AS (SELECT g.doc_id, g.s,
+                             substr(d.text, CAST(g.prev_e AS INT) + 1,
+                                    CAST(g.s - g.prev_e AS INT)) AS gap
+                      FROM gaps g JOIN documents d USING (doc_id)),
+            agg AS (SELECT doc_id, string_agg(gap, '' ORDER BY s) AS clean_text
+                    FROM parts GROUP BY doc_id),
+            stat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                            CAST(sum(e - s) AS BIGINT) AS chars_removed
+                     FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(a.clean_text, d.text) END AS clean_text,
+                   coalesce(st.n_spans, 0) AS n_spans,
+                   coalesce(st.chars_removed, 0) AS chars_removed
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN stat st USING (doc_id)
+            ORDER BY d.doc_id""",
         "shuffle_shards_docs": """
             WITH s AS (
               SELECT doc_id,

@@ -804,3 +804,94 @@ def test_quantile_threshold_filter_rejects_bad_keep(spark):
     df = _docs(spark)
     with pytest.raises(ValueError):
         curation.quantile_threshold_filter(df, "doc_id", "source", keep="top")
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def _substr_corpus(spark):
+    shared = "X" * 40  # one 40-char block shared by two docs
+    rows = [
+        ("a", f"unique-head-AAAA {shared} unique-tail-AAAA"),
+        ("b", f"other-head-BBBBBB {shared} other-tail-BBBBBB"),
+        ("c", "completely unrelated text with no repeats at all and long"),
+        ("d", None),
+        ("e", "short"),
+        ("dup1", "an exactly duplicated document body long enough to clear min_len"),
+        ("dup2", "an exactly duplicated document body long enough to clear min_len"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_repeated_spans_planted_cross_doc(spark):
+    """The shared 40-char block plus its flanking spaces is ONE maximal
+    merged span in each host doc (every 30-window inside ' X*40 ' is
+    cross-doc hot); whole-doc duplicates span their full length; docs
+    with no repeats, short docs, and null text produce no rows."""
+    df = _substr_corpus(spark)
+    spans = {
+        (r.id, r.span_start, r.span_end)
+        for r in curation.repeated_spans(df, "doc_id", "text", min_len=30).collect()
+    }
+    # doc a: 'unique-head-AAAA ' is 17 chars; the hot windows start at 16
+    # (leading space) and the block+both spaces is 42 chars
+    assert ("a", 16, 58) in spans
+    assert ("b", 17, 59) in spans
+    body_len = len("an exactly duplicated document body long enough to clear min_len")
+    assert ("dup1", 0, body_len) in spans and ("dup2", 0, body_len) in spans
+    assert all(s[0] not in ("c", "d", "e") for s in spans)
+
+
+def test_repeated_spans_occurrences_mode_catches_within_doc(spark):
+    """count_mode='occurrences' (the paper's exact setting) flags a
+    block repeated twice INSIDE one document; the default cross-doc
+    mode must not."""
+    rows = [("w", "Z" * 35 + "-middle-" + "Z" * 35 + " tail goes here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    within = {
+        (r.span_start, r.span_end)
+        for r in curation.repeated_spans(
+            df, "doc_id", "text", min_len=30, count_mode="occurrences"
+        ).collect()
+    }
+    assert within == {(0, 35), (43, 78)}
+    assert curation.repeated_spans(df, "doc_id", "text", min_len=30).count() == 0
+
+
+def test_strip_repeated_spans_planted(spark):
+    """Cut spans leave exactly the non-repeated flanks; every input row
+    survives (zero-span docs whole, null text null); both copies of a
+    full duplicate empty out (the paper's all-occurrences policy)."""
+    df = _substr_corpus(spark)
+    out = {r.doc_id: r for r in curation.strip_repeated_spans(df, "doc_id", "text", min_len=30).collect()}
+    assert len(out) == 7
+    assert out["a"].clean_text == "unique-head-AAAAunique-tail-AAAA"
+    assert out["b"].clean_text == "other-head-BBBBBBother-tail-BBBBBB"
+    assert out["a"].n_spans == 1 and out["a"].chars_removed == 42
+    assert out["dup1"].clean_text == "" and out["dup2"].clean_text == ""
+    assert out["c"].clean_text.startswith("completely") and out["c"].n_spans == 0
+    assert out["d"].clean_text is None and out["d"].chars_removed == 0
+    assert out["e"].clean_text == "short"
+
+
+def test_repeated_spans_never_shuffles_text(spark):
+    """The window rows that cross the frequency shuffle are (id, pos,
+    hash) only — the document text must not appear in any hash-partition
+    exchange (the ~24 B/row scale posture the docstring claims)."""
+    df = _substr_corpus(spark)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        curation.repeated_spans(df, "doc_id", "text", min_len=30)._jdf.queryExecution(),
+        "formatted",
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+
+
+def test_repeated_spans_rejects_bad_count_mode(spark):
+    import pytest
+
+    df = _substr_corpus(spark)
+    with pytest.raises(ValueError):
+        curation.repeated_spans(df, "doc_id", "text", count_mode="corpus")

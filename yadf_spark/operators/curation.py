@@ -1218,3 +1218,163 @@ def fuzzy_decontaminate(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level exact substring dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 30,
+    stride: int = 1,
+    min_docs: int = 2,
+    count_mode: str = "docs",
+    algo: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-level EXACT repeated substrings — the ExactSubstr pass of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022): every character span covered by some ``min_len``-char
+    window that occurs in >= ``min_docs`` distinct documents
+    (``count_mode="docs"``) or >= ``min_docs`` times anywhere in the
+    corpus including within one document (``count_mode="occurrences"``,
+    the paper's exact setting). Overlapping and touching windows merge
+    into maximal spans.
+
+    Output: ``(id, span_start, span_end)`` — 0-based, half-open, merged,
+    one row per maximal repeated span.
+
+    The paper builds one corpus-wide suffix array; that is a single
+    shared mutable structure no executor model fits. The Spark-native
+    shape is windows-as-rows:
+
+    * window extraction is a **narrow map**: ``sequence(0, len-L,
+      stride)`` explodes each document into ``(id, pos, hash)`` rows of
+      ~24 bytes — the window TEXT is hashed inside the projection and
+      never leaves the map task. Total rows = total chars / stride;
+      ``stride`` (and the winnowing operator, functions/text.py) are the
+      knobs that trade recall for volume at 100 TB.
+    * the frequency table is one partial-agg ``groupBy(hash)`` — hot
+      boilerplate windows (the skew risk) combine map-side exactly like
+      the dedup ladder's group counts.
+    * the hot-window set joins back on the fixed-width hash; AQE
+      broadcasts it when small and skew-splits it when a viral window
+      dominates.
+    * span merge is a per-document window (lag + running-group cumsum,
+      the sessionize idiom from operators/temporal.py) — bounded by one
+      document's own window count, never corpus-wide.
+
+    ``algo="md5"`` keys windows portably so a DuckDB oracle replays the
+    verdicts bit-for-bit; the default ``xxhash64`` stays 8 bytes wide.
+    64-bit collisions merely add a false span at ~10^-19 per pair — use
+    md5 where that matters.
+    """
+    if count_mode not in ("docs", "occurrences"):
+        raise ValueError(f"count_mode must be 'docs' or 'occurrences', got {count_mode!r}")
+    text = F.col(text_col)
+    win_text = text.substr(F.col("pos") + 1, F.lit(min_len))
+    key = F.md5(win_text) if algo == "md5" else F.xxhash64(win_text).cast("string")
+    windows = (
+        df.where(F.length(text) >= min_len)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text) - min_len, F.lit(stride))
+            ).alias("pos"),
+            text,
+        )
+        .select("id", F.col("pos").cast("long").alias("pos"), key.alias("h"))
+    )
+    freq = F.count_distinct("id") if count_mode == "docs" else F.count("*")
+    hot = windows.groupBy("h").agg(freq.alias("n")).where(F.col("n") >= min_docs).select("h")
+    marked = windows.join(hot, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), 1)
+        .when(F.col("pos") > F.lag("pos").over(w) + min_len, 1)
+        .otherwise(0)
+    )
+    grouped = marked.withColumn("brk", brk).withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 30,
+    stride: int = 1,
+    min_docs: int = 2,
+    count_mode: str = "docs",
+    algo: str = "xxhash64",
+) -> DataFrame:
+    """Apply :func:`repeated_spans`: cut every repeated span out of
+    every document (the paper's policy — ALL occurrences go, which
+    deletes both copies of a fully-duplicated document; keep-one
+    whole-document semantics is ``cluster_representatives`` over the
+    exact-dedup clusters instead).
+
+    Output: ``(id, clean_text, n_spans, chars_removed)`` — every input
+    row survives (zero-span documents pass through whole, null text
+    stays null with zero counts).
+
+    The cut is a JVM fold (``aggregate``) over each document's sorted
+    span array: spans arrive pre-merged and non-overlapping from
+    repeated_spans, so one left-to-right pass concatenates the kept
+    gaps. The only payload shuffle is the spans join — span arrays are
+    bytes per document, the text column never crosses an exchange
+    (the groupBy that built spans carried (id, pos) rows only)."""
+    spans = repeated_spans(
+        df, id_col, text_col, min_len, stride, min_docs, count_mode, algo
+    )
+    # rename the join key so an ``id_col`` literally named "id" never
+    # collides with the spans frame's own output column
+    per_doc = (
+        spans.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans"))
+        .withColumnRenamed("id", "_rs_id")
+    )
+    text = F.col(text_col)
+    init = F.struct(F.lit(0).cast("long").alias("prev"), F.lit("").alias("acc"))
+    step = lambda a, s: F.struct(  # noqa: E731
+        s["span_end"].alias("prev"),
+        F.concat(
+            a["acc"], text.substr((a["prev"] + 1).cast("int"), (s["span_start"] - a["prev"]).cast("int"))
+        ).alias("acc"),
+    )
+    fin = lambda a: F.concat(  # noqa: E731
+        a["acc"], text.substr((a["prev"] + 1).cast("int"), (F.length(text) - a["prev"]).cast("int"))
+    )
+    clean = F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.col("_spans").isNull(), text).otherwise(
+            F.aggregate(F.col("_spans"), init, step, fin)
+        )
+    )
+    removed = F.coalesce(
+        F.aggregate(
+            F.col("_spans"),
+            F.lit(0).cast("long"),
+            lambda a, s: a + (s["span_end"] - s["span_start"]),
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_rs_id"], "left")
+        .select(
+            F.col(id_col),
+            clean.alias("clean_text"),
+            F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            removed.alias("chars_removed"),
+        )
+    )
