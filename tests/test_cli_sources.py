@@ -835,3 +835,44 @@ def test_against_ingest_gate_image_mode(spark, tmp_path):
     novel = spark.read.parquet(novel_tbl)
     assert [r["image_id"] for r in novel.collect()] == ["n_novel"]
     assert set(novel.columns) == {"image_id", "bytes", "caption"}
+
+
+def test_strip_spans_cli_text_mode(spark, tmp_path):
+    """--strip-spans writes the ExactSubstr-cleaned corpus: the shared
+    block is cut from both host docs, the unrelated doc passes whole,
+    and the flag is rejected outside text mode."""
+    import pytest
+
+    tbl = str(tmp_path / "docs.parquet")
+    # flanks share NO substring at all — the only cross-doc repeat is the
+    # block plus its two flanking spaces (a shared tail prefix would
+    # legitimately extend the span: ExactSubstr takes MAXIMAL repeats)
+    shared = "Q" * 60
+    rows = [
+        ("d1", f"alpha-head-one {shared} tail-one-xyz"),
+        ("d2", f"beta-start-two {shared} end-two-abc"),
+        ("d3", "entirely unrelated content with no repeated block inside it at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id string, caption string").write.parquet(tbl)
+    out_dir = tmp_path / "clean"
+    _cli(
+        spark,
+        [
+            "-f", "json", "--mode", "text-near-dup", "--table", tbl,
+            "--id-col", "doc_id", "--strip-spans", str(out_dir),
+            "--span-min-len", "50",
+        ],
+    )
+    got = {r.image_id: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got["d1"].clean_text == "alpha-head-onetail-one-xyz"
+    assert got["d2"].clean_text == "beta-start-twoend-two-abc"
+    assert got["d1"].chars_removed == 62  # block + both flanking spaces
+    assert got["d3"].n_spans == 0 and got["d3"].clean_text.startswith("entirely")
+
+    with pytest.raises(SystemExit):
+        run(
+            build_parser().parse_args(
+                ["--mode", "exact", "--table", tbl, "--strip-spans", str(out_dir)]
+            ),
+            spark=spark,
+        )

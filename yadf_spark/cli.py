@@ -111,6 +111,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact-Jaccard verification threshold for text-near-dup",
     )
     p.add_argument(
+        "--strip-spans",
+        default=None,
+        metavar="DIR",
+        help="(--mode text-near-dup) also run corpus-level exact "
+        "substring dedup (ExactSubstr, Lee et al. 2022): cut every "
+        "character span covered by a --span-min-len-char window that "
+        "repeats across >= 2 documents, and write (id, clean_text, "
+        "n_spans, chars_removed) parquet to DIR — all occurrences are "
+        "removed, the paper's policy; use --survivors for keep-one "
+        "whole-document semantics",
+    )
+    p.add_argument(
+        "--span-min-len", type=int, default=50,
+        help="(--strip-spans) minimum repeated-window length in chars",
+    )
+    p.add_argument(
         "--against",
         default=None,
         help="(--mode text-near-dup / near-dup) fuzzy ingest gate: match "
@@ -384,6 +400,8 @@ def run(args: argparse.Namespace, spark=None) -> int:
     )
     if args.against and args.mode not in ("text-near-dup", "near-dup"):
         raise SystemExit("--against requires --mode text-near-dup or near-dup")
+    if args.strip_spans and args.mode != "text-near-dup":
+        raise SystemExit("--strip-spans requires --mode text-near-dup")
     if args.novel_table and not args.against:
         raise SystemExit("--novel-table requires --against")
     if args.against and (args.survivors or args.export_dir or args.split_table):
@@ -568,6 +586,16 @@ def run(args: argparse.Namespace, spark=None) -> int:
             )
             clusters = _assign_or_merge(pairs, base)
             groups = _clusters_to_groups(clusters, args, source_df=docs)
+        if args.strip_spans:
+            from yadf_spark.operators import curation
+
+            ck.stage(
+                "strip_spans",
+                {"min_len": args.span_min_len, "filter": flt},
+                lambda: curation.strip_repeated_spans(
+                    docs, "image_id", "text", min_len=args.span_min_len
+                ),
+            ).write.mode("overwrite").parquet(args.strip_spans)
         metrics = ck.metrics() if eager else None
     elif args.mode == "audio-near-dup":
         from yadf_spark.operators import audio as au
