@@ -1253,9 +1253,14 @@ def repeated_spans(
     * window extraction is a **narrow map**: ``sequence(0, len-L,
       stride)`` explodes each document into ``(id, pos, hash)`` rows of
       ~24 bytes — the window TEXT is hashed inside the projection and
-      never leaves the map task. Total rows = total chars / stride;
-      ``stride`` (and the winnowing operator, functions/text.py) are the
-      knobs that trade recall for volume at 100 TB.
+      never leaves the map task. Total rows = total chars / stride.
+      CAVEAT on ``stride > 1``: position-sampled windows are not
+      content-defined, so two occurrences of a repeat hash the same
+      window only when their offsets coincide mod stride — fine for
+      whole-document duplicates (both at offset 0) and block-aligned
+      boilerplate, blind to arbitrary-offset repeats; when those must
+      survive subsampling, winnowing fingerprints (functions/text.py)
+      are the alignment-free sampled substitute.
     * the frequency table is one partial-agg ``groupBy(hash)`` — hot
       boilerplate windows (the skew risk) combine map-side exactly like
       the dedup ladder's group counts.
