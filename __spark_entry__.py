@@ -784,6 +784,33 @@ def q_dedup_lines_docs(spark, sf_dir):
     return out.orderBy("doc")
 
 
+def q_strip_html_docs(spark, sf_dir):
+    """HTML text extraction (the C4/CCNet first step). The corpus is
+    plain text, so the query wraps each document in a deterministic
+    HTML shell first — head with a title and style/script blocks (whose
+    content must vanish whole), body tags, an entity-encoded ampersand,
+    every 3rd doc an extra <a> tag — mirrored verbatim in the oracle.
+    The extraction is a pure RE2-subset regex chain: zero shuffles,
+    whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style>"),
+        F.lit("<script>var x = 1 < 2;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>Fish &amp; Chips"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit('<a href="http://x.example">link</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    out = curation.strip_html(d.withColumn("text", html), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "title", "n_tags"
+    ).orderBy("doc_id")
+
+
 def q_repeated_spans_docs(spark, sf_dir):
     """Corpus-level EXACT repeated substrings (the ExactSubstr pass of
     Lee et al. 2022): maximal character spans covered by a 30-char
@@ -2970,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "chunk_docs": q_chunk_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
+        "strip_html_docs": q_strip_html_docs,
         "repeated_spans_docs": q_repeated_spans_docs,
         "strip_spans_docs": q_strip_spans_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
@@ -3459,6 +3487,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM f GROUP BY doc ORDER BY doc""",
+        "strip_html_docs": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                     '</title><style>p { color: red; }</style>' ||
+                     '<script>var x = 1 < 2;</script></head><body><p>' || text ||
+                     '</p>Fish &amp; Chips' ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '<a href="http://x.example">link</a>' ELSE '' END ||
+                     '</body></html>' AS text
+              FROM documents),
+            nb AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
+              FROM h)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(replace(
+                       regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                       '&amp;', '&'),
+                     '\s+', ' ', 'g')) AS clean_text,
+                   nullif(regexp_extract(t, '(?is)<title[^>]*>(.*?)</title>', 1), '')
+                     AS title,
+                   CAST(coalesce(len(regexp_extract_all(t, '<[^>]+>')), 0) AS BIGINT)
+                     AS n_tags
+            FROM nb ORDER BY doc_id""",
         # ExactSubstr shared CTE shape: window hashes -> hot set ->
         # lag+cumsum interval merge — the exact replay of
         # curation.repeated_spans(min_len=30, min_docs=2, algo='md5')

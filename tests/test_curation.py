@@ -895,3 +895,65 @@ def test_repeated_spans_rejects_bad_count_mode(spark):
     df = _substr_corpus(spark)
     with pytest.raises(ValueError):
         curation.repeated_spans(df, "doc_id", "text", count_mode="corpus")
+    with pytest.raises(ValueError):
+        # stride > min_len leaves unsampled gaps inside one occurrence
+        curation.repeated_spans(df, "doc_id", "text", min_len=30, stride=31)
+    with pytest.raises(ValueError):
+        curation.repeated_spans(df, "doc_id", "text", min_len=0)
+
+
+def test_repeated_spans_stride_catches_aligned_duplicates(spark):
+    """stride > 1 keeps alignment-coincident repeats (whole-document
+    duplicates start at offset 0 in both copies) and still merges their
+    windows into one full-length span."""
+    body = "a fully duplicated body string long enough for several windows here"
+    df = spark.createDataFrame(
+        [("s1", body), ("s2", body)], "doc_id string, text string"
+    )
+    spans = {
+        (r.id, r.span_start, r.span_end)
+        for r in curation.repeated_spans(df, "doc_id", "text", min_len=30, stride=5).collect()
+    }
+    last_start = ((len(body) - 30) // 5) * 5
+    assert ("s1", 0, last_start + 30) in spans and ("s2", 0, last_start + 30) in spans
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping
+# ---------------------------------------------------------------------------
+
+def test_strip_html_planted(spark):
+    """Script/style content vanishes whole (including a stray '<' inside
+    the script that would break naive tag-stripping), tags become
+    spaces, entities decode in the order that keeps '&amp;lt;' literal,
+    whitespace collapses, the title extracts, and null text stays null."""
+    rows = [
+        (
+            "a",
+            '<html><head><title>Page One</title><style>p < q {}</style>'
+            '<script>if (1 < 2) { alert("x"); }</script></head>'
+            '<body><p>Hello   <b>world</b></p>Fish &amp; Chips &lt;tag&gt; &amp;lt;</body></html>',
+        ),
+        ("b", "no markup at all"),
+        ("c", None),
+        ("d", "<p>only&nbsp;body</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.id: r for r in curation.strip_html(df, "doc_id", "text").collect()}
+    assert out["a"].clean_text == "Page One Hello world Fish & Chips <tag> &lt;"
+    assert out["a"].title == "Page One"
+    assert out["a"].n_tags > 0
+    assert out["b"].clean_text == "no markup at all" and out["b"].title is None
+    assert out["b"].n_tags == 0
+    assert out["c"].clean_text is None and out["c"].title is None and out["c"].n_tags == 0
+    assert out["d"].clean_text == "only body"
+
+
+def test_strip_html_is_a_narrow_map(spark):
+    """The extraction must stay a zero-shuffle column chain — no
+    Exchange of any kind in the plan."""
+    df = spark.createDataFrame([("a", "<p>x</p>")], "doc_id string, text string")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        curation.strip_html(df, "doc_id", "text")._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

@@ -1278,6 +1278,13 @@ def repeated_spans(
     """
     if count_mode not in ("docs", "occurrences"):
         raise ValueError(f"count_mode must be 'docs' or 'occurrences', got {count_mode!r}")
+    if min_len < 1 or stride < 1:
+        raise ValueError("min_len and stride must be positive")
+    if stride > min_len:
+        # consecutive windows would leave unsampled gaps INSIDE one
+        # occurrence, so even an aligned repeat could split into
+        # disconnected spans — reject rather than silently under-merge
+        raise ValueError(f"stride ({stride}) must not exceed min_len ({min_len})")
     text = F.col(text_col)
     win_text = text.substr(F.col("pos") + 1, F.lit(min_len))
     key = F.md5(win_text) if algo == "md5" else F.xxhash64(win_text).cast("string")
@@ -1382,4 +1389,63 @@ def strip_repeated_spans(
             F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_spans"),
             removed.alias("chars_removed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping (web-corpus text extraction)
+# ---------------------------------------------------------------------------
+
+#: character entities decoded after tag removal; '&amp;' must come LAST
+#: so '&amp;lt;' decodes to the literal '&lt;' and not to '<'
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Extract plain text from HTML payloads — the step before every
+    other text-curation operator when the corpus is raw web crawl
+    (the C4/CCNet pipelines run exactly this shape first).
+
+    Output: ``(id, clean_text, title, n_tags)`` — script/style blocks
+    dropped whole, remaining tags replaced by spaces, the common
+    character entities decoded, whitespace collapsed; ``title`` is the
+    first <title> element's text (null when absent), ``n_tags`` the
+    count of tags removed (a page-complexity signal for quality
+    filters). Null text passes through null.
+
+    Scale shape: a pure column-expression chain (regexp_replace /
+    regexp_extract + a fixed entity-decode ladder) — zero shuffles,
+    zero Python, whole-stage codegen end to end, exactly like
+    ``char_class_stats``. Every regex stays inside the RE2 subset
+    (no backreferences, no lookaround) so a DuckDB oracle replays the
+    extraction bit-for-bit.
+    """
+    text = F.col(text_col)
+    # 1. script/style elements go whole — their CONTENT is not text
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script>", " "),
+        r"(?is)<style\b[^>]*>.*?</style>",
+        " ",
+    )
+    title = F.nullif(
+        F.regexp_extract(no_blocks, r"(?is)<title[^>]*>(.*?)</title>", 1), F.lit("")
+    )
+    n_tags = F.regexp_count(no_blocks, F.lit(r"<[^>]+>"))
+    detagged = F.regexp_replace(no_blocks, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        detagged = F.replace(detagged, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(detagged, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(text.isNull(), F.lit(None).cast("string")).otherwise(clean).alias("clean_text"),
+        F.when(text.isNull(), F.lit(None).cast("string")).otherwise(title).alias("title"),
+        F.coalesce(n_tags.cast("long"), F.lit(0)).alias("n_tags"),
     )
