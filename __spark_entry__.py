@@ -2064,6 +2064,101 @@ def q_images_embedding_ann(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _neardup_videos_parquet(n_bases: int = 12, n_frames: int = 4) -> str:
+    """Fixture for video near-dup: deterministic fake-container videos
+    where every 3rd base gains a re-encode copy with ONE replaced frame
+    (3/4 slots agree — above the 0.7 bar) and every 4th a head-trim
+    (first 3 frames — all common slots agree), plus one decoy sharing a
+    single frame (1/4 — below the bar) and one undecodable payload.
+    Stored truth per video: parallel lists of (slot, phash, band0..3),
+    computed single-process by the SAME pure kernels the distributed
+    path applies (encode_fake_video -> decode -> codec.perceptual_hash
+    -> 16-bit band slices), so DuckDB replays the same-slot band-OR
+    candidate join and the xor/bit_count slot-agreement verdict."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yadf_spark.fixtures import codec
+    from yadf_spark.operators import multimodal as mm
+
+    path = f"/tmp/yadf_contract_vidnd_{n_bases}_{n_frames}.parquet"
+    if not os.path.exists(path):
+        rows: list[dict] = []
+
+        def add(vid: str, frames) -> None:
+            payload = mm.encode_fake_video(frames)
+            phs = [codec.perceptual_hash(fr) for fr in frames]
+            u = np.array(phs, dtype=np.int64).view(np.uint64)
+            rows.append(
+                {
+                    "video_id": vid,
+                    "bytes": payload,
+                    "slots": list(range(len(frames))),
+                    "phashes": phs,
+                    **{
+                        f"band{b}": ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                        .astype(np.int64)
+                        .tolist()
+                        for b in range(4)
+                    },
+                }
+            )
+
+        def mk(seed: int, n: int = n_frames):
+            r = np.random.RandomState(7_000 + seed)
+            return [r.randint(0, 256, (16, 16, 3)).astype(np.uint8) for _ in range(n)]
+
+        for i in range(n_bases):
+            base = mk(i)
+            add(f"vb-{i:03d}", base)
+            if i % 3 == 0:
+                add(f"vn-{i:03d}", base[:-1] + [mk(500 + i)[0]])
+            if i % 4 == 0:
+                add(f"vt-{i:03d}", base[:3])
+        add("v-decoy", [mk(0)[0]] + mk(900, 3))
+        rows.append(
+            {
+                "video_id": "v-garbage",
+                "bytes": b"\x00notavideo",
+                "slots": [],
+                "phashes": [],
+                **{f"band{b}": [] for b in range(4)},
+            }
+        )
+        table = pa.table(
+            {
+                "video_id": pa.array([r["video_id"] for r in rows], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+                "slots": pa.array([r["slots"] for r in rows], pa.list_(pa.int32())),
+                "phashes": pa.array([r["phashes"] for r in rows], pa.list_(pa.int64())),
+                **{
+                    f"band{b}": pa.array(
+                        [r[f"band{b}"] for r in rows], pa.list_(pa.int64())
+                    )
+                    for b in range(4)
+                },
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_video_near_dup(spark, sf_dir):
+    """Video near-dup by sampled-frame phash signatures: container
+    parse -> per-frame phash (two narrow maps, bytes never shuffle) ->
+    slot-folded Hamming bands -> the shared salted bucket expansion ->
+    JVM xor/bit_count slot-agreement verdict. Oracle replays the
+    same-slot band-OR join and the agreement arithmetic over the
+    fixture's stored-truth (slot, phash, band) lists."""
+    from yadf_spark.operators import multimodal as mm
+
+    df = spark.read.parquet(_neardup_videos_parquet()).select("video_id", "bytes")
+    return mm.video_near_dup_pairs(df, min_slot_agree=0.7).orderBy("id_a", "id_b")
+
+
 def q_video_frame_sample(spark, sf_dir):
     """Video frame sampling over the fake container (decode stub for real
     formats; plumbing — schema, row expansion, batching — is real).
@@ -3055,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cheap fixture queries now run BEFORE the expensive ones,
         # and the full image pipeline goes last.
         "video_frame_sample": q_video_frame_sample,
+        "video_near_dup": q_video_near_dup,
         "audio_features": q_audio_features,
         "audio_segments": q_audio_segments,
         "audio_near_dup": q_audio_near_dup,
@@ -4219,6 +4315,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{_videos_parquet()}')) u
             WHERE i % 4 = 0
             ORDER BY video_id, frame_idx""",
+        # video near-dup: same-slot band-OR candidates + xor/bit_count
+        # slot agreement, replayed over the fixture's stored-truth
+        # (slot, phash, band0..3) lists (same pure kernels, computed
+        # single-process at fixture-build time). DuckDB's xor/bit_count
+        # on BIGINT are two's-complement 64-bit, matching the JVM's.
+        "video_near_dup": f"""
+            WITH t AS (
+              SELECT video_id, unnest(slots) AS slot, unnest(phashes) AS ph,
+                     unnest(band0) AS b0, unnest(band1) AS b1,
+                     unnest(band2) AS b2, unnest(band3) AS b3
+              FROM read_parquet('{_neardup_videos_parquet()}')),
+            cand AS (
+              SELECT DISTINCT a.video_id AS id_a, b.video_id AS id_b
+              FROM t a JOIN t b
+                ON a.slot = b.slot AND a.video_id < b.video_id
+               AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(count(*) AS BIGINT) AS n_slots,
+                     CAST(sum(CASE WHEN bit_count(xor(a.ph, b.ph)) <= 3
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+              FROM cand c
+              JOIN t a ON a.video_id = c.id_a
+              JOIN t b ON b.video_id = c.id_b AND b.slot = a.slot
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, n_slots, n_agree
+            FROM v WHERE n_agree >= 0.7 * n_slots
+            ORDER BY id_a, id_b""",
         # distributed audio decode+features vs the fixture's stored
         # truth (same pure kernel, audio.audio_feature_values, run
         # single-process at fixture-build time).

@@ -834,3 +834,53 @@ def test_aspect_bucket_plan_is_narrow(spark):
     df = spark.createDataFrame([("a", 10, 20)], "image_id string, w int, h int")
     plan = mm.aspect_bucket_assignments(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (sampled-frame phash signatures)
+# ---------------------------------------------------------------------------
+
+def _vid_frames(seed, n=4):
+    r = np.random.RandomState(seed)
+    return [r.randint(0, 256, (16, 16, 3)).astype(np.uint8) for _ in range(n)]
+
+
+def test_video_near_dup_planted(spark):
+    """A one-frame-replaced copy (3/4 slots agree) and a head trim
+    (3 common slots, all agree) pair with the base; a decoy sharing a
+    single frame (1/4) and an unrelated video do not; an undecodable
+    payload quarantines instead of failing the job."""
+    base = _vid_frames(1)
+    rows = [
+        ("base", bytearray(mm.encode_fake_video(base))),
+        ("near", bytearray(mm.encode_fake_video(base[:-1] + [_vid_frames(99)[0]]))),
+        ("trim", bytearray(mm.encode_fake_video(base[:3]))),
+        ("decoy", bytearray(mm.encode_fake_video([base[0]] + _vid_frames(50, 3)))),
+        ("unrel", bytearray(mm.encode_fake_video(_vid_frames(7)))),
+        ("garbage", bytearray(b"\x00\x01notavideo")),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    out = {
+        (r.id_a, r.id_b): (r.n_slots, r.n_agree)
+        for r in mm.video_near_dup_pairs(df, min_slot_agree=0.7).collect()
+    }
+    assert out[("base", "near")] == (4, 3)
+    assert out[("base", "trim")] == (3, 3)
+    assert out[("near", "trim")] == (3, 3)
+    assert not any("decoy" in p or "unrel" in p or "garbage" in p for p in out)
+    # the undecodable payload contributed zero signature rows
+    sigs = mm.video_signatures(df)
+    assert sigs.where(F.col("video_id") == "garbage").count() == 0
+
+
+def test_video_near_dup_verify_is_jvm_side(spark):
+    """Below the signature checkpoint the plan must stay JVM-only: no
+    Python stage in candidate banding or the xor/bit_count verify."""
+    df = spark.createDataFrame(
+        [("a", bytearray(mm.encode_fake_video(_vid_frames(3))))],
+        "video_id string, bytes binary",
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        mm.video_near_dup_pairs(df)._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan

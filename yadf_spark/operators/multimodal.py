@@ -313,6 +313,127 @@ def frame_sample(
 
 
 # ---------------------------------------------------------------------------
+# video near-dup (sampled-frame phash signatures)
+# ---------------------------------------------------------------------------
+
+def video_signatures(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    every_n: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """``(video_id, slot, phash)`` — one row per sampled decodable
+    frame: :func:`frame_sample` composed with the per-frame perceptual
+    hash (the image pipeline's own phash kernel). ``slot`` is the
+    position in the sampled sequence (frame_idx / every_n), the
+    alignment key for slot-wise comparison. Undecodable videos and
+    frames quarantine to null and are dropped here — a video with zero
+    decodable frames simply never pairs (G7 degrade posture).
+
+    Scale shape: two narrow maps (container parse, frame phash) — a
+    video's bytes never shuffle; everything downstream carries 8-byte
+    hashes."""
+    frames = frame_sample(
+        df, every_n=every_n, max_frames=max_frames, id_col=id_col, bytes_col=bytes_col
+    )
+
+    def kernel(payloads: pd.Series) -> pd.Series:
+        from yadf_spark.fixtures.codec import decode_image, perceptual_hash
+
+        out = []
+        for p in payloads:
+            try:
+                out.append(perceptual_hash(decode_image(bytes(p))))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    phash_udf = F.pandas_udf(kernel, "long")
+    return (
+        frames.where(F.col("frame_bytes").isNotNull())
+        .select(
+            "video_id",
+            (F.col("frame_idx") / every_n).cast("int").alias("slot"),
+            phash_udf(F.col("frame_bytes")).alias("phash"),
+        )
+        .where(F.col("phash").isNotNull())
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    every_n: int = 1,
+    max_frames: int = 8,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    min_slot_agree: float = 0.7,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate videos by sampled-frame perceptual hashes:
+    ``(id_a, id_b, n_slots, n_agree)`` where ``n_slots`` counts the
+    frame slots both videos populate and ``n_agree`` those whose
+    phashes sit within ``max_hamming`` bits; a pair survives when
+    ``n_agree >= min_slot_agree * n_slots``. Catches re-encodes and
+    head-aligned trims (slot alignment is positional — a mid-stream
+    trim shifts every later slot; sample sparser or lower the agree
+    bar for those).
+
+    Candidates come from the SAME Hamming-band idiom as the image
+    phash prefilter, with the slot folded into the band index
+    (``band_idx = slot * bands + b``) so only same-slot bands collide —
+    then through the one shared salted/capped bucket expansion
+    (minhash.candidate_pairs_from_buckets: one shuffle, skew-salted,
+    never all-pairs). Verification is pure JVM bit arithmetic
+    (xor + bit_count) over the signature join — no decode, no Python
+    below the signature map. The signature frame is eagerly
+    localCheckpoint-ed: the band table and both verify sides consume
+    it, and the container-parse + phash UDFs must run exactly once."""
+    from yadf_spark.operators.minhash import candidate_pairs_from_buckets
+
+    sig = video_signatures(df, id_col, bytes_col, every_n, max_frames).localCheckpoint(
+        eager=True
+    )
+    mask = (1 << band_bits) - 1
+    # hash_bands' bit-slice convention (minhash.hash_bands) with the
+    # slot folded into band_idx — kept inline because the slot must
+    # survive the explode
+    buckets = sig.select(
+        F.col("video_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+        "slot",
+        F.col("phash").alias("_h"),
+    ).select(
+        "id",
+        (F.col("slot") * bands + F.col("b")).alias("band_idx"),
+        F.expr(f"shiftrightunsigned(_h, b * {band_bits})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_hash"),
+    )
+    cand = candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
+    a = sig.select(
+        F.col("video_id").alias("id_a"), "slot", F.col("phash").alias("_ph_a")
+    )
+    b = sig.select(
+        F.col("video_id").alias("id_b"), "slot", F.col("phash").alias("_ph_b")
+    )
+    per_slot = cand.join(a, "id_a").join(b, ["id_b", "slot"])
+    agree = (
+        F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b"))) <= max_hamming
+    ).cast("long")
+    verdict = per_slot.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_slots"), F.sum(agree).alias("n_agree")
+    )
+    return verdict.where(
+        F.col("n_agree") >= F.lit(min_slot_agree) * F.col("n_slots")
+    )
+
+
+# ---------------------------------------------------------------------------
 # flip/rotation-invariant phash (mirrored-repost dedup)
 # ---------------------------------------------------------------------------
 
