@@ -884,3 +884,33 @@ def test_video_near_dup_verify_is_jvm_side(spark):
         mm.video_near_dup_pairs(df)._jdf.queryExecution(), "formatted"
     )
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_index_with_video_band_fn(spark, tmp_path):
+    """video_band_table plugs into the incremental band index as a
+    band_fn: a one-frame-replaced re-encode arriving in a LATER batch
+    is caught against the history index, exactly like same-batch
+    pairs — videos share the image/audio modalities' persistent
+    (id, band_idx, band_hash) index layout."""
+    base = _vid_frames(11)
+    b1 = spark.createDataFrame(
+        [
+            ("v-base", bytearray(mm.encode_fake_video(base))),
+            ("v-other", bytearray(mm.encode_fake_video(_vid_frames(12)))),
+        ],
+        "video_id string, bytes binary",
+    )
+    b2 = spark.createDataFrame(
+        [("v-copy", bytearray(mm.encode_fake_video(base[:-1] + [_vid_frames(13)[0]])))],
+        "video_id string, bytes binary",
+    )
+    index_dir = str(tmp_path / "vidx")
+    pairs_dir = str(tmp_path / "vpairs")
+    sd.incremental_near_dup_batch(b1, 0, index_dir, pairs_dir, band_fn=mm.video_band_table)
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, band_fn=mm.video_band_table)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs_dir).parquet(pairs_dir + "/*").collect()
+    }
+    assert ("v-base", "v-copy") in got
+    assert ("v-base", "v-other") not in got

@@ -361,6 +361,48 @@ def video_signatures(
     )
 
 
+def _video_buckets(
+    sig: DataFrame, bands: int, band_bits: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) from a signature frame — hash_bands'
+    bit-slice convention (minhash.hash_bands) with the frame slot folded
+    into band_idx so only same-slot bands collide; inline because the
+    slot must survive the explode."""
+    mask = (1 << band_bits) - 1
+    return sig.select(
+        F.col("video_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+        "slot",
+        F.col("phash").alias("_h"),
+    ).select(
+        "id",
+        (F.col("slot") * bands + F.col("b")).alias("band_idx"),
+        F.expr(f"shiftrightunsigned(_h, b * {band_bits})")
+        .bitwiseAND(F.lit(mask))
+        .alias("band_hash"),
+    )
+
+
+def video_band_table(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    every_n: int = 1,
+    max_frames: int = 8,
+    bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Payloads → slot-folded phash band keys: the video ``band_fn``
+    for the incremental streaming index (streaming/dedup.py) — each
+    micro-batch's videos band into the same persistent ``(id, band_idx,
+    band_hash)`` index the image pipeline and audio clips use, so a
+    re-encoded video arriving days later is caught against history
+    without re-banding it."""
+    return _video_buckets(
+        video_signatures(df, id_col, bytes_col, every_n, max_frames), bands, band_bits
+    )
+
+
 def video_near_dup_pairs(
     df: DataFrame,
     id_col: str = "video_id",
@@ -398,22 +440,7 @@ def video_near_dup_pairs(
     sig = video_signatures(df, id_col, bytes_col, every_n, max_frames).localCheckpoint(
         eager=True
     )
-    mask = (1 << band_bits) - 1
-    # hash_bands' bit-slice convention (minhash.hash_bands) with the
-    # slot folded into band_idx — kept inline because the slot must
-    # survive the explode
-    buckets = sig.select(
-        F.col("video_id").alias("id"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
-        "slot",
-        F.col("phash").alias("_h"),
-    ).select(
-        "id",
-        (F.col("slot") * bands + F.col("b")).alias("band_idx"),
-        F.expr(f"shiftrightunsigned(_h, b * {band_bits})")
-        .bitwiseAND(F.lit(mask))
-        .alias("band_hash"),
-    )
+    buckets = _video_buckets(sig, bands, band_bits)
     cand = candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
     a = sig.select(
         F.col("video_id").alias("id_a"), "slot", F.col("phash").alias("_ph_a")
