@@ -876,3 +876,25 @@ def test_strip_spans_cli_text_mode(spark, tmp_path):
             ),
             spark=spark,
         )
+
+
+def test_strip_spans_rejected_under_against(spark, tmp_path):
+    """--strip-spans under --against would compute spans within the
+    batch only (history ignored) — the CLI must reject the combination
+    instead of silently under-deduping."""
+    import pytest
+
+    tbl = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [("d1", "some caption words here")], "doc_id string, caption string"
+    ).write.parquet(tbl)
+    with pytest.raises(SystemExit, match="strip-spans"):
+        run(
+            build_parser().parse_args(
+                [
+                    "--mode", "text-near-dup", "--table", tbl, "--id-col", "doc_id",
+                    "--against", tbl, "--strip-spans", str(tmp_path / "out"),
+                ]
+            ),
+            spark=spark,
+        )

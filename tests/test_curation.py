@@ -957,3 +957,20 @@ def test_strip_html_is_a_narrow_map(spark):
         curation.strip_html(df, "doc_id", "text")._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_repeated_spans_truncate_lineage_is_result_invariant(spark):
+    """truncate_lineage only changes whether the window rows
+    materialize once or the hash pass runs per consumer — spans must be
+    identical either way."""
+    df = _substr_corpus(spark)
+
+    def spans(truncate):
+        return sorted(
+            (r.id, r.span_start, r.span_end)
+            for r in curation.repeated_spans(
+                df, "doc_id", "text", min_len=30, truncate_lineage=truncate
+            ).collect()
+        )
+
+    assert spans(True) == spans(False)

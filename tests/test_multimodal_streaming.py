@@ -914,3 +914,31 @@ def test_incremental_index_with_video_band_fn(spark, tmp_path):
     }
     assert ("v-base", "v-copy") in got
     assert ("v-base", "v-other") not in got
+
+
+def test_band_index_rejects_mismatched_band_fn(spark, tmp_path):
+    """The persistent band index records which band function (and
+    version) wrote it; consulting it with a different one must fail
+    fast — band values across functions/versions are mutually
+    meaningless and the history join would silently miss duplicates
+    (the Klein->D4 canonical-phash widening is exactly this hazard)."""
+    b1 = spark.createDataFrame(
+        [("v1", bytearray(mm.encode_fake_video(_vid_frames(21))))],
+        "video_id string, bytes binary",
+    )
+    index_dir = str(tmp_path / "gidx")
+    pairs_dir = str(tmp_path / "gpairs")
+    sd.incremental_near_dup_batch(b1, 0, index_dir, pairs_dir, band_fn=mm.video_band_table)
+
+    def stale_fn(df):
+        return mm.video_band_table(df)
+
+    stale_fn.band_fn_tag = "video-phash-slot-v0"  # a pre-upgrade version
+    b2 = spark.createDataFrame(
+        [("v2", bytearray(mm.encode_fake_video(_vid_frames(22))))],
+        "video_id string, bytes binary",
+    )
+    with pytest.raises(RuntimeError, match="band function"):
+        sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, band_fn=stale_fn)
+    # same function keeps working
+    sd.incremental_near_dup_batch(b2, 1, index_dir, pairs_dir, band_fn=mm.video_band_table)

@@ -114,13 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--strip-spans",
         default=None,
         metavar="DIR",
-        help="(--mode text-near-dup) also run corpus-level exact "
-        "substring dedup (ExactSubstr, Lee et al. 2022): cut every "
-        "character span covered by a --span-min-len-char window that "
-        "repeats across >= 2 documents, and write (id, clean_text, "
-        "n_spans, chars_removed) parquet to DIR — all occurrences are "
-        "removed, the paper's policy; use --survivors for keep-one "
-        "whole-document semantics",
+        help="(--mode text-near-dup, without --against) also run "
+        "corpus-level exact substring dedup (ExactSubstr, Lee et al. "
+        "2022): cut every character span covered by a window of "
+        "--span-min-len chars that repeats across >= 2 documents, and "
+        "write (id, clean_text, n_spans, chars_removed) parquet to DIR "
+        "— all occurrences are removed, the paper's policy; use "
+        "--survivors for keep-one whole-document semantics",
     )
     p.add_argument(
         "--span-min-len", type=int, default=50,
@@ -402,6 +402,16 @@ def run(args: argparse.Namespace, spark=None) -> int:
         raise SystemExit("--against requires --mode text-near-dup or near-dup")
     if args.strip_spans and args.mode != "text-near-dup":
         raise SystemExit("--strip-spans requires --mode text-near-dup")
+    if args.strip_spans and args.against:
+        # under --against the docs view is the BATCH only — spans would
+        # be computed against the batch, not the history the user
+        # pointed the run at, silently passing history boilerplate
+        # through uncut; reject rather than surprise
+        raise SystemExit(
+            "--strip-spans does not apply under --against (spans would be "
+            "computed within the batch only, ignoring the history corpus); "
+            "run it as a separate pass over the combined corpus"
+        )
     if args.novel_table and not args.against:
         raise SystemExit("--novel-table requires --against")
     if args.against and (args.survivors or args.export_dir or args.split_table):

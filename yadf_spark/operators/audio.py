@@ -219,6 +219,10 @@ def audio_band_table(
     return fingerprint_band_table(fps, n_blocks, block_bits, key_blocks)
 
 
+#: streaming-index ownership tag (streaming/dedup.py _check_band_fn_tag)
+audio_band_table.band_fn_tag = "audio-energy-fp-v1"
+
+
 def audio_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 6,

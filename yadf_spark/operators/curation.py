@@ -1233,6 +1233,7 @@ def repeated_spans(
     min_docs: int = 2,
     count_mode: str = "docs",
     algo: str = "xxhash64",
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Corpus-level EXACT repeated substrings — the ExactSubstr pass of
     "Deduplicating Training Data Makes Language Models Better" (Lee et
@@ -1299,6 +1300,19 @@ def repeated_spans(
         )
         .select("id", F.col("pos").cast("long").alias("pos"), key.alias("h"))
     )
+    if truncate_lineage:
+        # `windows` has two consumers (the frequency groupBy and the
+        # hot-set join probe) whose subplans Catalyst does not
+        # de-duplicate — without materialization the corpus scan + the
+        # per-position window hashing run TWICE (measured: zero
+        # ReusedExchange, the same defect class the ladder's
+        # truncate_lineage fixes). The trade is explicit: the
+        # materialized rows are ~24 B per character/stride — ~24x the
+        # input text at stride 1 — written to executor-local storage.
+        # When executor DISK is the binding constraint at full corpus
+        # scale, set False (pay the second hash pass with zero extra
+        # storage), or cut the volume itself first via stride/winnowing.
+        windows = windows.localCheckpoint(eager=True)
     freq = F.count_distinct("id") if count_mode == "docs" else F.count("*")
     hot = windows.groupBy("h").agg(freq.alias("n")).where(F.col("n") >= min_docs).select("h")
     marked = windows.join(hot, "h").select("id", "pos")
@@ -1330,6 +1344,7 @@ def strip_repeated_spans(
     min_docs: int = 2,
     count_mode: str = "docs",
     algo: str = "xxhash64",
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Apply :func:`repeated_spans`: cut every repeated span out of
     every document (the paper's policy — ALL occurrences go, which
@@ -1337,9 +1352,11 @@ def strip_repeated_spans(
     whole-document semantics is ``cluster_representatives`` over the
     exact-dedup clusters instead).
 
-    Output: ``(id, clean_text, n_spans, chars_removed)`` — every input
-    row survives (zero-span documents pass through whole, null text
-    stays null with zero counts).
+    Output: ``(<id_col>, clean_text, n_spans, chars_removed)`` — the id
+    column keeps the CALLER's name (unlike ``repeated_spans``, which
+    normalizes to ``id``); every input row survives (zero-span
+    documents pass through whole, null text stays null with zero
+    counts).
 
     The cut is a JVM fold (``aggregate``) over each document's sorted
     span array: spans arrive pre-merged and non-overlapping from
@@ -1348,7 +1365,8 @@ def strip_repeated_spans(
     bytes per document, the text column never crosses an exchange
     (the groupBy that built spans carried (id, pos) rows only)."""
     spans = repeated_spans(
-        df, id_col, text_col, min_len, stride, min_docs, count_mode, algo
+        df, id_col, text_col, min_len, stride, min_docs, count_mode, algo,
+        truncate_lineage=truncate_lineage,
     )
     # rename the join key so an ``id_col`` literally named "id" never
     # collides with the spans frame's own output column

@@ -131,7 +131,15 @@ def exact_assignments(
         # the one pass that must run exactly once at 100 TB. One eager
         # ~60 B/row materialization (executor-local blocks, released by
         # the context cleaner with the returned frame) pins it to once;
-        # measured ~2x wall on the 150k-image bench corpus.
+        # measured ~2x wall on the 150k-image bench corpus. Durability
+        # trade, deliberately (same as verify.py's pair checkpoint):
+        # checkpoint blocks die with their executor and lineage is
+        # truncated, so an executor loss mid-job fails the JOB instead
+        # of recomputing — on churny clusters wrap the call in a
+        # workdir-backed Checkpointer stage (the pipeline does) or set
+        # truncate_lineage=False to keep lazy recoverable plans. The
+        # checkpoint also runs eagerly AT CALL TIME: pure plan
+        # inspection wants truncate_lineage=False.
         narrow = narrow.localCheckpoint(eager=True)
 
     # stage 1: size grouping — the zero-cost prefilter (G1/G2).

@@ -403,6 +403,9 @@ def video_band_table(
     )
 
 
+video_band_table.band_fn_tag = "video-phash-slot-v1"
+
+
 def video_near_dup_pairs(
     df: DataFrame,
     id_col: str = "video_id",
@@ -568,6 +571,12 @@ def flip_invariant_bands(
 
     src = with_canonical_phash(df, phash_col).filter(F.col("canonical_phash").isNotNull())
     return hash_bands(src, id_col, "canonical_phash", bands, band_bits)
+
+
+#: streaming-index ownership tag (streaming/dedup.py _check_band_fn_tag):
+#: bumped with the round-3 Klein->D4 orbit widening — an index banded on
+#: 4-orbit canonical values must not be consulted by 8-orbit code
+flip_invariant_bands.band_fn_tag = "flip-invariant-phash-d4-v1"
 
 
 # ---------------------------------------------------------------------------

@@ -186,7 +186,7 @@ def near_dup_gate(
             "lsh": cfg.lsh,
             "phash_bands": cfg.phash_bands,
             "bits": cfg.phash_band_bits,
-            "flip": cfg.flip_invariant,
+            "flip": ("d4" if cfg.flip_invariant else False),
             "history": history_fingerprint,
         },
         lambda: minhash.cross_candidate_pairs_from_buckets(
@@ -226,7 +226,7 @@ def near_dup_gate(
     # tier included
     verified = ck.stage(
         "gate_verify",
-        {"psnr": cfg.psnr_min_db, "flip": cfg.flip_invariant},
+        {"psnr": cfg.psnr_min_db, "flip": ("d4" if cfg.flip_invariant else False)},
         _verify_oriented,
     )
     matched = (
@@ -276,7 +276,7 @@ def near_dup_pipeline(
             "lsh": cfg.lsh,
             "phash_bands": cfg.phash_bands,
             "bits": cfg.phash_band_bits,
-            "flip": cfg.flip_invariant,
+            "flip": ("d4" if cfg.flip_invariant else False),
         },
         lambda: candidate_buckets(images, cfg),
     )
@@ -290,7 +290,7 @@ def near_dup_pipeline(
 
     verified = ck.stage(
         "verify",
-        {"psnr": cfg.psnr_min_db, "flip": cfg.flip_invariant},
+        {"psnr": cfg.psnr_min_db, "flip": ("d4" if cfg.flip_invariant else False)},
         lambda: verify.verify_pairs(
             candidates, images, psnr_min_db=cfg.psnr_min_db, dihedral=cfg.flip_invariant
         ),

@@ -95,11 +95,13 @@ def incremental_near_dup_batch(
     cfg = cfg or NearDupConfig()
     spark = batch.sparkSession
     batch = batch.persist()
+    tag = _band_fn_tag(band_fn)
     new_bands = (band_fn(batch) if band_fn else _band_table(batch, cfg)).persist()
 
     pair_frames = []
     if _index_exists(spark, index_dir):
         _reject_legacy_layout(spark, index_dir)
+        _check_band_fn_tag(spark, index_dir, tag)
         index = spark.read.parquet(index_dir)
         old = index.select(
             F.col("id").alias("id_old"), "band_idx", "band_hash"
@@ -167,6 +169,7 @@ def incremental_near_dup_batch(
     new_bands.select("id", "band_idx", "band_hash").write.mode("overwrite").partitionBy(
         "band_idx"
     ).parquet(os.path.join(index_dir, f"batch_id={batch_id}"))
+    _write_band_fn_tag(spark, index_dir, tag)
     new_bands.unpersist()
     batch.unpersist()
 
@@ -186,6 +189,67 @@ def compact_band_index(spark, index_dir: str, out_dir: str) -> None:
     idx.write.mode("overwrite").partitionBy("band_idx").parquet(
         os.path.join(out_dir, "batch_id=0")
     )
+
+
+#: marker file at the index root recording WHICH band function (and
+#: version) wrote the index — band values from different functions or
+#: versions are mutually meaningless, and a silent mix would make the
+#: history join miss duplicates without any error (e.g. the round-3
+#: canonical-phash widening from the Klein 4-orbit to full D4 changed
+#: every flip-invariant band value; an old index consulted by the new
+#: code would simply stop matching mirrored reposts)
+_BAND_FN_META = "_band_fn_tag"
+
+#: default (image phash + MinHash caption bands) tag
+_DEFAULT_BAND_TAG = "image-phash-minhash-v1"
+
+
+def _band_fn_tag(band_fn) -> str:
+    if band_fn is None:
+        return _DEFAULT_BAND_TAG
+    return getattr(band_fn, "band_fn_tag", getattr(band_fn, "__name__", "custom"))
+
+
+def _tag_path(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _BAND_FN_META))
+    return p, p.getFileSystem(conf), jvm
+
+
+def _check_band_fn_tag(spark, index_dir: str, tag: str) -> None:
+    """Fail fast when the running band function (or its version) is not
+    the one that wrote the existing index. Indexes written before this
+    guard carry no marker; they are accepted as-is (the marker is added
+    on their next batch) — the guard protects every index written from
+    now on, including across the D4 orbit widening."""
+    p, fs, jvm = _tag_path(spark, index_dir)
+    if not fs.exists(p):
+        return
+    existing = jvm.org.apache.commons.io.IOUtils.toString(
+        fs.open(p), "UTF-8"
+    ).strip()
+    if existing != tag:
+        raise RuntimeError(
+            f"band index at {index_dir!r} was written by band function "
+            f"{existing!r} but this stream bands with {tag!r} — the band "
+            "values are mutually meaningless and history matches would be "
+            "silently missed. Rebuild the index with the current band "
+            "function (re-band the history corpus into a fresh index_dir, "
+            "or replay the stream from scratch), or run the old function."
+        )
+
+
+def _write_band_fn_tag(spark, index_dir: str, tag: str) -> None:
+    """Record (idempotently) which band function owns this index."""
+    p, fs, _ = _tag_path(spark, index_dir)
+    if fs.exists(p):
+        return
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(tag, "utf-8"))
+    finally:
+        out.close()
 
 
 def _reject_legacy_layout(spark, path: str) -> None:
