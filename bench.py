@@ -83,6 +83,8 @@ HEADLINE = [
     "cluster_prune_keep",
     "normalized_dedup_docs",
     "images_format_audit",
+    "strip_spans_docs",
+    "strip_html_docs",
 ]
 
 
