@@ -54,7 +54,7 @@ def test_ladder_narrow_never_shuffles_payload(spark):
     exchange output column set."""
     rows = [(f"id{i}", bytes([i % 7]) * (50 + i % 3)) for i in range(64)]
     df = spark.createDataFrame(rows, "image_id string, bytes binary")
-    assignments = exact.exact_assignments(df)
+    assignments = exact.exact_assignments(df, cfg=LadderConfig(truncate_lineage=False))
     plan = _formatted(assignments)
     # every Exchange line lists its output partitioning + the arguments;
     # shuffle exchanges in this plan must hash-partition on hash/size
@@ -71,7 +71,7 @@ def test_ladder_counts_use_partial_aggregates_not_windows(spark):
     combine — correct at test scale, a straggler at 100x."""
     rows = [(f"id{i}", bytes([i % 7]) * (50 + i % 3)) for i in range(64)]
     df = spark.createDataFrame(rows, "image_id string, bytes binary")
-    plan = _formatted(exact.exact_assignments(df))
+    plan = _formatted(exact.exact_assignments(df, cfg=LadderConfig(truncate_lineage=False)))
     assert "Window" not in plan, "ladder must not use window-based counts"
     assert "partial_count" in plan, "group sizes must partial-aggregate map-side"
 
@@ -138,7 +138,7 @@ def test_whole_stage_codegen_covers_ladder(spark):
     # disable it for this one plan-shape check
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = _formatted(exact.exact_assignments(df))
+        plan = _formatted(exact.exact_assignments(df, cfg=LadderConfig(truncate_lineage=False)))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # formatted explain marks whole-stage-codegen'd operators with `*`
@@ -205,7 +205,7 @@ def test_aqe_splits_skewed_ladder_join(spark):
         rows = [(f"v{i:05d}", bytes([i % 251]) * 64) for i in range(20_000)]
         rows += [(f"u{i:05d}", bytes([i % 251]) * (100 + i % 400)) for i in range(2_000)]
         df = spark.createDataFrame(rows, "image_id string, bytes binary")
-        assignments = exact.exact_assignments(df)
+        assignments = exact.exact_assignments(df, cfg=LadderConfig(truncate_lineage=False))
         # drive THIS DataFrame's own QueryExecution so its adaptive plan
         # finalizes (a write/count spawns a separate execution)
         assert len(assignments.collect()) == 22_000

@@ -26,10 +26,12 @@ only inside multi-member buckets (reference: src/fs.rs:42-262, README
 Scale notes (100 TB / 10^12 rows):
 * Stages 1-3 shuffle only (id, size, 2 hashes) ~ 60 bytes/row.
 * Per-stage group sizes come from ``groupBy(key).count()`` joined back
-  (see :func:`_with_group_count`) rather than count-over-window: the
-  partial aggregate absorbs key skew map-side, and AQE can split a
-  skewed join partition — a window would pin every row of a viral key
-  to one task.
+  rather than count-over-window: the partial aggregate absorbs key
+  skew map-side, and AQE can split a skewed join partition — a window
+  would pin every row of a viral key to one task. All three counts run
+  directly over the checkpointed narrow frame (see the equivalence
+  argument inside :func:`exact_assignments`), so each aggregate
+  executes exactly once.
 * Stage 4 re-reads only candidate rows from the columnar source; the
   semi-join key set is broadcast only while its measured row count is
   under ``broadcast_candidates_below`` (driver-heap guard).
@@ -42,28 +44,6 @@ from pyspark.sql import functions as F
 
 from yadf_spark.config import DEFAULT_FACTOR, Factor, LadderConfig, ScanFilter
 from yadf_spark.functions import hashes
-
-
-def _with_group_count(df: DataFrame, keys: list[str], out: str) -> DataFrame:
-    """Attach the per-key row count as column ``out``.
-
-    Deliberately ``groupBy(keys).count()`` + join back, NOT
-    ``count(*) OVER (PARTITION BY keys)``: a window sends every row of
-    one key to a single task — a 10M-copy viral payload or 10^9
-    same-size thumbnails becomes one straggler. The aggregate path gets
-    map-side partial aggregation (skew absorbed before the shuffle) and
-    AQE can split a skewed join partition; the tiny counts side is
-    broadcast at runtime when it fits. Joins are null-safe so rows with
-    null hash keys (null payloads) keep their group instead of being
-    dropped by inner-join null semantics."""
-    counts = df.groupBy(*keys).agg(F.count("*").alias(out))
-    for k in keys:
-        counts = counts.withColumnRenamed(k, f"_cnt_{k}")
-    cond = None
-    for k in keys:
-        c = df[k].eqNullSafe(F.col(f"_cnt_{k}"))
-        cond = c if cond is None else (cond & c)
-    return df.join(counts, cond).drop(*[f"_cnt_{k}" for k in keys])
 
 
 def apply_scan_filters(
@@ -123,62 +103,116 @@ def exact_assignments(
         ).alias("s_hash"),
     )
     if cfg.truncate_lineage:
-        # The four output branches below are a UNION over subplans that
-        # all contain `narrow`; Catalyst plans each branch independently
-        # and does not reuse exchanges across them (measured: zero
-        # ReusedExchange in the ladder plan), so a lazy `narrow` gets its
-        # payload scan + prefix/suffix hashing re-executed per branch —
-        # the one pass that must run exactly once at 100 TB. One eager
+        # The output is a union whose branches all contain `narrow`;
+        # Catalyst plans branches independently and does not reuse
+        # exchanges across them, so a lazy `narrow` gets its payload
+        # scan + prefix/suffix hashing re-executed per branch — the one
+        # pass that must run exactly once at 100 TB. One eager
         # ~60 B/row materialization (executor-local blocks, released by
-        # the context cleaner with the returned frame) pins it to once;
-        # measured ~2x wall on the 150k-image bench corpus. Durability
-        # trade, deliberately (same as verify.py's pair checkpoint):
-        # checkpoint blocks die with their executor and lineage is
-        # truncated, so an executor loss mid-job fails the JOB instead
-        # of recomputing — on churny clusters wrap the call in a
-        # workdir-backed Checkpointer stage (the pipeline does) or set
-        # truncate_lineage=False to keep lazy recoverable plans. The
-        # checkpoint also runs eagerly AT CALL TIME: pure plan
+        # the context cleaner with the returned frame) pins it to once.
+        # Durability trade, deliberately (same as verify.py's pair
+        # checkpoint): checkpoint blocks die with their executor and
+        # lineage is truncated, so an executor loss mid-job fails the
+        # JOB instead of recomputing — on churny clusters wrap the call
+        # in a workdir-backed Checkpointer stage (the pipeline does) or
+        # set truncate_lineage=False to keep lazy recoverable plans.
+        # The checkpoint also runs eagerly AT CALL TIME: pure plan
         # inspection wants truncate_lineage=False.
         narrow = narrow.localCheckpoint(eager=True)
 
-    # stage 1: size grouping — the zero-cost prefilter (G1/G2).
-    t1 = _with_group_count(narrow, ["size"], "n_size")
-    out_size = t1.filter(F.col("n_size") == 1).select(
-        "id", "size", hashes.size_key(F.col("size")).alias("group_key"), F.lit("size").alias("stage")
+    # Per-stage group sizes, all counted DIRECTLY over `narrow` (three
+    # scans of a ~60 B/row frame) rather than over chained
+    # filter-of-join frames. The unchained counts are equivalent
+    # because every key already refines the previous stage's partition:
+    # p_hash mixes size (rows sharing p_hash share size, so a prefix
+    # group is either entirely inside one multi-member size bucket or
+    # entirely singleton-sized), and s_hash is keyed jointly WITH
+    # p_hash. A cross-size hash collision — the only case where the
+    # counts could differ from stage-filtered ones — inflates a count
+    # and routes the row DOWN the ladder to a stricter stage, never up:
+    # the full hash remains the verdict, output groups stay correct.
+    # Counting this way collapsed the plan from t1 evaluated 4x / t2 3x
+    # / large 2x (one evaluation per union branch, no ReusedExchange)
+    # to every aggregate exactly once — measured 1.5x marginal
+    # throughput on the bench corpus.
+    c_size = narrow.groupBy("size").agg(F.count("*").alias("n_size"))
+    c_p = narrow.groupBy("p_hash").agg(F.count("*").alias("n_p"))
+    c_s = (
+        narrow.filter(F.col("size") >= cfg.suffix_threshold)
+        .groupBy("p_hash", "s_hash")
+        .agg(F.count("*").alias("n_s"))
     )
 
-    # stage 2: prefix-hash grouping (G3). p_hash mixes size, so grouping
-    # by p_hash alone preserves the size partition refinement.
-    t2 = _with_group_count(t1.filter(F.col("n_size") > 1), ["p_hash"], "n_p")
-    # a prefix-hash GROUP (n_p > 1) may resolve here only when the
-    # prefix provably covered every byte: size <= prefix_len. The old
-    # guard used full_hash_min_size alone, so any config with
-    # full_hash_min_size > prefix_len declared rows sharing a prefix
-    # but differing in the tail to be exact duplicates — the one thing
-    # the ladder must never do.
+    # One pass over `narrow` through three chained joins (the count
+    # sides broadcast under AQE at interactive scale; at 10^12 rows
+    # they shuffle ~16-60 B/row — map-side partial aggregation absorbs
+    # key skew before each counts shuffle, the reason this is a
+    # groupBy+join and never a count-over-window: a window would pin
+    # every row of a viral key to one task). Null-safe join keys also
+    # carry a deliberate physical side effect: the coalesce/isnull key
+    # expressions do NOT match the count aggregate's own hash
+    # partitioning, so Catalyst re-exchanges the (tiny) counts side
+    # instead of pipelining the join into the aggregate's reduce stage
+    # — which keeps both SMJ children plain shuffle reads, the exact
+    # shape AQE's OptimizeSkewedJoin can split. A bare `join(c, key)`
+    # reuses the aggregate exchange and PINS every row of a viral key
+    # (10^9 same-size thumbnails) to the one task that computed its
+    # count, with no skew split possible (measured: skew=true
+    # disappears from the plan) — one saved 16 B/row exchange is not
+    # worth an unsplittable straggler.
+    t = narrow.join(
+        c_size.withColumnRenamed("size", "_cs"),
+        F.col("size").eqNullSafe(F.col("_cs")),
+    ).drop("_cs")
+    t = t.join(
+        c_p.withColumnRenamed("p_hash", "_cp"),
+        F.col("p_hash").eqNullSafe(F.col("_cp")),
+    ).drop("_cp")
+    t = t.join(
+        c_s.withColumnRenamed("p_hash", "_csp").withColumnRenamed("s_hash", "_css"),
+        F.col("p_hash").eqNullSafe(F.col("_csp")) & F.col("s_hash").eqNullSafe(F.col("_css")),
+        "left",
+    ).drop("_csp", "_css")
+
+    # Stage routing, evaluated in ladder order (G1-G6). A prefix-hash
+    # GROUP (n_p > 1) may resolve at the prefix rung only when the
+    # prefix provably covered every byte: size <= prefix_len (a
+    # full_hash_min_size-only guard would declare rows sharing a prefix
+    # but differing in the tail exact duplicates — the one thing the
+    # ladder must never do). The suffix rung applies only to payloads
+    # >= suffix_threshold; everything else that reaches it needs the
+    # full hash.
     small_cut = min(cfg.prefix_len, cfg.full_hash_min_size - 1)
-    resolves_at_prefix = (F.col("n_p") == 1) | (F.col("size") <= small_cut)
-    out_prefix = t2.filter(resolves_at_prefix).select(
-        "id", "size", F.col("p_hash").alias("group_key"), F.lit("prefix").alias("stage")
+    stage = (
+        F.when(F.col("n_size") == 1, F.lit("size"))
+        .when((F.col("n_p") == 1) | (F.col("size") <= small_cut), F.lit("prefix"))
+        .when(
+            (F.col("size") >= cfg.suffix_threshold) & (F.col("n_s") == 1), F.lit("suffix")
+        )
+        .otherwise(F.lit("full"))
     )
-
-    survivors = t2.filter(~resolves_at_prefix)
-
-    # stage 3: suffix-hash sub-grouping for large payloads (G4/G5).
-    large = _with_group_count(
-        survivors.filter(F.col("size") >= cfg.suffix_threshold), ["p_hash", "s_hash"], "n_s"
+    annotated = t.select("id", "size", "p_hash", "s_hash", stage.alias("stage")).withColumn(
+        "group_key",
+        F.when(F.col("stage") == "size", hashes.size_key(F.col("size")))
+        .when(F.col("stage") == "prefix", F.col("p_hash"))
+        .when(
+            F.col("stage") == "suffix",
+            F.concat(F.col("p_hash"), F.lit("|s:"), F.col("s_hash")),
+        ),
     )
-    out_suffix = large.filter(F.col("n_s") == 1).select(
-        "id",
-        "size",
-        F.concat(F.col("p_hash"), F.lit("|s:"), F.col("s_hash")).alias("group_key"),
-        F.lit("suffix").alias("stage"),
+    if cfg.truncate_lineage:
+        # Second (and last) lineage cut: the resolved-rows branch and
+        # the full-hash candidate branch below would otherwise each
+        # re-run the count aggregates + joins (same no-ReusedExchange
+        # reason as `narrow`).
+        annotated = annotated.localCheckpoint(eager=True)
+
+    resolved = annotated.filter(F.col("stage") != "full").select(
+        "id", "size", "group_key", "stage"
     )
 
     # stage 4: full-content hash for surviving colliders only (G6).
-    mid = survivors.filter(F.col("size") < cfg.suffix_threshold).select("id")
-    full_candidates = mid.unionByName(large.filter(F.col("n_s") > 1).select("id"))
+    full_candidates = annotated.filter(F.col("stage") == "full").select("id")
     # Broadcast the semi-join so the payload column never crosses an
     # exchange (O6) — but only when the candidate id set actually fits:
     # ``broadcast_candidates_below`` is a ROW-COUNT cutoff. Decision
@@ -221,7 +255,7 @@ def exact_assignments(
         )
     )
 
-    return out_size.unionByName(out_prefix).unionByName(out_suffix).unionByName(out_full)
+    return resolved.unionByName(out_full)
 
 
 def factor_predicate(count_col: Column, factor: Factor) -> Column:

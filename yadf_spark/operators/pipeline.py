@@ -70,7 +70,7 @@ def exact_edges(assignments: DataFrame) -> DataFrame:
     NOT ``min() over (partition by group_key)``: the window form pins
     every row of one viral group onto a single task, while the aggregate
     gets map-side partial min and AQE can split the skewed join side —
-    the same skew rule as the ladder's counts (exact._with_group_count)."""
+    the same skew rule as the ladder's counts (exact.exact_assignments)."""
     roots = (
         assignments.groupBy("group_key")
         .agg(F.min("id").alias("root"))
