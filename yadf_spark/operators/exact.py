@@ -221,9 +221,9 @@ def exact_assignments(
     #      64 MiB broadcast ceiling, the candidate id subset certainly
     #      fits — hint immediately, zero extra jobs (the common small /
     #      interactive case).
-    #   2. Otherwise materialize (persist + count) the id frame and
-    #      compare the real row count: one extra narrow pass, the price
-    #      of never broadcasting an unbounded set onto the driver.
+    #   2. Otherwise count the id frame and compare the real row
+    #      count: one extra narrow pass, the price of never
+    #      broadcasting an unbounded set onto the driver.
     # Set the knob to 0 to skip both; Catalyst/AQE then picks the join
     # strategy from runtime statistics.
     if cfg.broadcast_candidates_below:
@@ -236,13 +236,17 @@ def exact_assignments(
         if est_bytes is not None and est_bytes <= (64 << 20):
             full_candidates = F.broadcast(full_candidates)
         else:
-            # localCheckpoint, NOT persist: a persisted frame stays
-            # registered in the cache manager until an explicit
-            # unpersist() that a library caller never gets to issue
-            # (ADVICE r2 — storage accumulated across calls in long
-            # sessions); checkpoint blocks are released by the context
-            # cleaner once the returned frame is garbage collected.
-            full_candidates = full_candidates.localCheckpoint(eager=True)
+            if not cfg.truncate_lineage:
+                # without the `annotated` checkpoint above, count() and
+                # the semi-join below would each re-evaluate the whole
+                # count/join chain — cut the lineage once here.
+                # localCheckpoint, NOT persist: a persisted frame stays
+                # registered in the cache manager until an explicit
+                # unpersist() that a library caller never gets to issue
+                # (ADVICE r2 — storage accumulated across calls in long
+                # sessions); checkpoint blocks are released by the
+                # context cleaner with the returned frame.
+                full_candidates = full_candidates.localCheckpoint(eager=True)
             if full_candidates.count() < cfg.broadcast_candidates_below:
                 full_candidates = F.broadcast(full_candidates)
     out_full = (
