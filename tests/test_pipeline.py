@@ -465,3 +465,67 @@ def test_gate_null_payloads_share_no_byte_band(spark):
     g = pipeline.near_dup_gate(batch, hist)
     assert g["matched_ids"].count() == 0
     assert [r["image_id"] for r in g["novel"].collect()] == ["n1"]
+
+
+def test_collapse_exact_preserves_clusters(spark):
+    """collapse_exact=True must produce IDENTICAL clusters to the
+    uncollapsed pipeline on the planted corpus: members of a
+    (byte-group, caption) class rejoin their representative through the
+    ladder's exact star edges, and every candidate/verify signal is a
+    pure function of (bytes, caption), identical across the class."""
+    from yadf_spark.config import NearDupConfig
+
+    df = spark.createDataFrame(images.images_pdf(256)).cache()
+
+    def norm(out):
+        by: dict[str, set[str]] = {}
+        for r in out["clusters"].collect():
+            by.setdefault(r["cluster_id"], set()).add(r["image_id"])
+        return {frozenset(v) for v in by.values()}
+
+    on = norm(pipeline.near_dup_pipeline(df, cfg=NearDupConfig(collapse_exact=True)))
+    off = norm(pipeline.near_dup_pipeline(df, cfg=NearDupConfig(collapse_exact=False)))
+    df.unpersist()
+    assert on == off
+
+
+def test_collapse_keeps_one_rep_per_class(spark):
+    """The representative frame has exactly one row per distinct
+    (ladder group_key, caption) pair — a viral exact-dup group bands
+    once — and planted dup groups actually shrink the frame."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.operators import exact
+
+    df = spark.createDataFrame(images.images_pdf(256)).cache()
+    asg = exact.exact_assignments(df)
+    reps = pipeline.collapse_to_representatives(df, asg)
+    n_all, n_reps = df.count(), reps.count()
+    n_classes = (
+        asg.select(F.col("id").alias("image_id"), "group_key")
+        .join(df.select("image_id", "caption"), "image_id")
+        .select("group_key", "caption")
+        .distinct()
+        .count()
+    )
+    df.unpersist()
+    assert n_reps == n_classes
+    assert n_reps < n_all, "planted dup groups must collapse"
+
+
+def test_collapse_groups_null_captions_together(spark):
+    """Two byte-identical rows with NULL captions form one class (null
+    groups with null in the collapse groupBy, same as the band
+    builders' null handling)."""
+    from yadf_spark.operators import exact
+
+    df = spark.createDataFrame(
+        [
+            ("a1", b"same-payload-bytes", None),
+            ("a2", b"same-payload-bytes", None),
+            ("b1", b"other-payload", None),
+        ],
+        "image_id string, bytes binary, caption string",
+    )
+    reps = pipeline.collapse_to_representatives(df, exact.exact_assignments(df))
+    assert sorted(r["image_id"] for r in reps.collect()) == ["a1", "b1"]

@@ -83,6 +83,45 @@ def exact_edges(assignments: DataFrame) -> DataFrame:
     )
 
 
+def collapse_to_representatives(
+    images: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Keep ONE representative (min id) per (exact byte-group, caption)
+    equivalence class — the rows the banding + verification stages
+    actually need to see.
+
+    Cluster-preserving, provably: within a class, rows are
+    byte-identical (the ladder's trusted group keys — sha256 at the
+    full-hash rung, whole-content prefix coverage below it) AND
+    caption-identical, so every candidate/verify signal (phash is a
+    pure function of bytes, caption equality, byte equality, PSNR) is
+    identical for any member vs the class representative; and every
+    member is connected to its representative through the ladder's
+    exact star edges, which the pipeline unions into the component
+    edges regardless. Replacing member edges with representative edges
+    therefore yields the same connected components.
+
+    Scale arithmetic (10^12 rows): costs one (id, group_key) x
+    (id, caption) join + a partial-min groupBy (~150 B/row, once);
+    saves bands-per-row (~37) x the exact-dup rate from the band-table
+    shuffle — at web-scale dup rates (30-50%) the band shuffle and the
+    verify decode tier scale with DISTINCT content instead of corpus
+    size, and a 10M-copy viral image costs 37 band rows, not 370M
+    (generalizes the reference's "hash each distinct size-bucket
+    member once", src/fs.rs:42-262, to the near-dup stages)."""
+    keyed = assignments.select(F.col("id").alias(id_col), "group_key")
+    classes = keyed.join(images.select(id_col, caption_col), id_col)
+    reps = (
+        classes.groupBy("group_key", caption_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return images.join(reps, id_col, "left_semi")
+
+
 def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
     """ONE bucket-membership table for every candidate source:
 
@@ -270,6 +309,17 @@ def near_dup_pipeline(
     )
     e_exact = exact_edges(assignments)
 
+    # band/verify only (byte-group, caption)-class representatives:
+    # cluster output is provably unchanged (collapse_to_representatives
+    # docstring) while viral exact-dup groups stop multiplying the band
+    # shuffle and the verify decode tier. Inline in this stage (not a
+    # stage of its own) so the metrics surface and resume layout keep
+    # their five stages; the flag is part of the fingerprint.
+    band_src = (
+        (lambda: collapse_to_representatives(images, assignments))
+        if cfg.collapse_exact
+        else (lambda: images)
+    )
     buckets = ck.stage(
         "candidate_buckets",
         {
@@ -277,8 +327,9 @@ def near_dup_pipeline(
             "phash_bands": cfg.phash_bands,
             "bits": cfg.phash_band_bits,
             "flip": ("d4" if cfg.flip_invariant else False),
+            "collapse": cfg.collapse_exact,
         },
-        lambda: candidate_buckets(images, cfg),
+        lambda: candidate_buckets(band_src(), cfg),
     )
     candidates = ck.stage(
         "candidate_pairs",
