@@ -161,6 +161,13 @@ def build_parser() -> argparse.ArgumentParser:
         "orientation-max PSNR verification",
     )
     p.add_argument(
+        "--no-collapse-exact",
+        action="store_true",
+        help="(--mode near-dup) band/verify every row instead of one "
+        "representative per exact-dup class (clusters are provably "
+        "identical either way; this is the A/B / debug escape hatch)",
+    )
+    p.add_argument(
         "--drop-format-mismatch",
         action="store_true",
         help="(--mode near-dup) drop rows whose payload magic bytes "
@@ -514,7 +521,10 @@ def run(args: argparse.Namespace, spark=None) -> int:
         else:
             out = pl.near_dup_pipeline(
                 images,
-                NearDupConfig(flip_invariant=args.flip_invariant),
+                NearDupConfig(
+                    flip_invariant=args.flip_invariant,
+                    collapse_exact=not args.no_collapse_exact,
+                ),
                 checkpointer=ck,
                 base_assignment=base,
                 base_fingerprint=args.base_clusters,
