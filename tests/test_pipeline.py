@@ -529,3 +529,33 @@ def test_collapse_groups_null_captions_together(spark):
     )
     reps = pipeline.collapse_to_representatives(df, exact.exact_assignments(df))
     assert sorted(r["image_id"] for r in reps.collect()) == ["a1", "b1"]
+
+
+def test_collapse_bands_distinct_content_not_corpus(spark):
+    """At a high exact-dup rate the band table must scale with DISTINCT
+    content, not corpus size: a corpus made of 4 byte-identical copies
+    of a base corpus (75% dup rate) bands essentially the base volume.
+    This is the claim that matters at web scale, asserted on rows."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.config import NearDupConfig
+    from yadf_spark.operators import exact
+
+    base = spark.createDataFrame(images.images_pdf(96)).cache()
+    quad = base
+    for i in (1, 2, 3):
+        quad = quad.unionByName(
+            base.withColumn("image_id", F.concat(F.lit(f"copy{i}-"), F.col("image_id")))
+        )
+    quad = quad.cache()
+    cfg = NearDupConfig()
+    n_base = pipeline.candidate_buckets(base, cfg).count()
+    reps = pipeline.collapse_to_representatives(quad, exact.exact_assignments(quad))
+    n_quad_collapsed = pipeline.candidate_buckets(reps, cfg).count()
+    n_quad_full = pipeline.candidate_buckets(quad, cfg).count()
+    base.unpersist()
+    quad.unpersist()
+    assert n_quad_full >= 4 * n_base
+    # the base corpus itself contains planted exact-dup groups, so the
+    # collapsed 4x corpus bands STRICTLY FEWER rows than the base
+    assert n_quad_collapsed <= n_base
