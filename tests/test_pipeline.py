@@ -559,3 +559,44 @@ def test_collapse_bands_distinct_content_not_corpus(spark):
     # the base corpus itself contains planted exact-dup groups, so the
     # collapsed 4x corpus bands STRICTLY FEWER rows than the base
     assert n_quad_collapsed <= n_base
+
+
+def test_gate_history_collapse_preserves_verdicts(spark):
+    """near_dup_gate with history_assignments (history collapsed to
+    exact-class representatives) must produce the same matched/novel
+    split as the uncollapsed gate: gate verdicts are a pure function of
+    each history row's (bytes, caption)."""
+    from pyspark.sql import functions as F
+
+    from yadf_spark.operators import exact
+
+    base = spark.createDataFrame(images.images_pdf(96))
+    # history = the corpus plus byte-identical copies (viral classes)
+    hist = pipeline.prepare_images(
+        base.unionByName(
+            base.withColumn("image_id", F.concat(F.lit("copy-"), F.col("image_id")))
+        ).withColumn("image_id", F.concat(F.lit("h-"), F.col("image_id")))
+    ).cache()
+    # batch = a slice straddling the history's id range: rows 64-95
+    # duplicate history content, rows 96-111 are genuinely novel
+    batch = pipeline.prepare_images(
+        spark.createDataFrame(images.images_pdf(48, offset=64)).withColumn(
+            "image_id", F.concat(F.lit("b-"), F.col("image_id"))
+        )
+    ).cache()
+
+    def verdicts(**kw):
+        g = pipeline.near_dup_gate(batch, hist, **kw)
+        return (
+            {r["image_id"] for r in g["matched_ids"].collect()},
+            {r["image_id"] for r in g["novel"].select("image_id").collect()},
+        )
+
+    plain = verdicts()
+    collapsed = verdicts(history_assignments=exact.exact_assignments(hist))
+    hist.unpersist()
+    batch.unpersist()
+    assert plain == collapsed
+    matched, novel = plain
+    assert matched, "planted overlap must match"
+    assert novel, "planted novel rows must pass"

@@ -167,6 +167,7 @@ def near_dup_gate(
     cfg: NearDupConfig | None = None,
     checkpointer: Checkpointer | None = None,
     history_fingerprint: str | None = None,
+    history_assignments: DataFrame | None = None,
 ) -> dict:
     """Fuzzy IMAGE ingest gate: match a new batch of image rows against
     a history corpus by near-duplicate — the image sibling of
@@ -192,6 +193,19 @@ def near_dup_gate(
     table's path/version) with a workdir so a resume against a
     DIFFERENT history misses instead of replaying stale candidates.
 
+    ``history_assignments`` (the exact ladder's output over the history
+    — reusable across daily gate runs while the history is static)
+    collapses the HISTORY side to one representative per (byte-group,
+    caption) class before banding/verification: the gate's verdicts
+    are a pure function of each history row's (bytes, caption), so a
+    class representative matches exactly the batch rows any member
+    would, and ``matched_ids``/``novel`` are provably unchanged while
+    a 10M-copy viral history image contributes one set of band rows
+    (and at most one decode per batch candidate) instead of 10M. The
+    batch side is never collapsed — every batch row keeps its own
+    verdict row. ``verified_pairs``' ``id_b`` then names the class
+    representative rather than each member.
+
     Returns ``{"verified_pairs": DataFrame(id_a=batch, id_b=history,
     verified, ...), "matched_ids": DataFrame(image_id),
     "novel": DataFrame, "checkpointer": Checkpointer}`` where ``novel``
@@ -199,6 +213,9 @@ def near_dup_gate(
     cfg = cfg or NearDupConfig()
     ck = checkpointer or Checkpointer(spark=batch.sparkSession, workdir=None, eager=False)
     from yadf_spark.operators import minhash
+
+    if history_assignments is not None:
+        history = collapse_to_representatives(history, history_assignments)
 
     def _buckets(side: DataFrame) -> DataFrame:
         # null payloads contribute no byte band: xxhash64(NULL) is the
@@ -227,6 +244,7 @@ def near_dup_gate(
             "bits": cfg.phash_band_bits,
             "flip": ("d4" if cfg.flip_invariant else False),
             "history": history_fingerprint,
+            "hist_collapse": history_assignments is not None,
         },
         lambda: minhash.cross_candidate_pairs_from_buckets(
             _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
