@@ -836,6 +836,28 @@ def test_against_ingest_gate_image_mode(spark, tmp_path):
     assert [r["image_id"] for r in novel.collect()] == ["n_novel"]
     assert set(novel.columns) == {"image_id", "bytes", "caption"}
 
+    # --collapse-history: same gate VERDICTS (novel table identical),
+    # but displayed matches name the exact-class representative
+    # (h_copy, the min id of the byte-identical pair) instead of every
+    # member — the documented trade of banding one rep per class
+    novel2_tbl = str(tmp_path / "novel_imgs2.parquet")
+    out2 = json.loads(
+        _cli(
+            spark,
+            [
+                "-f", "json", "--mode", "near-dup",
+                "--table", batch_tbl, "--against", hist_tbl,
+                "--novel-table", novel2_tbl, "--collapse-history",
+            ],
+        )
+    )
+    groups2 = {tuple(sorted(g)) for g in out2}
+    assert ("h_copy", "n_exact") in groups2
+    assert ("h_other", "n_lossy") in groups2
+    assert len(groups2) == 2
+    novel2 = spark.read.parquet(novel2_tbl)
+    assert [r["image_id"] for r in novel2.collect()] == ["n_novel"]
+
 
 def test_strip_spans_cli_text_mode(spark, tmp_path):
     """--strip-spans writes the ExactSubstr-cleaned corpus: the shared

@@ -168,6 +168,14 @@ def build_parser() -> argparse.ArgumentParser:
         "identical either way; this is the A/B / debug escape hatch)",
     )
     p.add_argument(
+        "--collapse-history",
+        action="store_true",
+        help="(--against) run the exact ladder over the history table and "
+        "band/verify one representative per exact-dup class — verdicts "
+        "are provably unchanged; pays one ladder pass to stop a viral "
+        "history class multiplying the band join",
+    )
+    p.add_argument(
         "--drop-format-mismatch",
         action="store_true",
         help="(--mode near-dup) drop rows whose payload magic bytes "
@@ -489,6 +497,9 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 NearDupConfig(flip_invariant=args.flip_invariant),
                 checkpointer=ck,
                 history_fingerprint=args.against,
+                history_assignments=(
+                    exact.exact_assignments(hist) if args.collapse_history else None
+                ),
             )
             if args.novel_table:
                 # anti-join the PRE-prepare frame: the hand-off keeps the
