@@ -359,8 +359,14 @@ def main() -> None:
     # level's ~2.5 s per-job fixed cost; see the JSON comment where
     # the two rates are reported for why the ratio is bandwidth-bound
     # on one VM.
-    spark = restart_spark(max(2, CPUS // 4), app_name="bench-ladder-small")
-    ladder_small = run_exact_ladder(spark, N_IMAGES)
+    ladder_small_cores = max(2, CPUS // 4)
+    if ladder_small_cores != CPUS:
+        spark = restart_spark(ladder_small_cores, app_name="bench-ladder-small")
+        ladder_small = run_exact_ladder(spark, N_IMAGES)
+    else:
+        # CPUS <= 2: a "second" level would be the same width — skip
+        # rather than re-measure and overwrite the same dict key
+        ladder_small = None
 
     # scaling: same MinHash+LSH job, same input, two parallelism levels
     # (fresh JVM per level — the sandbox stand-in for N vs 4N executors).
@@ -481,10 +487,16 @@ def main() -> None:
             # the 8-core marginal here already exceeds it at half the
             # thread count.
             "exact_ladder_marginal_by_cores": {
-                str(max(2, CPUS // 4)): ladder_small["marginal_images_per_sec"],
+                **(
+                    {str(ladder_small_cores): ladder_small["marginal_images_per_sec"]}
+                    if ladder_small is not None
+                    else {}
+                ),
                 str(CPUS): ladder["marginal_images_per_sec"],
             },
-            "exact_ladder_rounds_small_cores": ladder_small["rounds"],
+            "exact_ladder_rounds_small_cores": (
+                ladder_small["rounds"] if ladder_small is not None else None
+            ),
             "dup_pair_recall": round(recall, 6),
             "dup_pair_recall_by_size": {
                 str(N_IMAGES): round(recall, 6),

@@ -784,6 +784,24 @@ def test_against_flag_validation(spark):
         run(build_parser().parse_args(["--against", "x", "--mode", "exact", "."]), spark=spark)
     with _pytest.raises(SystemExit):
         run(build_parser().parse_args(["--novel-table", "y", "."]), spark=spark)
+    # --collapse-history only applies to the image gate; --no-collapse-exact
+    # never applies under --against (the gate never collapses the batch)
+    with _pytest.raises(SystemExit, match="collapse-history"):
+        run(build_parser().parse_args(["--collapse-history", "."]), spark=spark)
+    with _pytest.raises(SystemExit, match="collapse-history"):
+        run(
+            build_parser().parse_args(
+                ["--mode", "text-near-dup", "--against", "x", "--collapse-history", "."]
+            ),
+            spark=spark,
+        )
+    with _pytest.raises(SystemExit, match="no-collapse-exact"):
+        run(
+            build_parser().parse_args(
+                ["--mode", "near-dup", "--against", "x", "--no-collapse-exact", "."]
+            ),
+            spark=spark,
+        )
 
 
 def test_against_ingest_gate_image_mode(spark, tmp_path):

@@ -600,3 +600,43 @@ def test_gate_history_collapse_preserves_verdicts(spark):
     matched, novel = plain
     assert matched, "planted overlap must match"
     assert novel, "planted novel rows must pass"
+
+
+def test_collapse_keeps_rows_missing_from_assignments(spark):
+    """Rows absent from the supplied assignments (corpus grew after the
+    assignments were computed) must be kept as their own
+    representatives — stale assignments mean less collapse, never
+    silently dropped content."""
+    from yadf_spark.operators import exact
+
+    old = spark.createDataFrame(
+        [("a1", b"payload-one", "cap"), ("a2", b"payload-one", "cap")],
+        "image_id string, bytes binary, caption string",
+    )
+    grown = old.unionByName(
+        spark.createDataFrame(
+            [("z-new", b"fresh-content", "new cap")],
+            "image_id string, bytes binary, caption string",
+        )
+    )
+    reps = pipeline.collapse_to_representatives(grown, exact.exact_assignments(old))
+    assert sorted(r["image_id"] for r in reps.collect()) == ["a1", "z-new"]
+
+
+def test_collapse_splits_classes_on_divergent_table_phash(spark):
+    """A table-supplied phash is not necessarily a pure function of
+    bytes (e.g. null from an upstream decode failure): byte-identical
+    rows with different phash values must stay separate representatives
+    so the class's phash bands are never lost."""
+    from yadf_spark.operators import exact
+
+    df = spark.createDataFrame(
+        [
+            ("p1", b"same-bytes", "cap", None),
+            ("p2", b"same-bytes", "cap", 12345),
+            ("p3", b"same-bytes", "cap", 12345),
+        ],
+        "image_id string, bytes binary, caption string, phash long",
+    )
+    reps = pipeline.collapse_to_representatives(df, exact.exact_assignments(df))
+    assert sorted(r["image_id"] for r in reps.collect()) == ["p1", "p2"]

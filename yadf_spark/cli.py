@@ -164,16 +164,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-collapse-exact",
         action="store_true",
         help="(--mode near-dup) band/verify every row instead of one "
-        "representative per exact-dup class (clusters are provably "
-        "identical either way; this is the A/B / debug escape hatch)",
+        "representative per exact-dup class (clusters are identical "
+        "except where the LSH bucket cap binds, where collapse strictly "
+        "improves recall; this is the A/B / debug escape hatch)",
     )
     p.add_argument(
         "--collapse-history",
         action="store_true",
-        help="(--against) run the exact ladder over the history table and "
+        help="(--against, image mode) run the exact ladder over the history "
+        "table (inside a checkpointed stage; honors --algorithm) and "
         "band/verify one representative per exact-dup class — verdicts "
-        "are provably unchanged; pays one ladder pass to stop a viral "
-        "history class multiplying the band join",
+        "unchanged except over-cap viral buckets, which collapse "
+        "RESCUES from the bucket-cap drop",
     )
     p.add_argument(
         "--drop-format-mismatch",
@@ -429,6 +431,17 @@ def run(args: argparse.Namespace, spark=None) -> int:
         )
     if args.novel_table and not args.against:
         raise SystemExit("--novel-table requires --against")
+    if args.collapse_history and not (args.against and args.mode == "near-dup"):
+        # the text gate keys on document content directly and has no
+        # image-class collapse; silently ignoring the flag would let
+        # the user believe the viral-history mitigation is active
+        raise SystemExit("--collapse-history requires --against with --mode near-dup")
+    if args.no_collapse_exact and args.against:
+        raise SystemExit(
+            "--no-collapse-exact does not apply under --against (the gate "
+            "never collapses the batch side; history collapse is opt-in "
+            "via --collapse-history)"
+        )
     if args.against and (args.survivors or args.export_dir or args.split_table):
         # the gate's clusters are batch-keyed MATCH groups whose history
         # members are absent from the source frame — the survivor
@@ -497,9 +510,8 @@ def run(args: argparse.Namespace, spark=None) -> int:
                 NearDupConfig(flip_invariant=args.flip_invariant),
                 checkpointer=ck,
                 history_fingerprint=args.against,
-                history_assignments=(
-                    exact.exact_assignments(hist) if args.collapse_history else None
-                ),
+                collapse_history=args.collapse_history,
+                ladder_cfg=ladder if args.collapse_history else None,
             )
             if args.novel_table:
                 # anti-join the PRE-prepare frame: the hand-off keeps the

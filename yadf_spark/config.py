@@ -133,11 +133,13 @@ class NearDupConfig:
     #: with orientation-max PSNR + canonical star subgroups
     flip_invariant: bool = False
     #: band/verify only one representative per (exact byte-group,
-    #: caption) equivalence class — members rejoin through the ladder's
-    #: exact star edges, so the cluster output is provably identical
-    #: (pipeline.collapse_to_representatives) while a viral exact-dup
-    #: group contributes band rows and verify decodes ONCE instead of
-    #: once per copy. At web-scale exact-dup rates (30-50%) this is the
-    #: difference between the band shuffle scaling with the corpus or
-    #: with its distinct content.
+    #: caption, phash) equivalence class — members rejoin through the
+    #: ladder's exact star edges, so the cluster output is identical
+    #: (pipeline.collapse_to_representatives; the one exception is an
+    #: over-cap viral bucket, which is dropped uncollapsed but SURVIVES
+    #: collapsed — collapse only ever adds verified links) while a
+    #: viral exact-dup group contributes band rows and verify decodes
+    #: ONCE instead of once per copy. At web-scale exact-dup rates
+    #: (30-50%) this is the difference between the band shuffle scaling
+    #: with the corpus or with its distinct content.
     collapse_exact: bool = True

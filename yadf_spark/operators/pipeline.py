@@ -89,37 +89,52 @@ def collapse_to_representatives(
     id_col: str = "image_id",
     caption_col: str = "caption",
 ) -> DataFrame:
-    """Keep ONE representative (min id) per (exact byte-group, caption)
-    equivalence class — the rows the banding + verification stages
-    actually need to see.
+    """Keep ONE representative (min id) per (exact byte-group, caption,
+    phash) equivalence class — the rows the banding + verification
+    stages actually need to see.
 
-    Cluster-preserving, provably: within a class, rows are
-    byte-identical (the ladder's trusted group keys — sha256 at the
-    full-hash rung, whole-content prefix coverage below it) AND
-    caption-identical, so every candidate/verify signal (phash is a
-    pure function of bytes, caption equality, byte equality, PSNR) is
+    Cluster-preserving: within a class, rows are byte-identical (the
+    ladder's trusted group keys — sha256 at the full-hash rung,
+    whole-content prefix coverage below it), caption-identical AND
+    phash-identical (phash joins the class key because a TABLE-supplied
+    phash column is not necessarily a pure function of bytes — e.g. a
+    null from an upstream decode failure next to a valid value on a
+    byte-identical row; for synthesized phash the key is redundant and
+    collapses exactly the same classes), so every candidate/verify
+    signal (band membership, caption equality, byte equality, PSNR) is
     identical for any member vs the class representative; and every
     member is connected to its representative through the ladder's
     exact star edges, which the pipeline unions into the component
     edges regardless. Replacing member edges with representative edges
-    therefore yields the same connected components.
+    therefore yields the same connected components — except where the
+    LSH ``max_bucket`` cap binds: an over-cap viral bucket is DROPPED
+    uncollapsed (the documented recall trade) but stays under the cap
+    collapsed, so collapse can only ADD verified links, never lose one.
+
+    Rows absent from ``assignments`` (e.g. appended to the corpus after
+    the assignments were computed) are kept as their own
+    representatives: stale assignments degrade to less collapse, never
+    to silently dropped content.
 
     Scale arithmetic (10^12 rows): costs one (id, group_key) x
-    (id, caption) join + a partial-min groupBy (~150 B/row, once);
-    saves bands-per-row (~37) x the exact-dup rate from the band-table
-    shuffle — at web-scale dup rates (30-50%) the band shuffle and the
-    verify decode tier scale with DISTINCT content instead of corpus
-    size, and a 10M-copy viral image costs 37 band rows, not 370M
-    (generalizes the reference's "hash each distinct size-bucket
-    member once", src/fs.rs:42-262, to the near-dup stages)."""
+    (id, caption, phash) join + a partial-min groupBy (~160 B/row,
+    once); saves bands-per-row (~37) x the exact-dup rate from the
+    band-table shuffle — at web-scale dup rates (30-50%) the band
+    shuffle and the verify decode tier scale with DISTINCT content
+    instead of corpus size, and a 10M-copy viral image costs 37 band
+    rows, not 370M (generalizes the reference's "hash each distinct
+    size-bucket member once", src/fs.rs:42-262, to the near-dup
+    stages)."""
+    sig_cols = [caption_col] + (["phash"] if "phash" in images.columns else [])
     keyed = assignments.select(F.col("id").alias(id_col), "group_key")
-    classes = keyed.join(images.select(id_col, caption_col), id_col)
+    classes = keyed.join(images.select(id_col, *sig_cols), id_col)
     reps = (
-        classes.groupBy("group_key", caption_col)
+        classes.groupBy("group_key", *sig_cols)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return images.join(reps, id_col, "left_semi")
+    unassigned = images.select(id_col).join(keyed.select(id_col), id_col, "left_anti")
+    return images.join(reps.unionByName(unassigned), id_col, "left_semi")
 
 
 def candidate_buckets(images: DataFrame, cfg: NearDupConfig) -> DataFrame:
@@ -168,6 +183,8 @@ def near_dup_gate(
     checkpointer: Checkpointer | None = None,
     history_fingerprint: str | None = None,
     history_assignments: DataFrame | None = None,
+    collapse_history: bool = False,
+    ladder_cfg=None,
 ) -> dict:
     """Fuzzy IMAGE ingest gate: match a new batch of image rows against
     a history corpus by near-duplicate — the image sibling of
@@ -193,18 +210,23 @@ def near_dup_gate(
     table's path/version) with a workdir so a resume against a
     DIFFERENT history misses instead of replaying stale candidates.
 
-    ``history_assignments`` (the exact ladder's output over the history
-    — reusable across daily gate runs while the history is static)
-    collapses the HISTORY side to one representative per (byte-group,
-    caption) class before banding/verification: the gate's verdicts
-    are a pure function of each history row's (bytes, caption), so a
-    class representative matches exactly the batch rows any member
-    would, and ``matched_ids``/``novel`` are provably unchanged while
-    a 10M-copy viral history image contributes one set of band rows
-    (and at most one decode per batch candidate) instead of 10M. The
-    batch side is never collapsed — every batch row keeps its own
-    verdict row. ``verified_pairs``' ``id_b`` then names the class
-    representative rather than each member.
+    ``collapse_history=True`` collapses the HISTORY side to one
+    representative per (byte-group, caption, phash) class before
+    banding/verification, running the exact ladder over the history
+    inside a checkpointed stage (``ladder_cfg`` selects the hash algo;
+    with a workdir-backed checkpointer a resumed or repeated daily gate
+    re-reads the collapsed history instead of re-hashing it).
+    Alternatively pass ``history_assignments`` (a precomputed ladder
+    output) to skip the in-stage ladder. Either way: the gate's
+    verdicts are a pure function of each history row's (bytes,
+    caption, phash), so a class representative matches exactly the
+    batch rows any member would, and ``matched_ids``/``novel`` are
+    unchanged — except where the LSH ``max_bucket`` cap binds, where
+    an over-cap viral bucket is dropped uncollapsed but survives
+    collapsed: collapse can only ADD matches. The batch side is never
+    collapsed — every batch row keeps its own verdict row.
+    ``verified_pairs``' ``id_b`` then names the class representative
+    rather than each member.
 
     Returns ``{"verified_pairs": DataFrame(id_a=batch, id_b=history,
     verified, ...), "matched_ids": DataFrame(image_id),
@@ -216,6 +238,14 @@ def near_dup_gate(
 
     if history_assignments is not None:
         history = collapse_to_representatives(history, history_assignments)
+    elif collapse_history:
+        history = ck.stage(
+            "gate_history_reps",
+            {"history": history_fingerprint, "ladder": ladder_cfg},
+            lambda: collapse_to_representatives(
+                history, exact.exact_assignments(history, cfg=ladder_cfg)
+            ),
+        )
 
     def _buckets(side: DataFrame) -> DataFrame:
         # null payloads contribute no byte band: xxhash64(NULL) is the
@@ -244,7 +274,7 @@ def near_dup_gate(
             "bits": cfg.phash_band_bits,
             "flip": ("d4" if cfg.flip_invariant else False),
             "history": history_fingerprint,
-            "hist_collapse": history_assignments is not None,
+            "hist_collapse": history_assignments is not None or collapse_history,
         },
         lambda: minhash.cross_candidate_pairs_from_buckets(
             _buckets(batch), _buckets(history), cfg.lsh.salt_bucket_above, cfg.lsh.max_bucket
