@@ -363,6 +363,25 @@ def main() -> None:
     if ladder_small_cores != CPUS:
         spark = restart_spark(ladder_small_cores, app_name="bench-ladder-small")
         ladder_small = run_exact_ladder(spark, N_IMAGES)
+        if (ladder_small["marginal_images_per_sec"] or 0) < (
+            ladder["marginal_images_per_sec"] or 0
+        ) / 8:
+            # noise-window signature: per-core parity would put the
+            # small level near a quarter of the full-width marginal; an
+            # 8x+ shortfall means the whole small-cores session rode one
+            # of the host's minutes-long degraded windows (observed:
+            # 45k vs 291k for identical code an hour apart). One spaced
+            # retry; keep the MAX marginal — noise only ever lowers a
+            # capacity estimate, so max-across-sessions is the
+            # consistent estimator (the same direction as
+            # min-across-rounds for wall times).
+            time.sleep(45.0)
+            spark = restart_spark(ladder_small_cores, app_name="bench-ladder-small-r")
+            retry = run_exact_ladder(spark, N_IMAGES)
+            if (retry["marginal_images_per_sec"] or 0) > (
+                ladder_small["marginal_images_per_sec"] or 0
+            ):
+                ladder_small = retry
     else:
         # CPUS <= 2: a "second" level would be the same width — skip
         # rather than re-measure and overwrite the same dict key
