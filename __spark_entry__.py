@@ -811,6 +811,80 @@ def q_strip_html_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _planted_urls(d):
+    """Deterministic messy URL per document — scheme/host case, default
+    ports, www, tracking params, fragments, trailing slashes all vary
+    as pure functions of doc_id so canonicalization has real work to
+    do; mirrored verbatim in the oracle SQL."""
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
+    host = F.when(i % 3 == 0, F.lit("WWW.Example.COM")).otherwise(F.lit("example.com"))
+    port = F.when(
+        i % 4 == 0,
+        F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(F.lit("/Docs/"), (i % 50).cast("string"))
+    trail = F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (
+        F.when(i % 7 == 0, F.concat(F.lit("?utm_source=feed&id="), (i % 13).cast("string")))
+        .when(i % 7 == 1, F.concat(F.lit("?id="), (i % 13).cast("string"), F.lit("&utm_campaign=x")))
+        .when(i % 7 == 2, F.lit("?utm_medium=a"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, port, path, trail, q, frag)
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_canonical_url_docs(spark, sf_dir):
+    """URL canonicalization (the CCNet/Dolma URL-dedup key): fragment,
+    authority case, default ports, www, tracking params, dangling
+    separators and trailing slashes all normalized by a pure
+    regexp_replace chain — narrow map, zero shuffles, RE2-subset so
+    DuckDB replays it bit-for-bit."""
+    d = _planted_urls(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "url", curation.canonical_url(F.col("url")).alias("canon_url")
+    ).orderBy("doc_id")
+
+
+def q_url_dedup_docs(spark, sf_dir):
+    """URL-level dedup: group the planted messy URLs by canonical form;
+    count + smallest-id keeper per canonical URL. The group's
+    count/min partially aggregate map-side — a viral URL ships one row
+    per partition through the single narrow shuffle."""
+    d = _planted_urls(_t(spark, sf_dir, "documents"))
+    out = curation.url_dedup(d, "doc_id", "url")
+    return out.orderBy("canon_url")
+
+
+def q_c4_clean_docs(spark, sf_dir):
+    """The C4 heuristic cleaning pass (Raffel et al. 2020 §2.2). The
+    corpus is a single-line token stream, so the query first plants a
+    deterministic multi-line page around each document — a too-short
+    line, a javascript line, a lorem-ipsum line, a code-brace line,
+    and two good sentences, each present as a pure function of doc_id
+    and mirrored verbatim in the oracle. Line verdicts + document
+    gates all replay in DuckDB via list_filter/regexp_matches."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(i % 2 == 0, F.lit("Short one.")),
+            F.when(i % 3 == 0, F.lit("This page uses JavaScript heavily.")),
+            F.when(i % 5 == 0, F.lit("Lorem ipsum dolor sit amet.")),
+            F.when(i % 7 == 0, F.lit("code sample { return 1; }")),
+            F.lit("This is a perfectly good sentence."),
+            F.when(i % 11 == 0, F.lit("Another fine sentence right here!")),
+        ),
+    )
+    out = curation.c4_clean(planted, "doc_id", "text", min_words_per_line=3, min_kept_lines=2)
+    return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id")
+
+
 def q_repeated_spans_docs(spark, sf_dir):
     """Corpus-level EXACT repeated substrings (the ExactSubstr pass of
     Lee et al. 2022): maximal character spans covered by a 30-char
@@ -3093,6 +3167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
         "strip_html_docs": q_strip_html_docs,
+        "canonical_url_docs": q_canonical_url_docs,
+        "url_dedup_docs": q_url_dedup_docs,
+        "c4_clean_docs": q_c4_clean_docs,
         "repeated_spans_docs": q_repeated_spans_docs,
         "strip_spans_docs": q_strip_spans_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
@@ -3613,6 +3690,121 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(len(regexp_extract_all(t, '<[^>]+>')), 0) AS BIGINT)
                      AS n_tags
             FROM nb ORDER BY doc_id""",
+        # URL canonicalization chain — the exact regexp_replace ladder
+        # of curation.canonical_url (RE2 subset; 'g' only where Spark's
+        # always-global replace can match more than once)
+        "canonical_url_docs": r"""
+            WITH u0 AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+                              ELSE 'example.com' END)
+                     || (CASE WHEN doc_id % 4 = 0
+                              THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+                              ELSE '' END)
+                     || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0
+                              THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+                              WHEN doc_id % 7 = 1
+                              THEN '?id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x'
+                              WHEN doc_id % 7 = 2 THEN '?utm_medium=a'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents),
+            u1 AS (SELECT doc_id, url,
+                          regexp_replace(url, '#.*$', '') AS s FROM u0),
+            u2 AS (SELECT doc_id, url,
+                          lower(regexp_extract(s, '^([^/?#]*://[^/?#]*)', 1))
+                          || regexp_replace(s, '^[^/?#]*://[^/?#]*', '') AS s FROM u1),
+            u3 AS (SELECT doc_id, url,
+                          regexp_replace(regexp_replace(s,
+                            '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+                            '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS s FROM u2),
+            u4 AS (SELECT doc_id, url,
+                          regexp_replace(s, '^(https?://)www\.', '\1') AS s FROM u3),
+            u5 AS (SELECT doc_id, url,
+                          regexp_replace(s, '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g')
+                            AS s FROM u4),
+            u6 AS (SELECT doc_id, url,
+                          regexp_replace(regexp_replace(regexp_replace(s,
+                            '^([^?&]*)&', '\1?'), '[?&]+$', ''), '/$', '') AS s FROM u5)
+            SELECT doc_id, url, s AS canon_url FROM u6 ORDER BY doc_id""",
+        "url_dedup_docs": r"""
+            WITH u0 AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+                              ELSE 'example.com' END)
+                     || (CASE WHEN doc_id % 4 = 0
+                              THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+                              ELSE '' END)
+                     || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0
+                              THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+                              WHEN doc_id % 7 = 1
+                              THEN '?id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x'
+                              WHEN doc_id % 7 = 2 THEN '?utm_medium=a'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents),
+            canon AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(regexp_replace(
+                        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                             '^([^/?#]*://[^/?#]*)', 1))
+                        || regexp_replace(regexp_replace(url, '#.*$', ''),
+                                          '^[^/?#]*://[^/?#]*', ''),
+                        '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+                        '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
+                      '^(https?://)www\.', '\1'),
+                    '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                  '^([^?&]*)&', '\1?'), '[?&]+$', ''), '/$', '') AS canon_url
+              FROM u0)
+            SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper
+            FROM canon GROUP BY canon_url ORDER BY canon_url""",
+        # C4 line rules + document gates — list_filter replays every
+        # line verdict of curation.c4_clean(min_words=3, min_kept=2)
+        "c4_clean_docs": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), text,
+                       CASE WHEN doc_id % 2 = 0 THEN 'Short one.' END,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'This page uses JavaScript heavily.' END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'Lorem ipsum dolor sit amet.' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'code sample { return 1; }' END,
+                       'This is a perfectly good sentence.',
+                       CASE WHEN doc_id % 11 = 0
+                            THEN 'Another fine sentence right here!' END) AS text
+              FROM documents),
+            x AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(regexp_extract_all(trim(l), '\S+')) >= 3
+                       AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+              FROM planted)
+            SELECT doc_id,
+                   array_to_string(list_transform(kept, l -> trim(l)), chr(10))
+                     AS clean_text,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+                   CAST(contains(text, '{') AS INT) AS has_brace,
+                   CAST((NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(text, '{')
+                         AND len(kept) >= 2) AS INT) AS keep
+            FROM x ORDER BY doc_id""",
         # ExactSubstr shared CTE shape: window hashes -> hot set ->
         # lag+cumsum interval merge — the exact replay of
         # curation.repeated_spans(min_len=30, min_docs=2, algo='md5')

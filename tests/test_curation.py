@@ -974,3 +974,99 @@ def test_repeated_spans_truncate_lineage_is_result_invariant(spark):
         )
 
     assert spans(True) == spans(False)
+
+
+# ---------------------------------------------------------------- URLs
+
+
+def _urls(spark):
+    rows = [
+        # protocol/www/tracking variants of the same page — one group
+        (1, "https://www.Example.com/page"),
+        (2, "HTTPS://EXAMPLE.COM:443/page#frag"),
+        (3, "https://example.com/page/?utm_source=tw"),
+        # same host, different (case-sensitive) path — distinct
+        (4, "https://example.com/Page"),
+        # http default port + params surviving the tracking strip
+        (5, "http://a.example:80/x?utm_campaign=c&id=2&fbclid=zz"),
+        (6, "http://a.example/x?id=2"),
+        # no scheme at all — generic steps only
+        (7, "a.example/x/"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_canonical_url_normalizes_each_axis(spark):
+    got = dict(
+        _urls(spark)
+        .select("doc_id", curation.canonical_url(F.col("url")).alias("c"))
+        .collect()
+    )
+    assert got[1] == "https://example.com/page"
+    assert got[2] == "https://example.com/page"
+    assert got[3] == "https://example.com/page"
+    assert got[4] == "https://example.com/Page"  # path case preserved
+    assert got[5] == "http://a.example/x?id=2"
+    assert got[6] == "http://a.example/x?id=2"
+    assert got[7] == "a.example/x"
+
+
+def test_url_dedup_groups_and_keeps_smallest_id(spark):
+    out = {r.canon_url: r for r in curation.url_dedup(_urls(spark), "doc_id", "url").collect()}
+    assert out["https://example.com/page"].n_docs == 3
+    assert out["https://example.com/page"].keeper == 1
+    assert out["http://a.example/x?id=2"].n_docs == 2
+    assert out["http://a.example/x?id=2"].keeper == 5
+    assert out["https://example.com/Page"].n_docs == 1
+
+
+def test_canonical_url_is_a_narrow_jvm_map(spark):
+    plan = (
+        _urls(spark)
+        .select(curation.canonical_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+# ------------------------------------------------------------ C4 rules
+
+
+def _pages(spark):
+    rows = [
+        # 3 good sentences -> kept whole
+        (1, "One good line here.\nAnother good line there!\nAnd a third one?"),
+        # good lines but a lorem-ipsum marker -> doc gated out
+        (2, "One good line here.\nSecond fine line too.\nlorem IPSUM dolor sit."),
+        # a brace anywhere -> doc gated out
+        (3, "One good line here.\nSecond fine line too.\nvar f = { a: 1 };"),
+        # line rules: short line, no-punct line, javascript line all drop,
+        # leaving only one survivor -> below min_kept_lines
+        (4, 'Too short.\nno terminal punctuation here\nEnable JavaScript to view.\nOnly this "survives".'),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    out = {
+        r.doc: r
+        for r in curation.c4_clean(
+            _pages(spark), "doc_id", "text", min_words_per_line=3, min_kept_lines=2
+        ).collect()
+    }
+    assert out[1].keep == 1 and out[1].n_kept_lines == 3
+    assert out[1].clean_text.count("\n") == 2
+    assert out[2].keep == 0 and out[2].has_lorem == 1 and out[2].n_kept_lines == 3
+    assert out[3].keep == 0 and out[3].has_brace == 1
+    assert out[4].keep == 0 and out[4].n_kept_lines == 1
+    assert out[4].clean_text == 'Only this "survives".'
+
+
+def test_c4_clean_is_a_narrow_jvm_map(spark):
+    plan = (
+        curation.c4_clean(_pages(spark), "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan

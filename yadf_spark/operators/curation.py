@@ -1467,3 +1467,132 @@ def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(text.isNull(), F.lit(None).cast("string")).otherwise(title).alias("title"),
         F.coalesce(n_tags.cast("long"), F.lit(0)).alias("n_tags"),
     )
+
+
+#: tracking query parameters stripped by URL canonicalization — the
+#: standard analytics noise (Google Analytics utm_*, Facebook fbclid,
+#: Google Ads gclid) that makes one page look like many distinct URLs
+_TRACKING_PARAM_RE = r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*"
+
+
+def canonical_url(url_col: Column) -> Column:
+    """Canonical form of a URL for URL-level deduplication — the
+    cheapest first-pass dedup key of a web-crawl pipeline (CCNet and
+    Dolma both dedup by normalized URL before any content pass).
+
+    Normalization, in order: drop the fragment; lowercase the
+    scheme+authority (the path stays case-sensitive, per RFC 3986);
+    drop explicit default ports (``:80`` for http, ``:443`` for
+    https); drop a leading ``www.``; strip tracking parameters
+    (``utm_*``, ``fbclid``, ``gclid``) and re-anchor the first
+    surviving parameter on ``?``; drop dangling ``?``/``&`` and a
+    trailing slash. A URL without a scheme passes through these steps
+    unchanged except for the generic ones (fragment/params/slash).
+
+    Scale shape: a chained ``regexp_replace`` column expression — a
+    narrow map in whole-stage codegen, zero shuffles, zero Python, so
+    it runs at scan speed over any corpus size. Every pattern stays
+    in the RE2 subset (no lookaround, no backreference *matching*) so
+    a DuckDB oracle replays the chain bit-for-bit.
+    """
+    u = F.regexp_replace(url_col, r"#.*$", "")
+    # lowercase scheme://authority only — extract the prefix, lower it,
+    # re-attach the untouched path/query
+    pre = F.lower(F.regexp_extract(u, r"^([^/?#]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[^/?#]*://[^/?#]*", "")
+    u = F.concat(pre, rest)
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    # if the first surviving parameter lost its '?', re-anchor it
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level dedup summary: one row per canonical URL with its
+    duplicate count and the surviving (smallest-id) member —
+    ``(canon_url, n_docs, keeper)``.
+
+    The first dedup stage of a crawl pipeline: collapses protocol /
+    www / tracking-parameter variants of the same page before any
+    content hashing runs. Scale shape: the canonicalization is a
+    narrow map; the group is one ``groupBy`` whose ``count``/``min``
+    partially aggregate map-side, so a viral URL ships one row per
+    partition — never one per occurrence — through the single shuffle
+    (~100 B/row, ids and URLs only; payloads stay behind). Survivors
+    re-attach by a semi-join on ``keeper`` when row payloads are
+    needed, exactly like ``cluster_representatives``.
+    """
+    canon = canonical_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col).alias("id"), canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("id").alias("keeper"),
+        )
+    )
+
+
+#: a line must end in terminal punctuation to look like prose (C4 §2.2)
+_TERMINAL_PUNCT_RE = r'[.!?"]$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 heuristic cleaning pass (Raffel et al. 2020, §2.2) —
+    line-level rules plus document-level gates, returning
+    ``(doc, clean_text, n_lines, n_kept_lines, has_lorem, has_brace,
+    keep)``.
+
+    Line rules (a line survives only if all hold): ends in terminal
+    punctuation (``.!?"``), has at least ``min_words_per_line`` words,
+    and does not contain the word "javascript". Document gates:
+    contains no "lorem ipsum", no ``{`` (code marker), and keeps at
+    least ``min_kept_lines`` surviving lines. ``clean_text`` is the
+    surviving lines (trimmed) re-joined by newline; gate columns are
+    returned rather than pre-filtered so callers can audit what a
+    ``keep``-filter would drop (the same observability posture as
+    ``denylist_hits``). The bad-word rule of C4 is deliberately NOT
+    here — it is the separate, composable ``denylist_filter``.
+
+    Scale shape: split → array ``filter``/``transform`` higher-order
+    functions — one narrow map, zero shuffles, zero Python, and every
+    predicate is RE2-subset so a DuckDB oracle (``list_filter`` +
+    ``regexp_matches``) replays each line verdict bit-for-bit.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def _line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
+        return (
+            t.rlike(_TERMINAL_PUNCT_RE)
+            & (words >= min_words_per_line)
+            & ~F.contains(F.lower(t), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _line_ok)
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    n_kept = F.size(kept)
+    keep = ~has_lorem & ~has_brace & (n_kept >= min_kept_lines)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_join(F.transform(kept, F.trim), "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        keep.cast("int").alias("keep"),
+    )
