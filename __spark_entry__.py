@@ -1650,6 +1650,78 @@ def _ivf_truth_pairs_parquet(
     return path
 
 
+def _pq_truth_codebooks_parquet(m: int = 8, k: int = 16, seed: int = 42) -> str:
+    """Single-process replay of the PQ codebook training (seeded
+    per-subspace Lloyd on the vec_id-ordered sample — the same pure
+    ``similarity.pq_lloyd`` kernel the Spark query's driver-side
+    training calls), stored as (sub, code, centroid) parquet. The
+    oracles built on it re-derive the per-vector argmin CODES and the
+    query ADC distances relationally in DuckDB, so the distributed
+    encode (pandas-UDF batching) and the codes-only ADC scan are
+    checked against independent arithmetic, with only the (driver-side
+    anyway) training output shared."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/yadf_contract_pq_books_{_sf_slug()}_{m}_{k}_{seed}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{CONTRACT_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t.column("vec_id").to_numpy())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        sample = mat[order][:20_000]
+        books = similarity.pq_lloyd(sample, m, k, 10, seed)
+        subs, codes, cents = [], [], []
+        for s in range(books.shape[0]):
+            for c in range(books.shape[1]):
+                subs.append(s)
+                codes.append(c)
+                cents.append(books[s, c].tolist())
+        table = pa.table(
+            {
+                "sub": pa.array(subs, pa.int32()),
+                "code": pa.array(codes, pa.int32()),
+                "centroid": pa.array(cents, pa.list_(pa.float64())),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (Jégou et al. 2011): each 64-dim
+    embedding compressed to 8 codeword indices — the memory-scale ANN
+    path (8-32× working-set cut here; 100-400× at production dims).
+    Training is driver-side on the vec_id-ordered sample (the IVF
+    posture); the encode is a zero-shuffle Arrow-batched narrow map.
+    Oracle: DuckDB re-derives every argmin code from the embeddings
+    view and the stored-truth codebooks via list_distance — the
+    distributed batching is checked against independent arithmetic."""
+    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    books = similarity.pq_train_codebooks(e, EMB_DIM, m=8, k=16)
+    out = similarity.pq_encode(e, books)
+    return out.select(F.col("id").alias("vec_id"), "code").orderBy("vec_id")
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-5 for query vectors vec_id < 8: the
+    corpus scan reads the 8-int code column ONLY (embeddings never
+    shuffle); per-query ADC tables broadcast in the kernel closure;
+    selection is the shared two-phase top-k. Oracle: DuckDB rebuilds
+    codes AND the ADC sums from the stored-truth codebooks, ranked with
+    the ann_topk rounding/tie-break contract."""
+    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    books = similarity.pq_train_codebooks(e, EMB_DIM, m=8, k=16)
+    return similarity.pq_topk(e, e.filter("vec_id < 8"), books, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_topk_srp(spark, sf_dir):
     """SRP-LSH approximate top-3 neighbors (bucketed ANN scale path).
     Oracle-checked: the distributed signature/band/bucket/re-rank plan
@@ -3248,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
         "ivf_near_dup": q_ivf_near_dup,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "images_near_dup_clusters": q_images_near_dup_clusters,
         "images_representatives": q_images_representatives,
         "images_ingest_gate": q_images_ingest_gate,
@@ -4761,6 +4835,55 @@ def oracle_sql() -> dict[str, str]:
                          JOIN embeddings b ON b.vec_id = p.id_b)
             SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45
             ORDER BY id_a, id_b""",
+        # PQ: DuckDB re-derives every argmin code from the embeddings
+        # view + stored-truth codebooks (list_distance is monotone in
+        # the squared distance the kernel argmins; ties break on code,
+        # numpy first-index semantics)
+        "pq_codes": f"""
+            WITH cb AS (SELECT sub, code, centroid
+                        FROM read_parquet('{_pq_truth_codebooks_parquet()}')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            d AS (SELECT e.vec_id, cb.sub, cb.code,
+                         list_distance(e.emb[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                                       cb.centroid) AS dist
+                  FROM e CROSS JOIN cb),
+            r AS (SELECT vec_id, sub, code,
+                         row_number() OVER (PARTITION BY vec_id, sub
+                                            ORDER BY dist, code) AS rn
+                  FROM d)
+            SELECT vec_id, list(code ORDER BY sub) AS code
+            FROM r WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+        # PQ ADC: codes rebuilt as above, then each query's asymmetric
+        # distance = sum over subspaces of squared distance from the
+        # query subvector to the neighbor's codeword — the exact
+        # arithmetic the kernel's lookup table sums, ranked with the
+        # ann_topk rounding/tie-break contract
+        "pq_topk": f"""
+            WITH cb AS (SELECT sub, code, centroid
+                        FROM read_parquet('{_pq_truth_codebooks_parquet()}')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            d AS (SELECT e.vec_id, cb.sub, cb.code,
+                         list_distance(e.emb[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                                       cb.centroid) AS dist
+                  FROM e CROSS JOIN cb),
+            r AS (SELECT vec_id, sub, code,
+                         row_number() OVER (PARTITION BY vec_id, sub
+                                            ORDER BY dist, code) AS rn
+                  FROM d),
+            codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 8),
+            adc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                           round(sum(power(list_distance(
+                             q.emb[c.sub * 8 + 1 : c.sub * 8 + 8], cb.centroid), 2)), 6)
+                             AS adist
+                    FROM q CROSS JOIN codes c
+                    JOIN cb ON cb.sub = c.sub AND cb.code = c.code
+                    WHERE c.vec_id != q.query_id
+                    GROUP BY q.query_id, c.vec_id),
+            rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS INT) AS rank FROM adc)
+            SELECT query_id, neighbor_id, adist, rank FROM rk
+            WHERE rank <= 5 ORDER BY query_id, rank""",
         # the FLAGSHIP gate: the full 5-stage pipeline's cluster
         # assignment must equal the planted truth's transitive closure
         # (min-label components + singleton backfill) — cluster-level

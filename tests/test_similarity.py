@@ -438,3 +438,76 @@ def test_cluster_prune_approx_path_runs_and_bounds(spark):
     # both must keep a non-empty strict subset ordered by cosine
     ke, ka = exact.count(), approx.count()
     assert 0 < ke < 10 and 0 < ka < 10
+
+
+# ------------------------------------------------------- product quantization
+
+
+def test_pq_lloyd_shapes_and_dim_guard():
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((100, DIM))
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=1)
+    assert books.shape == (4, 8, DIM // 4)
+    with pytest.raises(ValueError):
+        similarity.pq_lloyd(mat, m=5, k=8)
+
+
+def test_pq_codes_quantize_to_nearest_codeword():
+    """Each assigned codeword must be at least as close as every other
+    codeword in its subspace (argmin semantics)."""
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((80, DIM))
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=1)
+    codes = similarity.pq_assign_codes(mat, books)
+    dsub = DIM // 4
+    for s in range(4):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        assert (d2[np.arange(len(mat)), codes[:, s]] <= d2.min(axis=1) + 1e-12).all()
+
+
+def test_pq_encode_distributed_matches_kernel(spark):
+    """Arrow batching must not change the codes — the distributed
+    encode equals a single-process run over float32-roundtripped
+    values (the storage dtype of the embedding column)."""
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=7)
+    want = similarity.pq_assign_codes(mat, books)
+    got = {r.id: list(r.code) for r in similarity.pq_encode(df, books).collect()}
+    assert all(got[i] == list(want[i]) for i in range(len(rows)))
+
+
+def test_pq_topk_recalls_planted_clusters(spark):
+    """ADC over 4-byte-ish codes must still surface the planted
+    cluster: every top-4 neighbor of a query shares its cluster (the
+    clusters are far apart relative to quantization error)."""
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    books = similarity.pq_lloyd(mat, m=4, k=16, seed=7)
+    labels = {i: c for i, _, c in rows}
+    out = similarity.pq_topk(df, df.filter("vec_id < 6"), books, k=4)
+    res = {}
+    for r in out.collect():
+        res.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(res) == set(range(6))
+    for q, nbrs in res.items():
+        assert len(nbrs) == 4
+        assert all(labels[n] == labels[q] for n in nbrs)
+
+
+def test_pq_encode_is_a_narrow_map(spark):
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=7)
+    plan = similarity.pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_topk_refuses_unbounded_query_side(spark, monkeypatch):
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=7)
+    monkeypatch.setattr(similarity, "PQ_MAX_QUERIES", 10)
+    with pytest.raises(ValueError, match="batch them"):
+        similarity.pq_topk(df, df, books, k=3)

@@ -82,7 +82,9 @@ def _cosine_from_norms(pairs: DataFrame, dim: int | None = None) -> DataFrame:
     )
 
 
-def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+def _partial_topk(
+    scored: DataFrame, k: int, metric: str = "cosine", ascending: bool = False
+) -> DataFrame:
     """Per-partition top-k per query (two-phase top-k, phase 1).
 
     Without this, ``row_number() OVER (PARTITION BY query_id)`` shuffles
@@ -90,21 +92,23 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
     n-row straggler per query at corpus scale. The partial pass keeps at
     most k rows per query per partition (running top-k across Arrow
     batches, memory O(q*k + batch)), so the final exact window sees
-    q * k * partitions rows instead of q * n. Selection only — cosine
-    values pass through untouched, so oracle bit-identity holds."""
+    q * k * partitions rows instead of q * n. Selection only — metric
+    values pass through untouched, so oracle bit-identity holds.
+    ``ascending=True`` selects the SMALLEST values (distance metrics,
+    e.g. PQ's asymmetric distance) instead of the largest (cosine)."""
 
     def kernel(batches):
         acc = None
         for b in batches:
             cur = b if acc is None else pd.concat((acc, b), ignore_index=True)
             cur = cur.sort_values(
-                ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+                ["query_id", metric, "neighbor_id"], ascending=[True, ascending, True]
             )
             acc = cur.groupby("query_id", sort=False).head(k)
         if acc is not None and len(acc):
             yield acc
 
-    pruned = scored.select("query_id", "neighbor_id", "cosine")
+    pruned = scored.select("query_id", "neighbor_id", metric)
     return pruned.mapInPandas(kernel, pruned.schema)
 
 
@@ -850,3 +854,196 @@ def cluster_prune(
         assigned, "cosine", "cluster", q=float(1.0 - drop_frac), keep="below", exact=exact
     )
     return kept.select(id_col, "cluster", "cosine", F.round("thr", 6).alias("thr"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory-scale ANN path.
+#
+# At 10^12 rows a float32 embedding column is the dominant byte cost of
+# any similarity scan (a 64-dim float32 vector is 256 B; its 8-subspace
+# PQ code is 8 small ints ≈ 8-32 B — a 8-32× working-set cut, 100-400×
+# at production dims). PQ splits each vector into M subvectors, k-means
+# quantizes each subspace independently (a codebook of K codewords per
+# subspace, trained driver-side on a bounded sample exactly like IVF),
+# and stores only the M argmin code indices per vector. Queries never
+# decompress: asymmetric distance (ADC) precomputes, per query, the
+# M × K table of squared distances to every codeword, and a corpus
+# row's approximate distance is M table lookups over its code — the
+# corpus scan touches CODES ONLY, embeddings never shuffle.
+
+
+def pq_lloyd(
+    mat: np.ndarray, m: int, k: int, iterations: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Seeded per-subspace L2 Lloyd over a (rows × dim) float64 matrix
+    → (m, k, dim/m) codebooks. Module-level pure kernel (the
+    ``kmeans_cosine_centroids`` pattern) so the Spark training path and
+    the single-process oracle replay compute bit-identical codebooks
+    from the same sample rows."""
+    rows, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, rows)
+    books = np.empty((m, k_eff, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(rows, size=k_eff, replace=False)].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_assign_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows × dim) → (rows × m) int32 codes: per-subspace argmin
+    codeword (first-index tie-break, numpy argmin semantics — the
+    oracle mirrors it by ranking on (distance, code))."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_adc_lut(qmat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_q × dim) queries → (n_q × m × k) table of SQUARED L2
+    distances from each query subvector to each codeword — the ADC
+    lookup table a corpus scan sums over its codes."""
+    m, k, dsub = books.shape
+    lut = np.empty((len(qmat), m, k), dtype=np.float64)
+    for s in range(m):
+        qs = qmat[:, s * dsub : (s + 1) * dsub]
+        lut[:, s, :] = ((qs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+    return lut
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iterations: int = 10,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> np.ndarray:
+    """PQ codebooks from a bounded driver-side sample — the IVF
+    training posture (``train_ivf_centroids``): O(sample · m · k ·
+    iters) on the driver regardless of corpus size; assignment runs
+    distributed. Pass ``id_col`` for a layout-invariant hash-ordered
+    sample, or pre-order the frame upstream (the contract query orders
+    by vec_id) for run-to-run determinism."""
+    src = df
+    if id_col is not None:
+        src = df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    sample = src.select(emb_col).limit(sample_rows).toPandas()[emb_col]
+    mat = np.vstack([np.asarray(e, dtype=np.float64) for e in sample])
+    return pq_lloyd(mat, m, k, iterations, seed)
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Compress the embedding column to PQ codes: ``(id, code)`` where
+    ``code`` is the m-element array of codeword indices. THE
+    working-set cut of the PQ path — a pure Arrow-batched narrow map
+    (one matmul-shaped argmin per subspace per batch), zero shuffles;
+    downstream similarity scans read this frame instead of the
+    embeddings."""
+
+    @F.pandas_udf("array<int>")
+    def enc(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        return pd.Series(list(pq_assign_codes(mat, books)))
+
+    return df.select(F.col(id_col).alias("id"), enc(F.col(emb_col)).alias("code"))
+
+
+#: pq_topk collects the QUERY side to the driver to build ADC tables —
+#: ADC is a few-queries-vs-huge-corpus scan by design; above this bound
+#: the caller should batch queries or use the symmetric (code-vs-code)
+#: path instead.
+PQ_MAX_QUERIES = 10_000
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance:
+    ``(query_id, neighbor_id, adist, rank)``, self-matches excluded,
+    ``adist`` the codes-vs-query squared-L2 estimate rounded to
+    ``round_to`` (rounded BEFORE selection so the partial top-k, the
+    final window, and the oracle rank identically; ties break on
+    neighbor id).
+
+    Scale shape: queries (bounded by ``PQ_MAX_QUERIES``) collect to the
+    driver once and ship as an (n_q × m × k) LUT inside the kernel
+    closure; the corpus scan reads the m-int code column ONLY — the
+    embedding column is never scanned, never shuffled. Scoring is a
+    narrow ``mapInPandas`` (n_q lookups+adds per row, vectorized across
+    the Arrow batch); selection is the shared two-phase top-k
+    (per-partition prune to q·k rows, then the exact window)."""
+    qpd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
+        .limit(PQ_MAX_QUERIES + 1)
+        .toPandas()
+    )
+    if len(qpd) > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"pq_topk collects the query side to the driver; got > "
+            f"{PQ_MAX_QUERIES} queries — batch them or use a symmetric scan"
+        )
+    qids = qpd["query_id"].to_numpy()
+    qmat = np.vstack([np.asarray(e, dtype=np.float64) for e in qpd["emb"]])
+    lut = pq_adc_lut(qmat, books)
+    m = books.shape[0]
+    codes = pq_encode(corpus, books, id_col, emb_col)
+
+    def score(batches):
+        sub = np.arange(m)[None, :]
+        for b in batches:
+            if not len(b):
+                continue
+            cmat = np.vstack(b["code"].to_numpy())
+            # lut[q, s, code[r, s]] summed over s → (n_q, rows)
+            d = np.round(lut[:, sub, cmat].sum(axis=2), round_to)
+            n_rows = len(b)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n_rows),
+                    "neighbor_id": np.tile(b["id"].to_numpy(), len(qids)),
+                    "adist": d.reshape(-1),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adist double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        _partial_topk(scored, k, metric="adist", ascending=True)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
