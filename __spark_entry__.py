@@ -1693,6 +1693,54 @@ def _pq_truth_codebooks_parquet(m: int = 8, k: int = 16, seed: int = 42) -> str:
     return path
 
 
+def _ivf_truth_centroids_parquet(n_centroids: int = 32, seed: int = 42) -> str:
+    """The IVF coarse centroids as stored truth (cell, centroid) —
+    the same seeded spherical-k-means kernel on the same vec_id-ordered
+    sample as `_ivf_truth_pairs_parquet`, but materialized so a DuckDB
+    oracle can re-derive cell ASSIGNMENTS and probe sets relationally
+    (argmax similarity per vector) instead of replaying pair sets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/yadf_contract_ivf_cents_{_sf_slug()}_{n_centroids}_{seed}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{CONTRACT_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t.column("vec_id").to_numpy())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        sample = mat[order][:20_000]
+        cents = similarity.kmeans_cosine_centroids(sample, n_centroids, 10, seed)
+        table = pa.table(
+            {
+                "cell": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array([c.tolist() for c in cents], pa.list_(pa.float64())),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ top-5 (the FAISS IVFPQ layout): queries vec_id < 8 probe
+    their 8 nearest of 32 coarse cells and ADC-score only the corpus
+    rows assigned there — candidate selection is a BroadcastHashJoin
+    on the cell column over the one-scan (id, cell, code) index frame;
+    the embedding column is read exactly once. Oracle: DuckDB
+    re-derives cell assignments, probe sets, argmin codes, and the ADC
+    sums from the stored-truth centroids + codebooks."""
+    e = _t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    cents = similarity.train_ivf_centroids(e, EMB_DIM, n_centroids=32)
+    books = similarity.pq_train_codebooks(e, EMB_DIM, m=8, k=16)
+    return similarity.ivf_pq_topk(
+        e, e.filter("vec_id < 8"), cents, books, k=5, n_probe=8
+    ).orderBy("query_id", "rank")
+
+
 def q_pq_codes(spark, sf_dir):
     """Product-quantization encode (Jégou et al. 2011): each 64-dim
     embedding compressed to 8 codeword indices — the memory-scale ANN
@@ -3320,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": q_ann_recall_report,
         "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
         "ivf_near_dup": q_ivf_near_dup,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "images_near_dup_clusters": q_images_near_dup_clusters,
@@ -4835,6 +4884,50 @@ def oracle_sql() -> dict[str, str]:
                          JOIN embeddings b ON b.vec_id = p.id_b)
             SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45
             ORDER BY id_a, id_b""",
+        # IVF-PQ: cells, probe sets, codes, and ADC sums all re-derived
+        # relationally from the two stored-truth tables (centroids +
+        # codebooks) — the distributed index build and the broadcast
+        # cell-routing join are checked against independent arithmetic
+        "ivf_pq_topk": f"""
+            WITH cents AS (SELECT cell, centroid
+                           FROM read_parquet('{_ivf_truth_centroids_parquet()}')),
+            cb AS (SELECT sub, code, centroid
+                   FROM read_parquet('{_pq_truth_codebooks_parquet()}')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            sims AS (SELECT e.vec_id, cents.cell,
+                            list_dot_product(e.emb, cents.centroid) /
+                            greatest(sqrt(list_dot_product(e.emb, e.emb)), 1e-12) AS sim
+                     FROM e CROSS JOIN cents),
+            ranked AS (SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY sim DESC, cell) AS rn
+                       FROM sims),
+            vcell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cell
+                       FROM ranked WHERE rn <= 8 AND vec_id < 8),
+            cd AS (SELECT e.vec_id, cb.sub, cb.code,
+                          list_distance(e.emb[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                                        cb.centroid) AS dist
+                   FROM e CROSS JOIN cb),
+            cr AS (SELECT vec_id, sub, code,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY dist, code) AS rn
+                   FROM cd),
+            codes AS (SELECT vec_id, sub, code FROM cr WHERE rn = 1),
+            adc AS (SELECT p.query_id, v.vec_id AS neighbor_id,
+                           round(sum(power(list_distance(
+                             q.emb[c.sub * 8 + 1 : c.sub * 8 + 8], cb.centroid), 2)), 6)
+                             AS adist
+                    FROM probes p
+                    JOIN vcell v ON v.cell = p.cell AND v.vec_id != p.query_id
+                    JOIN codes c ON c.vec_id = v.vec_id
+                    JOIN cb ON cb.sub = c.sub AND cb.code = c.code
+                    JOIN e q ON q.vec_id = p.query_id
+                    GROUP BY p.query_id, v.vec_id),
+            rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS INT) AS rank FROM adc)
+            SELECT query_id, neighbor_id, adist, rank FROM rk
+            WHERE rank <= 5 ORDER BY query_id, rank""",
         # PQ: DuckDB re-derives every argmin code from the embeddings
         # view + stored-truth codebooks (list_distance is monotone in
         # the squared distance the kernel argmins; ties break on code,

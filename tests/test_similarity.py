@@ -511,3 +511,48 @@ def test_pq_topk_refuses_unbounded_query_side(spark, monkeypatch):
     monkeypatch.setattr(similarity, "PQ_MAX_QUERIES", 10)
     with pytest.raises(ValueError, match="batch them"):
         similarity.pq_topk(df, df, books, k=3)
+
+
+def test_ivf_pq_topk_recalls_planted_clusters(spark):
+    """Routing through coarse cells + ADC over codes still surfaces the
+    planted cluster members for every query."""
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    cents = similarity.kmeans_cosine_centroids(mat, 8, seed=5)
+    books = similarity.pq_lloyd(mat, m=4, k=16, seed=7)
+    labels = {i: c for i, _, c in rows}
+    out = similarity.ivf_pq_topk(df, df.filter("vec_id < 6"), cents, books, k=4, n_probe=3)
+    res = {}
+    for r in out.collect():
+        res.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(res) == set(range(6))
+    for q, nbrs in res.items():
+        assert len(nbrs) == 4
+        assert all(labels[n] == labels[q] for n in nbrs)
+
+
+def test_ivf_pq_routing_is_a_broadcast_join(spark):
+    """The cell-routing join must broadcast the tiny query side — a
+    SortMergeJoin would shuffle the whole index frame."""
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    cents = similarity.kmeans_cosine_centroids(mat, 8, seed=5)
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=7)
+    plan = (
+        similarity.ivf_pq_topk(df, df.filter("vec_id < 3"), cents, books, k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_cells_codes_is_a_one_scan_narrow_map(spark):
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    cents = similarity.kmeans_cosine_centroids(mat, 8, seed=5)
+    books = similarity.pq_lloyd(mat, m=4, k=8, seed=7)
+    plan = (
+        similarity.pq_cells_codes(df, cents, books)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

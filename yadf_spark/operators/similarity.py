@@ -1047,3 +1047,122 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def pq_cells_codes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index frame: ``(id, cell, code)`` — each vector's
+    nearest coarse-centroid cell plus its PQ code, computed in ONE
+    Arrow-batched narrow map (one scan of the embedding column, zero
+    shuffles). This is the frame a production deployment materializes
+    once (partitioned/bucketed by ``cell``) and serves every query
+    from; the embedding column is never read again."""
+    m = books.shape[0]
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.vstack([np.asarray(e, dtype=np.float64) for e in b[emb_col]])
+            cells = probe_top_cells(mat, centroids, 1)[:, 0]
+            codes = pq_assign_codes(mat, books)
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    pruned = df.select(id_col, emb_col)
+    return pruned.mapInPandas(kernel, "id long, cell int, code array<int>")
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFPQ layout): queries probe
+    their ``n_probe`` nearest coarse cells and ADC-score ONLY the
+    corpus rows assigned to those cells —
+    ``(query_id, neighbor_id, adist, rank)``, self-matches excluded,
+    ties on neighbor id, ``adist`` rounded before selection (the
+    ``pq_topk`` contract).
+
+    Scale shape, piece by piece: the index frame (``pq_cells_codes``)
+    is a one-scan narrow map; the query side (bounded by
+    ``PQ_MAX_QUERIES``) collects once and re-enters the plan as a tiny
+    broadcast (query_id, cell) routing table, so candidate selection
+    is a BroadcastHashJoin on ``cell`` touching ~n_probe/n_cells of
+    the corpus — never a full scan, never a SortMergeJoin; with the
+    index table bucketed by ``cell`` the join is also partition-pruned
+    at the scan. Scoring is m table lookups per candidate against the
+    closure-shipped LUT; selection is the shared two-phase top-k."""
+    qpd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
+        .limit(PQ_MAX_QUERIES + 1)
+        .toPandas()
+    )
+    if len(qpd) > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"ivf_pq_topk collects the query side to the driver; got > "
+            f"{PQ_MAX_QUERIES} queries — batch them"
+        )
+    qids = qpd["query_id"].to_numpy()
+    qmat = np.vstack([np.asarray(e, dtype=np.float64) for e in qpd["emb"]])
+    lut = pq_adc_lut(qmat, books)
+    qcells = probe_top_cells(qmat, centroids, n_probe)
+    spark = corpus.sparkSession
+    routes = spark.createDataFrame(
+        [
+            (int(q), int(c))
+            for q, row in zip(qids.tolist(), qcells)
+            for c in row.tolist()
+        ],
+        "query_id long, cell int",
+    )
+    index = pq_cells_codes(corpus, centroids, books, id_col, emb_col)
+    cand = index.join(F.broadcast(routes), "cell").filter(
+        F.col("query_id") != F.col("id")
+    )
+    qidx = {int(q): i for i, q in enumerate(qids.tolist())}
+    m = books.shape[0]
+
+    def score(batches):
+        sub = np.arange(m)
+        for b in batches:
+            if not len(b):
+                continue
+            cmat = np.vstack(b["code"].to_numpy())
+            qi = b["query_id"].map(qidx).to_numpy()
+            d = np.round(lut[qi[:, None], sub[None, :], cmat].sum(axis=1), round_to)
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy(),
+                    "neighbor_id": b["id"].to_numpy(),
+                    "adist": d,
+                }
+            )
+
+    scored = cand.select("query_id", "id", "code").mapInPandas(
+        score, "query_id long, neighbor_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        _partial_topk(scored, k, metric="adist", ascending=True)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
