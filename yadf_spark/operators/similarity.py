@@ -310,6 +310,25 @@ def srp_candidates(
     the same signatures. Probe memberships are exact supersets of the
     base memberships' candidate space, so recall is monotone in
     ``probes`` at fixed bands (pytest-gated)."""
+    buckets = srp_band_table(df, dim, id_col, emb_col, n_bits, n_bands, seed, probes)
+    return candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
+
+
+def srp_band_table(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    probes: int = 0,
+) -> DataFrame:
+    """The SRP bucket-membership table ``(id, band_idx, band_hash)`` —
+    the band-construction half of ``srp_candidates``, exposed so the
+    incremental streaming index can band embedding batches through the
+    same seeded kernels the batch path self-joins (the
+    ``audio_band_table`` pattern)."""
     from yadf_spark.functions.hashes import band_columns
 
     band_bits = n_bits // n_bands
@@ -332,7 +351,35 @@ def srp_candidates(
             )
         )
         buckets = buckets.unionByName(probe_buckets)
-    return candidate_pairs_from_buckets(buckets, salt_bucket_above, max_bucket)
+    return buckets
+
+
+def make_embedding_band_fn(
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    probes: int = 0,
+):
+    """An embedding-modality ``band_fn`` for the incremental streaming
+    near-dup index (streaming/dedup.py): each micro-batch of vectors
+    bands by seeded SRP signatures into the same persistent
+    ``(id, band_idx, band_hash)`` index the image/audio/video
+    modalities use, so an embedding stream dedups against everything
+    already indexed without rescanning it. The returned function
+    carries the index-ownership tag (parameterized by every knob that
+    changes bucket membership) so a config change fails fast instead
+    of silently matching nothing against an old index."""
+
+    def embedding_band_table(batch: DataFrame) -> DataFrame:
+        return srp_band_table(batch, dim, id_col, emb_col, n_bits, n_bands, seed, probes)
+
+    embedding_band_table.band_fn_tag = (
+        f"srp-emb-v1-{dim}-{n_bits}-{n_bands}-{seed}-{probes}"
+    )
+    return embedding_band_table
 
 
 def topk_from_candidates(
