@@ -556,3 +556,27 @@ def test_pq_cells_codes_is_a_one_scan_narrow_map(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_pq_served_from_persisted_index_matches_inline(spark, tmp_path):
+    """Build-once/serve-many: the cell-partitioned persisted index must
+    produce the inline path's exact results, and the serving scan must
+    carry the probed-cell partition filter."""
+    df, rows = _vecs(spark)
+    mat = np.array([e for _, e, _ in rows], dtype=np.float64)
+    cents = similarity.kmeans_cosine_centroids(mat, 8, seed=5)
+    books = similarity.pq_lloyd(mat, m=4, k=16, seed=7)
+    queries = df.filter("vec_id < 6")
+    inline = similarity.ivf_pq_topk(df, queries, cents, books, k=4, n_probe=3)
+
+    path = str(tmp_path / "pq_index")
+    similarity.write_pq_index(similarity.pq_cells_codes(df, cents, books), path)
+    index = similarity.read_pq_index(spark, path)
+    served = similarity.ivf_pq_topk_over_index(index, queries, cents, books, k=4, n_probe=3)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace("  ", " ") or (
+        "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    ), plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1167,11 +1167,76 @@ def ivf_pq_topk(
             f"ivf_pq_topk collects the query side to the driver; got > "
             f"{PQ_MAX_QUERIES} queries — batch them"
         )
+    index = pq_cells_codes(corpus, centroids, books, id_col, emb_col)
+    return _adc_topk_over_index(index, qpd, centroids, books, k, n_probe, round_to)
+
+
+def write_pq_index(index: DataFrame, path: str) -> None:
+    """Persist the IVF-PQ index frame partitioned by ``cell`` — one
+    directory per coarse cell, so a query's ``cell IN (probed...)``
+    predicate partition-prunes the serving scan to ~n_probe/n_cells of
+    the files. The layout a production deployment builds once (the
+    encode cost) and serves every subsequent query batch from without
+    ever touching the embedding column again. Plain parquet: cell
+    cardinality is the (small) coarse-centroid count, so the directory
+    fan-out is bounded by construction."""
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_pq_index(spark, path: str) -> DataFrame:
+    """Read a persisted IVF-PQ index (``write_pq_index`` layout)."""
+    return spark.read.parquet(path)
+
+
+def ivf_pq_topk_over_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """``ivf_pq_topk`` served from a prebuilt ``(id, cell, code)``
+    index frame (``pq_cells_codes`` / ``read_pq_index``): the corpus is
+    not rescanned or re-encoded — the probed-cell ``isin`` predicate
+    pushes into the index scan (partition pruning under the
+    ``write_pq_index`` layout), the broadcast routing join narrows it
+    to exact (query, cell) matches, and ADC scoring + two-phase top-k
+    proceed as in the inline path. ``centroids``/``books`` must be the
+    arrays the index was built with (persist them beside it)."""
+    qpd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
+        .limit(PQ_MAX_QUERIES + 1)
+        .toPandas()
+    )
+    if len(qpd) > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"ivf_pq_topk_over_index collects the query side to the driver; got > "
+            f"{PQ_MAX_QUERIES} queries — batch them"
+        )
+    return _adc_topk_over_index(index, qpd, centroids, books, k, n_probe, round_to)
+
+
+def _adc_topk_over_index(
+    index: DataFrame,
+    qpd: pd.DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    n_probe: int,
+    round_to: int,
+) -> DataFrame:
+    """Shared back half of the IVF-PQ paths: routing join + ADC scoring
+    + two-phase top-k over an ``(id, cell, code)`` index frame and a
+    driver-collected query frame."""
     qids = qpd["query_id"].to_numpy()
     qmat = np.vstack([np.asarray(e, dtype=np.float64) for e in qpd["emb"]])
     lut = pq_adc_lut(qmat, books)
     qcells = probe_top_cells(qmat, centroids, n_probe)
-    spark = corpus.sparkSession
+    spark = index.sparkSession
     routes = spark.createDataFrame(
         [
             (int(q), int(c))
@@ -1180,9 +1245,14 @@ def ivf_pq_topk(
         ],
         "query_id long, cell int",
     )
-    index = pq_cells_codes(corpus, centroids, books, id_col, emb_col)
-    cand = index.join(F.broadcast(routes), "cell").filter(
-        F.col("query_id") != F.col("id")
+    # the isin predicate is redundant with the join but PUSHES DOWN: it
+    # partition-prunes a cell-partitioned index scan and row-group-skips
+    # a cell-sorted one before any join runs
+    probed = sorted({int(c) for row in qcells for c in row.tolist()})
+    cand = (
+        index.where(F.col("cell").isin(probed))
+        .join(F.broadcast(routes), "cell")
+        .filter(F.col("query_id") != F.col("id"))
     )
     qidx = {int(q): i for i, q in enumerate(qids.tolist())}
     m = books.shape[0]
