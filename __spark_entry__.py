@@ -811,6 +811,51 @@ def q_strip_html_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _bpe_truth_merges_parquet(n_merges: int = 15) -> str:
+    """Single-process replay of BPE training over the contract-sf
+    documents (the same tokenization and the same pure
+    ``curation.bpe_train_kernel`` the distributed trainer's per-round
+    argmax must reproduce), stored as (rank, left, right, freq)
+    parquet. The oracle built on it checks the distributed vocab
+    aggregation, the JVM pair-explode/greedy-fold expressions, and the
+    argmax tie-break against a sequential run of the identical
+    algorithm."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/yadf_contract_bpe_merges_{_sf_slug()}_{n_merges}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(f"{CONTRACT_SF_DIR}/documents.parquet", columns=["text"])
+        wc: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w in (txt or "").lower().split():
+                wc[w] = wc.get(w, 0) + 1
+        merges = curation.bpe_train_kernel(wc, n_merges)
+        table = pa.table(
+            {
+                "rank": pa.array(range(1, len(merges) + 1), pa.int32()),
+                "left": pa.array([m[0] for m in merges], pa.string()),
+                "right": pa.array([m[1] for m in merges], pa.string()),
+                "freq": pa.array([m[2] for m in merges], pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_bpe_merges_docs(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): 15
+    greedy merges learned over the documents corpus. The corpus is
+    scanned once (word-count partial agg); every merge round runs over
+    the distinct-word vocab frame with JVM pair-explode and greedy-fold
+    expressions and a 1-row argmax collect. Oracle: stored-truth replay
+    of the identical kernel (tokenization, tie-breaks and all)."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.bpe_merges(d, "doc_id", "text", n_merges=15).orderBy("rank")
+
+
 def _planted_urls(d):
     """Deterministic messy URL per document — scheme/host case, default
     ports, www, tracking params, fragments, trailing slashes all vary
@@ -3287,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
         "strip_html_docs": q_strip_html_docs,
+        "bpe_merges_docs": q_bpe_merges_docs,
         "canonical_url_docs": q_canonical_url_docs,
         "url_dedup_docs": q_url_dedup_docs,
         "c4_clean_docs": q_c4_clean_docs,
@@ -3813,6 +3859,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(len(regexp_extract_all(t, '<[^>]+>')), 0) AS BIGINT)
                      AS n_tags
             FROM nb ORDER BY doc_id""",
+        # BPE training: stored-truth replay of the identical greedy
+        # kernel (the seeded-ANN pattern) — "left"/"right" quoted, they
+        # are SQL keywords
+        "bpe_merges_docs": f"""
+            SELECT rank, "left", "right", freq
+            FROM read_parquet('{_bpe_truth_merges_parquet()}')
+            ORDER BY rank""",
         # URL canonicalization chain — the exact regexp_replace ladder
         # of curation.canonical_url (RE2 subset; 'g' only where Spark's
         # always-global replace can match more than once)

@@ -1070,3 +1070,46 @@ def test_c4_clean_is_a_narrow_jvm_map(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+# ------------------------------------------------------------ BPE training
+
+
+def test_bpe_merges_match_reference_kernel(spark):
+    """The distributed trainer (vocab agg + JVM pair/fold expressions +
+    per-round argmax) must reproduce the sequential reference kernel's
+    merge table exactly, tie-breaks included."""
+    rows = [(1, "low low lower lowest"), (2, "new newer newest low"), (3, "wider wide new")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.left, r.right, r.freq)
+        for r in curation.bpe_merges(df, "doc_id", "text", n_merges=6).orderBy("rank").collect()
+    ]
+    wc = {}
+    for _, t in rows:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    assert got == curation.bpe_train_kernel(wc, 6)
+
+
+def test_bpe_greedy_fold_handles_overlapping_pairs(spark):
+    """'aaaa' under merge (a,a) must collapse left-to-right to
+    (aa, aa) — not chain into aaa — in both engines."""
+    df = spark.createDataFrame([(1, "aaaa aaaa aa b")], "doc_id long, text string")
+    got = [
+        (r.left, r.right, r.freq)
+        for r in curation.bpe_merges(df, "doc_id", "text", n_merges=3).orderBy("rank").collect()
+    ]
+    want = curation.bpe_train_kernel({"aaaa": 2, "aa": 1, "b": 1}, 3)
+    assert got == want
+    # first merge is (a, a) seen 3+3+1 = 7 times (overlaps counted)
+    assert got[0] == ("a", "a", 7)
+
+
+def test_bpe_merges_empty_corpus_and_exhaustion(spark):
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    out = curation.bpe_merges(df, "doc_id", "text", n_merges=50).collect()
+    # a 1-word corpus exhausts its pairs: ab</w> -> 2 merges max
+    assert 0 < len(out) <= 2 + 1
+    empty = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    assert curation.bpe_merges(empty, "doc_id", "text", n_merges=3).count() == 0

@@ -1596,3 +1596,119 @@ def c4_clean(
         has_brace.cast("int").alias("has_brace"),
         keep.cast("int").alias("keep"),
     )
+
+
+def bpe_train_kernel(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Reference BPE training (Sennrich et al. 2016): greedy
+    most-frequent-adjacent-pair merges over a ``word -> count`` vocab,
+    each word a char sequence ending in the ``</w>`` word marker.
+    Returns ``[(left, right, freq), ...]`` in merge order. Ties break
+    on (freq DESC, pair lexicographic ASC). Module-level pure kernel
+    (the ``pq_lloyd`` pattern) so the distributed trainer and the
+    single-process oracle replay produce identical merge tables."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        syms = tuple(list(w) + ["</w>"])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + c
+        if not stats:
+            break
+        (left, right), freq = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, freq))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 20,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Distributed BPE tokenizer training over the corpus —
+    ``(rank, left, right, freq)``, one row per learned merge in order.
+
+    Scale shape — the part that matters at 100 TB: the CORPUS is
+    touched exactly once, by the word-count aggregation (explode →
+    partial-agg groupBy, the ``vocabulary`` posture: hot words combine
+    map-side). Every merge iteration then runs over the DISTINCT-WORD
+    vocab frame only — pair extraction and the left-to-right greedy
+    merge are JVM array expressions (``transform``/``aggregate``
+    folds, zero Python), the per-iteration argmax is a 1-row collect
+    (the k-means-update shape, not a corpus collect), and the vocab
+    frame is re-localCheckpointed each round so the plan stays flat
+    across hundreds of merges. BPE's merge sequence is inherently
+    sequential (each merge conditions the next); the distributed win
+    is the vocab aggregation and the per-iteration pair counts, which
+    is where the corpus-sized work lives."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    words = (
+        df.select(F.explode(T.tokens(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms"),
+        F.col("cnt"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.col("syms")
+        pairs = F.filter(
+            F.transform(syms, lambda s, i: F.struct(s.alias("l"), F.get(syms, i + 1).alias("r"))),
+            lambda st: st["r"].isNotNull(),
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, freq = top[0].l, top[0].r, int(top[0].freq)
+        merges.append((left, right, freq))
+        merged = F.lit(left + right)
+        folded = F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = (
+            vocab.select(folded.alias("syms"), "cnt")
+            .groupBy("syms")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank int, left string, right string, freq long",
+    )
