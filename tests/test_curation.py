@@ -1113,3 +1113,9 @@ def test_bpe_merges_empty_corpus_and_exhaustion(spark):
     assert 0 < len(out) <= 2 + 1
     empty = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
     assert curation.bpe_merges(empty, "doc_id", "text", n_merges=3).count() == 0
+
+
+def test_c4_clean_null_text_is_an_empty_page(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = curation.c4_clean(df, "doc_id", "text").collect()[0]
+    assert r.keep == 0 and r.n_kept_lines == 0 and r.clean_text == ""

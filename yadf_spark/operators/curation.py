@@ -1569,8 +1569,10 @@ def c4_clean(
     functions — one narrow map, zero shuffles, zero Python, and every
     predicate is RE2-subset so a DuckDB oracle (``list_filter`` +
     ``regexp_matches``) replays each line verdict bit-for-bit.
+    Null text is treated as the empty page (no kept lines,
+    ``keep = 0``) rather than propagating nulls through the gates.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(text, "\n")
 
     def _line_ok(l: Column) -> Column:
