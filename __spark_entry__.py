@@ -1695,6 +1695,77 @@ def _ivf_truth_pairs_parquet(
     return path
 
 
+def _emb_gate_truth_pairs_parquet(
+    n_bits: int = 64, n_bands: int = 16, seed: int = 42, max_bucket: int = 100_000
+) -> str:
+    """Single-process replay of ``embedding_candidates_between`` for the
+    contract's batch/history split (vec_id % 5 == 0 vs the rest): both
+    sides banded by the same seeded SRP kernels, pairs from buckets
+    populated on both sides (each side <= ``max_bucket``), stored as
+    (id_a, id_b) parquet. The oracle re-derives the cosine verify and
+    the anti-join relationally over it — the distributed two-sided
+    bucket machinery is what gets checked."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = (
+        f"/tmp/yadf_contract_embgate_pairs_{_sf_slug()}_{n_bits}_{n_bands}_{seed}.parquet"
+    )
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{CONTRACT_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(t.column("vec_id").to_numpy())
+        mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        planes = similarity.srp_planes(n_bits, EMB_DIM, seed)
+        sigs = similarity.srp_signatures(mat, planes)
+        band_bits = n_bits // n_bands
+        mask = np.uint64((1 << band_bits) - 1)
+        is_batch = (ids % 5 == 0).tolist()
+        buckets: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+        for i in range(n_bands):
+            band = ((sigs >> np.uint64(i * band_bits)) & mask).tolist()
+            for vid, bh, ib in zip(ids.tolist(), band, is_batch):
+                a, b = buckets.setdefault((i, int(bh)), ([], []))
+                (a if ib else b).append(vid)
+        pairs: set[tuple[int, int]] = set()
+        for a, b in buckets.values():
+            if a and b and len(a) <= max_bucket and len(b) <= max_bucket:
+                for x in a:
+                    for y in b:
+                        pairs.add((x, y))
+        ordered = sorted(pairs)
+        table = pa.table(
+            {
+                "id_a": pa.array([p[0] for p in ordered], pa.int64()),
+                "id_b": pa.array([p[1] for p in ordered], pa.int64()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_embedding_ingest_gate(spark, sf_dir):
+    """Cross-corpus EMBEDDING ingest gate (the vector sibling of the
+    text near_dup_anti_join and the image near_dup_gate): the batch
+    slice (vec_id % 5 == 0) is deduped against the history (the rest)
+    by SRP band join — the history is never self-joined — with exact
+    cosine verify; survivors are the batch rows with no history
+    near-dup at cosine >= 0.45. Oracle: stored-truth replay of the
+    two-sided band/bucket kernels, cosine + anti-join re-derived
+    relationally in DuckDB."""
+    e = _t(spark, sf_dir, "embeddings")
+    batch = e.where(F.col("vec_id") % 5 == 0)
+    history = e.where(F.col("vec_id") % 5 != 0)
+    out = similarity.embedding_near_dup_anti_join(
+        batch, history, EMB_DIM, min_cosine=0.45, n_bands=16
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
 def _pq_truth_codebooks_parquet(m: int = 8, k: int = 16, seed: int = 42) -> str:
     """Single-process replay of the PQ codebook training (seeded
     per-subspace Lloyd on the vec_id-ordered sample — the same pure
@@ -3415,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
         "ivf_near_dup": q_ivf_near_dup,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "embedding_ingest_gate": q_embedding_ingest_gate,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "images_near_dup_clusters": q_images_near_dup_clusters,
@@ -4937,6 +5009,27 @@ def oracle_sql() -> dict[str, str]:
                          JOIN embeddings b ON b.vec_id = p.id_b)
             SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.45
             ORDER BY id_a, id_b""",
+        # embedding ingest gate: candidates from the two-sided band
+        # replay; cosine verify + self-pair guard + anti-join replayed
+        # relationally
+        "embedding_ingest_gate": f"""
+            WITH p AS (SELECT id_a, id_b
+                       FROM read_parquet('{_emb_gate_truth_pairs_parquet()}')),
+            c AS (SELECT p.id_a, p.id_b,
+                         round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])) /
+                               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                      CAST(a.embedding AS DOUBLE[]))) *
+                                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                      CAST(b.embedding AS DOUBLE[])))), 6)
+                           AS cosine
+                  FROM p JOIN embeddings a ON a.vec_id = p.id_a
+                         JOIN embeddings b ON b.vec_id = p.id_b
+                  WHERE p.id_a != p.id_b),
+            matched AS (SELECT DISTINCT id_a FROM c WHERE cosine >= 0.45)
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id % 5 = 0 AND vec_id NOT IN (SELECT id_a FROM matched)
+            ORDER BY vec_id""",
         # IVF-PQ: cells, probe sets, codes, and ADC sums all re-derived
         # relationally from the two stored-truth tables (centroids +
         # codebooks) — the distributed index build and the broadcast

@@ -580,3 +580,38 @@ def test_ivf_pq_served_from_persisted_index_matches_inline(spark, tmp_path):
         "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
     ), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_embedding_ingest_gate_blocks_near_dups_keeps_novel(spark):
+    """Batch rows with a history near-twin are gated out; genuinely new
+    vectors pass; a row whose ONLY match is itself (overlapping id
+    spaces) must pass."""
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((4, DIM))
+    hist_rows = [
+        (100 + i, [float(x) for x in (cents[i % 4] + 0.01 * rng.standard_normal(DIM)).astype(np.float32)])
+        for i in range(20)
+    ]
+    history = spark.createDataFrame(hist_rows, "vec_id long, embedding array<float>")
+    novel = rng.standard_normal((3, DIM))
+    # a unique direction present in BOTH corpora under the same id —
+    # its only candidate is its self-pair, which must not gate it
+    uniq = [float(x) for x in rng.standard_normal(DIM).astype(np.float32)]
+    batch_rows = (
+        # near-dups of history cluster 0/1 -> must be gated
+        [(0, [float(x) for x in (cents[0] + 0.01 * rng.standard_normal(DIM)).astype(np.float32)]),
+         (1, [float(x) for x in (cents[1] + 0.01 * rng.standard_normal(DIM)).astype(np.float32)])]
+        # novel directions -> must pass
+        + [(2 + j, [float(x) for x in novel[j].astype(np.float32)]) for j in range(3)]
+        + [(100, uniq)]
+    )
+    history = spark.createDataFrame(hist_rows + [(100, uniq)],
+                                    "vec_id long, embedding array<float>")
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_anti_join(
+        batch, history, DIM, min_cosine=0.95, n_bands=16, seed=3
+    )
+    kept = sorted(r.vec_id for r in out.collect())
+    assert 0 not in kept and 1 not in kept
+    assert {2, 3, 4}.issubset(set(kept))
+    assert 100 in kept  # survives: only its self-pair matched

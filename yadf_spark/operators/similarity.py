@@ -1283,3 +1283,73 @@ def _adc_topk_over_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def embedding_candidates_between(
+    batch: DataFrame,
+    history: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    probes: int = 0,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """SRP candidate pairs BETWEEN two vector corpora —
+    ``(id_a from batch, id_b from history)`` for every band bucket
+    populated on both sides. The embedding leg of the cross-corpus
+    ingest gate (text: ``minhash.minhash_candidates_between``; images:
+    ``pipeline.near_dup_gate``): the history is never self-joined, a
+    bucket costs n_a·n_b pairs, and both sides band through the SAME
+    seeded kernels as the self-join path, so an index built by one is
+    probe-compatible with the other."""
+    from yadf_spark.operators.minhash import cross_candidate_pairs_from_buckets
+
+    a = srp_band_table(batch, dim, id_col, emb_col, n_bits, n_bands, seed, probes)
+    b = srp_band_table(history, dim, id_col, emb_col, n_bits, n_bands, seed, probes)
+    return cross_candidate_pairs_from_buckets(a, b, salt_bucket_above, max_bucket)
+
+
+def embedding_near_dup_anti_join(
+    batch: DataFrame,
+    history: DataFrame,
+    dim: int,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    probes: int = 0,
+    salt_bucket_above: int = 256,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Rows of ``batch`` with NO embedding near-duplicate (cosine >=
+    ``min_cosine``) in ``history`` — the vector-modality fuzzy ingest
+    gate beside the text (``minhash.near_dup_anti_join``) and image
+    (``pipeline.near_dup_gate``) flavors. All batch columns pass
+    through untouched. Overlapping id spaces are safe: a row's
+    self-pair never gates it out, only a DIFFERENT row may.
+
+    Scale shape: bands only through the bucket shuffle (~20 B/row);
+    the exact-cosine verify re-attaches embeddings per side by id join
+    over the (tiny) candidate set; the batch anti-join is on ids. The
+    history payload never moves, and recomputing its bands per batch
+    amortizes away via the persisted streaming band index
+    (``make_embedding_band_fn``) exactly as in the other modalities."""
+    cand = embedding_candidates_between(
+        batch, history, dim, id_col, emb_col, n_bits, n_bands, seed, probes,
+        salt_bucket_above, max_bucket,
+    ).filter(F.col("id_a") != F.col("id_b"))
+    a = _side(batch, id_col, emb_col, "id_a", "a")
+    b = _side(history, id_col, emb_col, "id_b", "b")
+    scored = _cosine_from_norms(cand.join(a, "id_a").join(b, "id_b"), dim)
+    matched = (
+        scored.filter(F.col("cosine") >= min_cosine)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(matched, id_col, "left_anti")
