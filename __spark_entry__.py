@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 
 from yadf_spark.config import Factor, LadderConfig, LshConfig
 from yadf_spark.functions import text as T
-from yadf_spark.operators import containment, curation, exact, minhash, similarity, simhash
+from yadf_spark.operators import (
+    containment,
+    curation,
+    exact,
+    minhash,
+    retrieval,
+    similarity,
+    simhash,
+)
 
 # Portable (md5/sha256) ladder configuration for string payloads — the
 # DuckDB oracle replicates every hash bit-for-bit. Thresholds are scaled
@@ -809,6 +817,49 @@ def q_strip_html_docs(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "clean_text", "title", "n_tags"
     ).orderBy("doc_id")
+
+
+def _bm25_queries(d):
+    """5 deterministic query strings: the first 6 tokens of every
+    doc_id % 101 == 0 document — mirrored verbatim in the oracle."""
+    toks = T.tokens(F.lower(F.col("text")))
+    return d.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("qtext"),
+    )
+
+
+def q_bm25_topk_docs(spark, sf_dir):
+    """BM25 lexical top-10 per query (Lucene-style idf): postings are
+    one explode + partial-agg groupBy; the corpus-sized df table is cut
+    to the query terms by a broadcast semi-join before idf attaches;
+    scoring is a broadcast join + partial-agg sum; selection is the
+    shared two-phase top-k. Oracle: tf, df, idf, score, and rank all
+    re-derived relationally in DuckDB — no stored truth."""
+    d = _t(spark, sf_dir, "documents")
+    out = retrieval.bm25_topk(d, _bm25_queries(d), k=10)
+    return out.orderBy("query_id", "rank")
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 over documents fused with brute-force
+    cosine over embeddings (doc_id and vec_id share an id space) by
+    reciprocal-rank fusion — the calibration-free lexical+dense
+    combiner. Both input rankings and the fusion replay relationally
+    in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    toks = T.tokens(F.lower(F.col("text")))
+    queries = d.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 6), " ").alias("qtext"),
+    )
+    lex = retrieval.bm25_topk(d, queries, k=10)
+    dense = similarity.brute_force_topk(e, e.filter("vec_id < 8"), k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    out = retrieval.rrf_fuse([lex.select("query_id", "neighbor_id", "rank"), dense], k=5)
+    return out.orderBy("query_id", "rank")
 
 
 def _bpe_truth_merges_parquet(n_merges: int = 15) -> str:
@@ -3403,6 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "dedup_lines_docs": q_dedup_lines_docs,
         "strip_html_docs": q_strip_html_docs,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "bpe_merges_docs": q_bpe_merges_docs,
         "canonical_url_docs": q_canonical_url_docs,
         "url_dedup_docs": q_url_dedup_docs,
@@ -3931,6 +3984,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(len(regexp_extract_all(t, '<[^>]+>')), 0) AS BIGINT)
                      AS n_tags
             FROM nb ORDER BY doc_id""",
+        # BM25: postings/df/idf/score/rank all re-derived relationally —
+        # Lucene-style idf ln(1 + (N - df + .5)/(df + .5)), k1=1.2 b=.75
+        "bm25_topk_docs": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(trim(lower(text)), '\S+') AS w
+                       FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+            post AS (SELECT doc_id AS doc, t.term,
+                            count(*) AS tf, any_value(len(w)) AS doc_len
+                     FROM d, unnest(w) AS t(term) GROUP BY doc_id, t.term),
+            dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            q AS (SELECT doc_id AS query_id, w[1:6] AS qw FROM d
+                  WHERE doc_id % 101 = 0),
+            qt AS (SELECT DISTINCT query_id, t.term
+                   FROM q, unnest(qw) AS t(term)),
+            scored AS (SELECT qt.query_id, post.doc AS neighbor_id,
+                              round(sum(
+                                ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                                       / (dfreq.df + 0.5))
+                                * post.tf * 2.2
+                                / (post.tf + 1.2 * (0.25 + 0.75 * post.doc_len
+                                                           / stats.avgdl))), 6)
+                                AS score
+                       FROM qt JOIN post USING (term)
+                               JOIN dfreq USING (term), stats
+                       GROUP BY qt.query_id, post.doc),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS INT) AS rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, score, rank FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
+        # RRF hybrid: both input rankings (BM25 k=10, brute-force cosine
+        # k=10) and the 1/(60+rank) fusion replayed relationally
+        "hybrid_rrf_topk": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(trim(lower(text)), '\S+') AS w
+                       FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM d),
+            post AS (SELECT doc_id AS doc, t.term,
+                            count(*) AS tf, any_value(len(w)) AS doc_len
+                     FROM d, unnest(w) AS t(term) GROUP BY doc_id, t.term),
+            dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            q AS (SELECT doc_id AS query_id, w[1:6] AS qw FROM d WHERE doc_id < 8),
+            qt AS (SELECT DISTINCT query_id, t.term FROM q, unnest(qw) AS t(term)),
+            lex_s AS (SELECT qt.query_id, post.doc AS neighbor_id,
+                             round(sum(
+                               ln(1 + (stats.n_docs - dfreq.df + 0.5)
+                                      / (dfreq.df + 0.5))
+                               * post.tf * 2.2
+                               / (post.tf + 1.2 * (0.25 + 0.75 * post.doc_len
+                                                          / stats.avgdl))), 6)
+                               AS score
+                      FROM qt JOIN post USING (term)
+                              JOIN dfreq USING (term), stats
+                      GROUP BY qt.query_id, post.doc),
+            lex AS (SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) AS rank
+                    FROM lex_s QUALIFY rank <= 10),
+            eq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id < 8),
+            den_s AS (SELECT eq.query_id, c.vec_id AS neighbor_id,
+                             round(list_dot_product(eq.e,
+                                     CAST(c.embedding AS DOUBLE[])) /
+                                   (sqrt(list_dot_product(eq.e, eq.e)) *
+                                    sqrt(list_dot_product(
+                                      CAST(c.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])))), 6)
+                               AS cosine
+                      FROM eq, embeddings c WHERE c.vec_id != eq.query_id),
+            den AS (SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rank
+                    FROM den_s QUALIFY rank <= 10),
+            contrib AS (
+              SELECT query_id, neighbor_id, 1.0 / (60.0 + rank) AS c_ FROM lex
+              UNION ALL
+              SELECT query_id, neighbor_id, 1.0 / (60.0 + rank) AS c_ FROM den),
+            fused AS (SELECT query_id, neighbor_id,
+                             round(sum(c_), 6) AS rrf_score
+                      FROM contrib GROUP BY query_id, neighbor_id),
+            rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_score DESC, neighbor_id) AS INT) AS rank
+                   FROM fused)
+            SELECT query_id, neighbor_id, rrf_score, rank FROM rk
+            WHERE rank <= 5 ORDER BY query_id, rank""",
         # BPE training: stored-truth replay of the identical greedy
         # kernel (the seeded-ANN pattern) — "left"/"right" quoted, they
         # are SQL keywords

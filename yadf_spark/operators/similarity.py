@@ -112,6 +112,10 @@ def _partial_topk(
     return pruned.mapInPandas(kernel, pruned.schema)
 
 
+#: public alias — the two-phase top-k is shared by the retrieval tier
+partial_topk = _partial_topk
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
