@@ -981,6 +981,35 @@ def q_c4_clean_docs(spark, sf_dir):
     return out.withColumnRenamed("doc", "doc_id").orderBy("doc_id")
 
 
+def q_curation_pipeline_docs(spark, sf_dir):
+    """The composed curation recipe end-to-end: C4 clean → exact dedup
+    on cleaned text → content-addressed split → token-budget packing.
+    Pages are planted so every stage does real work: a no-punct
+    original line (dropped), a per-group line keyed on doc_id % 100
+    (so the post-clean dedup collapses ~343 survivors to ~100), an
+    always-kept sentence, and lorem/brace gate lines on doc_id % 5 /
+    % 7. The oracle replays all four stages relationally — each stage
+    reuses its own already-proven SQL shape."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = d.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("Document group "), (i % 100).cast("string"),
+                     F.lit(" reporting in.")),
+            F.lit("This is a perfectly good sentence."),
+            F.when(i % 5 == 0, F.lit("Lorem ipsum dolor sit amet.")),
+            F.when(i % 7 == 0, F.lit("code sample { return 1; }")),
+        ),
+    )
+    out = curation.curate_text_corpus(planted, "doc_id", "text", pack_budget=200)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_tokens", "split", "pack_id"
+    ).orderBy("doc_id")
+
+
 def q_repeated_spans_docs(spark, sf_dir):
     """Corpus-level EXACT repeated substrings (the ExactSubstr pass of
     Lee et al. 2022): maximal character spans covered by a 30-char
@@ -3460,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_docs": q_canonical_url_docs,
         "url_dedup_docs": q_url_dedup_docs,
         "c4_clean_docs": q_c4_clean_docs,
+        "curation_pipeline_docs": q_curation_pipeline_docs,
         "repeated_spans_docs": q_repeated_spans_docs,
         "strip_spans_docs": q_strip_spans_docs,
         "shuffle_shards_docs": q_shuffle_shards_docs,
@@ -4192,6 +4222,64 @@ def oracle_sql() -> dict[str, str]:
                          AND NOT contains(text, '{')
                          AND len(kept) >= 2) AS INT) AS keep
             FROM x ORDER BY doc_id""",
+        # the composed recipe: c4 gates -> md5-dedup (smallest id) ->
+        # split bucket -> offset packing, each stage its proven SQL
+        "curation_pipeline_docs": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     concat_ws(chr(10), text,
+                       'Document group ' || CAST(doc_id % 100 AS VARCHAR)
+                         || ' reporting in.',
+                       'This is a perfectly good sentence.',
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'Lorem ipsum dolor sit amet.' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'code sample { return 1; }' END) AS text
+              FROM documents),
+            x AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(regexp_extract_all(trim(l), '\S+')) >= 3
+                       AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+              FROM planted),
+            c4 AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(kept, l -> trim(l)), chr(10))
+                       AS clean_text
+              FROM x
+              WHERE NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND len(kept) >= 2),
+            ded AS (
+              SELECT doc_id, clean_text FROM (
+                SELECT doc_id, clean_text,
+                       row_number() OVER (PARTITION BY md5(clean_text)
+                                          ORDER BY doc_id) AS rn
+                FROM c4) WHERE rn = 1),
+            spl AS (
+              SELECT doc_id, clean_text,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || ':split'), 1, 8)) AS BIGINT)
+                       % 100 AS bucket
+              FROM ded),
+            s2 AS (
+              SELECT doc_id, clean_text,
+                     CASE WHEN bucket < 90 THEN 'train'
+                          WHEN bucket < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM spl),
+            t AS (
+              SELECT doc_id, split,
+                     CAST(len(regexp_extract_all(trim(clean_text), '\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM s2)
+            SELECT doc_id, n_tokens, split,
+                   CAST(floor(COALESCE(sum(n_tokens) OVER (
+                          PARTITION BY split ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 200.0) AS BIGINT) AS pack_id
+            FROM t ORDER BY doc_id""",
         # ExactSubstr shared CTE shape: window hashes -> hot set ->
         # lag+cumsum interval merge — the exact replay of
         # curation.repeated_spans(min_len=30, min_docs=2, algo='md5')

@@ -1119,3 +1119,28 @@ def test_c4_clean_null_text_is_an_empty_page(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = curation.c4_clean(df, "doc_id", "text").collect()[0]
     assert r.keep == 0 and r.n_kept_lines == 0 and r.clean_text == ""
+
+
+def test_curate_text_corpus_composes_all_four_stages(spark):
+    rows = [
+        # two docs whose CLEANED text is identical -> dedup keeps id 1
+        (1, "no punct here at all\nA shared clean sentence here.\nAnother good one right there."),
+        (2, "different raw junk line\nA shared clean sentence here.\nAnother good one right there."),
+        # unique doc -> survives
+        (3, "Unique sentence number three stands alone.\nAnother good one right there."),
+        # gated by lorem
+        (4, "A fine sentence here indeed.\nAnother good one.\nlorem ipsum dolor."),
+        # gated by too few kept lines
+        (5, "no terminal punctuation anywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc: r for r in curation.curate_text_corpus(
+        df, "doc_id", "text", pack_budget=10
+    ).collect()}
+    assert set(out) == {1, 3}          # 2 deduped into 1; 4, 5 gated
+    assert out[1].clean_text.startswith("A shared clean sentence")
+    assert out[1].split in {"train", "val", "test"}
+    assert out[1].n_tokens > 0 and out[1].pack_id >= 0
+    # split is the hash_split pure function of the id
+    assert out[1].split == ("train" if _bucket("1:split") < 90 else
+                            "val" if _bucket("1:split") < 95 else "test")

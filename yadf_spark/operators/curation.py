@@ -1714,3 +1714,52 @@ def bpe_merges(
         [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
         "rank int, left string, right string, freq long",
     )
+
+
+def curate_text_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_weights: dict[str, int] | None = None,
+    pack_budget: int = 500,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 2,
+) -> DataFrame:
+    """The composed text-curation recipe — clean → exact-dedup → split
+    → pack, the minimal end-to-end path from raw pages to
+    training-ready shards:
+    ``(doc, clean_text, n_tokens, split, pack_id)``.
+
+    Stages (each its own tested operator; this proves they COMPOSE —
+    ids, columns, and determinism line up end to end):
+
+    1. ``c4_clean`` line rules + document gates; only ``keep`` pages
+       survive (narrow map).
+    2. exact dedup on the CLEANED text (md5 fingerprint, smallest-id
+       winner) — boilerplate removal upstream makes more dups visible
+       here, which is why dedup runs after cleaning in real pipelines.
+       One partial-agg groupBy + an id join, the ``url_dedup`` shape.
+    3. content-addressed ``hash_split`` (repartition/ingest-stable).
+    4. ``pack_sequences`` per split shard under ``pack_budget`` tokens.
+
+    Scale: stages 1 and 3 are narrow maps; stage 2 is one ~50 B/row
+    shuffle (fingerprint + id); stage 4 is one shuffle on the split
+    column. The text payload crosses exactly the two shuffles that
+    need it, never with duplicate rows attached."""
+    from ..functions import text as T2
+
+    split_weights = split_weights or {"train": 90, "val": 5, "test": 5}
+    cleaned = c4_clean(
+        df, id_col, text_col,
+        min_words_per_line=min_words_per_line, min_kept_lines=min_kept_lines,
+    )
+    kept = cleaned.filter(F.col("keep") == 1).select("doc", "clean_text")
+    with_fp = kept.withColumn("fp", F.md5(F.col("clean_text")))
+    winners = with_fp.groupBy("fp").agg(F.min("doc").alias("doc"))
+    survivors = with_fp.join(winners, ["fp", "doc"]).select("doc", "clean_text")
+    split = hash_split(survivors, "doc", split_weights).drop("bucket")
+    with_tokens = split.withColumn(
+        "n_tokens", T2.token_count(F.col("clean_text")).cast("long")
+    )
+    packed = pack_sequences(with_tokens, "doc", "n_tokens", "split", budget=pack_budget)
+    return packed.select("doc", "clean_text", "n_tokens", "split", "pack_id")
