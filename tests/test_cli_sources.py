@@ -938,3 +938,47 @@ def test_strip_spans_rejected_under_against(spark, tmp_path):
             ),
             spark=spark,
         )
+
+
+def test_curate_cli_mode_writes_split_partitioned_corpus(spark, tmp_path):
+    """--mode curate runs the composed clean/dedup/split/pack recipe
+    over a table corpus and writes a split-partitioned parquet; the
+    mode refuses to run without a destination."""
+    import pytest
+
+    tbl = str(tmp_path / "docs.parquet")
+    rows = [
+        ("d1", "junk line without punct\nA shared clean sentence here.\nAnother good one right there."),
+        ("d2", "other raw junk\nA shared clean sentence here.\nAnother good one right there."),
+        ("d3", "Unique sentence number three stands alone.\nAnother good one right there."),
+        ("d4", "A fine sentence here indeed.\nAlso good line here.\nlorem ipsum dolor."),
+    ]
+    spark.createDataFrame(rows, "doc_id string, caption string").write.parquet(tbl)
+    out_dir = tmp_path / "curated"
+    rc = run(
+        build_parser().parse_args(
+            [
+                "--mode", "curate", "--table", tbl, "--id-col", "doc_id",
+                "--text-col", "caption", "--curated-table", str(out_dir),
+                "--pack-budget", "10",
+            ]
+        ),
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(out_dir))
+    ids = sorted(r.doc for r in got.collect())
+    assert ids == ["d1", "d3"]  # d2 deduped into d1, d4 lorem-gated
+    assert {"doc", "clean_text", "n_tokens", "split", "pack_id"} <= set(got.columns)
+    # split-partitioned layout on disk
+    import os as _os
+    assert any(p.startswith("split=") for p in _os.listdir(out_dir))
+
+    with pytest.raises(SystemExit, match="curated-table"):
+        run(
+            build_parser().parse_args(
+                ["--mode", "curate", "--table", tbl, "--id-col", "doc_id",
+                 "--text-col", "caption"]
+            ),
+            spark=spark,
+        )

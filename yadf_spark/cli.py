@@ -94,12 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--payload-col", default="bytes")
     p.add_argument(
         "--mode", default="exact",
-        choices=["exact", "near-dup", "audio-near-dup", "text-near-dup"],
+        choices=["exact", "near-dup", "audio-near-dup", "text-near-dup", "curate"],
         help="exact: the reference's dup-group scan; audio-near-dup: energy-"
         "fingerprint Hamming bands over audio payloads; near-dup: phash bands + "
         "MinHash LSH + PSNR verify + connected components (north_rule); "
         "text-near-dup: MinHash LSH over shingles of --text-col (or UTF-8 "
-        "decoded payloads) verified at exact Jaccard >= --jaccard",
+        "decoded payloads) verified at exact Jaccard >= --jaccard; "
+        "curate: the composed C4-clean -> exact-dedup -> split -> pack text "
+        "recipe, written to --curated-table partitioned by split",
     )
     p.add_argument(
         "--text-col", default="caption",
@@ -218,6 +220,19 @@ def build_parser() -> argparse.ArgumentParser:
         default="train=90,val=5,test=5",
         help="label=percent list for --split-table; percents must sum "
         "to 100 (e.g. train=80,val=10,test=10)",
+    )
+    p.add_argument(
+        "--curated-table",
+        default=None,
+        help="(--mode curate) destination parquet path for the curated "
+        "corpus (doc, clean_text, n_tokens, split, pack_id), partitioned "
+        "by split",
+    )
+    p.add_argument(
+        "--pack-budget",
+        type=int,
+        default=500,
+        help="(--mode curate) token budget per training pack",
     )
     p.add_argument(
         "--export-dir",
@@ -483,6 +498,39 @@ def run(args: argparse.Namespace, spark=None) -> int:
         base = spark.read.parquet(args.base_clusters).select(
             F.col("image_id").alias("id"), "cluster_id"
         )
+
+    if args.mode == "curate":
+        from yadf_spark.operators import curation
+
+        if not args.curated_table:
+            raise SystemExit("--mode curate requires --curated-table")
+        filtered = exact.apply_scan_filters(df, flt)
+        if args.text_col in filtered.columns:
+            docs = filtered.select("image_id", F.col(args.text_col).alias("text"))
+        else:
+            docs = filtered.select(
+                "image_id", F.decode(F.col("bytes"), "UTF-8").alias("text")
+            )
+        weights = {
+            k.strip(): int(v)
+            for k, v in (part.split("=", 1) for part in args.split_weights.split(","))
+        }
+        out = curation.curate_text_corpus(
+            docs, "image_id", "text",
+            split_weights=weights, pack_budget=args.pack_budget,
+        )
+        out.write.mode("overwrite").partitionBy("split").parquet(args.curated_table)
+        if args.report:
+            stats = (
+                spark.read.parquet(args.curated_table)
+                .groupBy("split")
+                .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+                .orderBy("split")
+                .collect()
+            )
+            for r in stats:
+                print(f"curate: {r.split}: {r.docs} docs, {r.tokens} tokens", file=sys.stderr)
+        return 0
 
     if args.mode == "near-dup":
         from yadf_spark.operators import pipeline as pl
