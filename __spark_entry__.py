@@ -915,10 +915,13 @@ def _planted_urls(d):
     i = F.col("doc_id")
     scheme = F.when(i % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS"))
     host = F.when(i % 3 == 0, F.lit("WWW.Example.COM")).otherwise(F.lit("example.com"))
-    port = F.when(
-        i % 4 == 0,
-        F.when(i % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
-    ).otherwise(F.lit(""))
+    # %4==0 is even (http:80), %4==1 is odd (HTTPS:443) — both default
+    # ports are actually planted and the strip rules both get exercised
+    port = (
+        F.when(i % 4 == 0, F.lit(":80"))
+        .when(i % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
     path = F.concat(F.lit("/Docs/"), (i % 50).cast("string"))
     trail = F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit(""))
     q = (
@@ -4117,8 +4120,8 @@ def oracle_sql() -> dict[str, str]:
                      || '://'
                      || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
                               ELSE 'example.com' END)
-                     || (CASE WHEN doc_id % 4 = 0
-                              THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+                     || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                              WHEN doc_id % 4 = 1 THEN ':443'
                               ELSE '' END)
                      || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
                      || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
@@ -4142,11 +4145,13 @@ def oracle_sql() -> dict[str, str]:
             u4 AS (SELECT doc_id, url,
                           regexp_replace(s, '^(https?://)www\.', '\1') AS s FROM u3),
             u5 AS (SELECT doc_id, url,
-                          regexp_replace(s, '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g')
-                            AS s FROM u4),
-            u6 AS (SELECT doc_id, url,
                           regexp_replace(regexp_replace(regexp_replace(s,
-                            '^([^?&]*)&', '\1?'), '[?&]+$', ''), '/$', '') AS s FROM u5)
+                            '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                            '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+                            '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS s FROM u4),
+            u6 AS (SELECT doc_id, url,
+                          regexp_replace(regexp_replace(s,
+                            '[?&]+$', ''), '/$', '') AS s FROM u5)
             SELECT doc_id, url, s AS canon_url FROM u6 ORDER BY doc_id""",
         "url_dedup_docs": r"""
             WITH u0 AS (
@@ -4155,8 +4160,8 @@ def oracle_sql() -> dict[str, str]:
                      || '://'
                      || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
                               ELSE 'example.com' END)
-                     || (CASE WHEN doc_id % 4 = 0
-                              THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+                     || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                              WHEN doc_id % 4 = 1 THEN ':443'
                               ELSE '' END)
                      || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
                      || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
@@ -4168,25 +4173,27 @@ def oracle_sql() -> dict[str, str]:
                               ELSE '' END)
                      || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
               FROM documents),
-            canon AS (
-              SELECT doc_id,
-                regexp_replace(regexp_replace(regexp_replace(
-                  regexp_replace(
-                    regexp_replace(
-                      regexp_replace(regexp_replace(
-                        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-                                             '^([^/?#]*://[^/?#]*)', 1))
-                        || regexp_replace(regexp_replace(url, '#.*$', ''),
-                                          '^[^/?#]*://[^/?#]*', ''),
-                        '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
-                        '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
-                      '^(https?://)www\.', '\1'),
-                    '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-                  '^([^?&]*)&', '\1?'), '[?&]+$', ''), '/$', '') AS canon_url
-              FROM u0)
+            u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s FROM u0),
+            u2 AS (SELECT doc_id,
+                          lower(regexp_extract(s, '^([^/?#]*://[^/?#]*)', 1))
+                          || regexp_replace(s, '^[^/?#]*://[^/?#]*', '') AS s FROM u1),
+            u3 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(s,
+                            '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+                            '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS s FROM u2),
+            u4 AS (SELECT doc_id,
+                          regexp_replace(s, '^(https?://)www\.', '\1') AS s FROM u3),
+            u5 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(regexp_replace(s,
+                            '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                            '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'),
+                            '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS s FROM u4),
+            u6 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(s,
+                            '[?&]+$', ''), '/$', '') AS canon_url FROM u5)
             SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
                    min(doc_id) AS keeper
-            FROM canon GROUP BY canon_url ORDER BY canon_url""",
+            FROM u6 GROUP BY canon_url ORDER BY canon_url""",
         # C4 line rules + document gates — list_filter replays every
         # line verdict of curation.c4_clean(min_words=3, min_kept=2)
         "c4_clean_docs": r"""

@@ -1144,3 +1144,45 @@ def test_curate_text_corpus_composes_all_four_stages(spark):
     # split is the hash_split pure function of the id
     assert out[1].split == ("train" if _bucket("1:split") < 90 else
                             "val" if _bucket("1:split") < 95 else "test")
+
+
+def test_canonical_url_leaves_path_ampersand_alone(spark):
+    """A '&' that is part of the PATH of a query-less URL must not be
+    rewritten into a '?' — 'x&y' and 'x?y' are different pages."""
+    rows = [(1, "http://ex.com/x&y"), (2, "http://ex.com/x?y"),
+            (3, "http://ex.com/x?utm_source=a&y=1")]
+    got = dict(
+        spark.createDataFrame(rows, "doc_id long, url string")
+        .select("doc_id", curation.canonical_url(F.col("url")).alias("c"))
+        .collect()
+    )
+    assert got[1] == "http://ex.com/x&y"
+    assert got[2] == "http://ex.com/x?y"
+    assert got[3] == "http://ex.com/x?y=1"  # leading tracking param re-anchors
+    assert got[1] != got[2]
+
+
+def test_canonical_url_strips_consecutive_tracking_params(spark):
+    rows = [(1, "http://ex.com/p?utm_a=1&utm_b=2&id=3"),
+            (2, "http://ex.com/p?utm_a=1&utm_b=2"),
+            (3, "http://ex.com/p?id=3&utm_a=1&fbclid=z")]
+    got = dict(
+        spark.createDataFrame(rows, "doc_id long, url string")
+        .select("doc_id", curation.canonical_url(F.col("url")).alias("c"))
+        .collect()
+    )
+    assert got[1] == "http://ex.com/p?id=3"
+    assert got[2] == "http://ex.com/p"
+    assert got[3] == "http://ex.com/p?id=3"
+
+
+def test_c4_clean_handles_crlf_line_endings(spark):
+    """CRLF documents must behave exactly like LF ones: no stray \\r in
+    clean_text, and line verdicts identical to the LF version."""
+    lf = "Good first sentence here.\nno punct line\nAnother good one there."
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame([(1, lf), (2, crlf)], "doc_id long, text string")
+    out = {r.doc: r for r in curation.c4_clean(df, "doc_id", "text").collect()}
+    assert out[1].clean_text == out[2].clean_text
+    assert "\r" not in out[2].clean_text
+    assert out[1].n_kept_lines == out[2].n_kept_lines == 2

@@ -369,6 +369,14 @@ def _assign_or_merge(pairs, base):
     return out.select(F.col("id").alias("image_id"), "cluster_id")
 
 
+def _parse_split_weights(args: argparse.Namespace) -> dict[str, int]:
+    """label=percent list shared by --split-table and --mode curate."""
+    return {
+        k.strip(): int(v)
+        for k, v in (part.split("=", 1) for part in args.split_weights.split(","))
+    }
+
+
 def _write_split_table(clusters, source_df, args: argparse.Namespace) -> None:
     """The --split-table tail shared by every clustering mode: write a
     leakage-guarded (image_id, split_key, bucket, split) assignment for
@@ -380,10 +388,7 @@ def _write_split_table(clusters, source_df, args: argparse.Namespace) -> None:
 
     from yadf_spark.operators import curation
 
-    weights = {
-        k.strip(): int(v)
-        for k, v in (part.split("=", 1) for part in args.split_weights.split(","))
-    }
+    weights = _parse_split_weights(args)
     curation.cluster_safe_split(
         source_df.select("image_id"),
         clusters.select(F.col("image_id").alias("id"), "cluster_id"),
@@ -511,10 +516,7 @@ def run(args: argparse.Namespace, spark=None) -> int:
             docs = filtered.select(
                 "image_id", F.decode(F.col("bytes"), "UTF-8").alias("text")
             )
-        weights = {
-            k.strip(): int(v)
-            for k, v in (part.split("=", 1) for part in args.split_weights.split(","))
-        }
+        weights = _parse_split_weights(args)
         out = curation.curate_text_corpus(
             docs, "image_id", "text",
             split_weights=weights, pack_budget=args.pack_budget,

@@ -1472,7 +1472,7 @@ def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 #: tracking query parameters stripped by URL canonicalization — the
 #: standard analytics noise (Google Analytics utm_*, Facebook fbclid,
 #: Google Ads gclid) that makes one page look like many distinct URLs
-_TRACKING_PARAM_RE = r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*"
+_TRACKING_NAMES = r"(utm_[a-z]+|fbclid|gclid)"
 
 
 def canonical_url(url_col: Column) -> Column:
@@ -1484,10 +1484,15 @@ def canonical_url(url_col: Column) -> Column:
     scheme+authority (the path stays case-sensitive, per RFC 3986);
     drop explicit default ports (``:80`` for http, ``:443`` for
     https); drop a leading ``www.``; strip tracking parameters
-    (``utm_*``, ``fbclid``, ``gclid``) and re-anchor the first
-    surviving parameter on ``?``; drop dangling ``?``/``&`` and a
-    trailing slash. A URL without a scheme passes through these steps
-    unchanged except for the generic ones (fragment/params/slash).
+    (``utm_*``, ``fbclid``, ``gclid``) — ``&``-separated ones first,
+    then a leading ``?param&`` re-anchors the next parameter, then a
+    lone ``?param`` drops whole — so a ``&`` that is part of the PATH
+    of a query-less URL is never touched; drop dangling ``?``/``&``
+    and a trailing slash. A URL without a scheme passes through these
+    steps unchanged except for the generic ones (fragment/params/
+    slash). One documented over-reach: a literal ``&utm_...=`` inside
+    a path (legal per RFC, never seen in practice) is stripped as if
+    it were a parameter.
 
     Scale shape: a chained ``regexp_replace`` column expression — a
     narrow map in whole-stage codegen, zero shuffles, zero Python, so
@@ -1504,9 +1509,12 @@ def canonical_url(url_col: Column) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?#]|$)", "$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
     u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
-    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
-    # if the first surviving parameter lost its '?', re-anchor it
-    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    # &-separated tracking params (a global pass handles consecutive
+    # ones: each match ends at the next '&'), then a LEADING ?param&
+    # re-anchors its successor, then a lone leading ?param drops whole
+    u = F.regexp_replace(u, r"&" + _TRACKING_NAMES + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_NAMES + r"=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_NAMES + r"=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u
@@ -1573,7 +1581,11 @@ def c4_clean(
     ``keep = 0``) rather than propagating nulls through the gates.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(text, "\n")
+    # \r?\n so CRLF corpora don't leave a trailing \r on every line —
+    # Java's '$' would still match before it (passing the punctuation
+    # rule) while RE2/DuckDB would not, and clean_text would keep the
+    # stray \r bytes
+    lines = F.split(text, r"\r?\n")
 
     def _line_ok(l: Column) -> Column:
         t = F.trim(l)
@@ -1746,7 +1758,6 @@ def curate_text_corpus(
     shuffle (fingerprint + id); stage 4 is one shuffle on the split
     column. The text payload crosses exactly the two shuffles that
     need it, never with duplicate rows attached."""
-    from ..functions import text as T2
 
     split_weights = split_weights or {"train": 90, "val": 5, "test": 5}
     cleaned = c4_clean(
@@ -1759,7 +1770,7 @@ def curate_text_corpus(
     survivors = with_fp.join(winners, ["fp", "doc"]).select("doc", "clean_text")
     split = hash_split(survivors, "doc", split_weights).drop("bucket")
     with_tokens = split.withColumn(
-        "n_tokens", T2.token_count(F.col("clean_text")).cast("long")
+        "n_tokens", T.token_count(F.col("clean_text")).cast("long")
     )
     packed = pack_sequences(with_tokens, "doc", "n_tokens", "split", budget=pack_budget)
     return packed.select("doc", "clean_text", "n_tokens", "split", "pack_id")

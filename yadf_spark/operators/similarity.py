@@ -1032,6 +1032,23 @@ def pq_encode(
 PQ_MAX_QUERIES = 10_000
 
 
+def _collect_queries(queries, id_col: str, emb_col: str, caller: str):
+    """Driver-side query collection shared by the ADC paths, bounded by
+    ``PQ_MAX_QUERIES`` — ADC is a few-queries-vs-huge-corpus scan by
+    design; larger query sets should batch."""
+    qpd = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
+        .limit(PQ_MAX_QUERIES + 1)
+        .toPandas()
+    )
+    if len(qpd) > PQ_MAX_QUERIES:
+        raise ValueError(
+            f"{caller} collects the query side to the driver; got > "
+            f"{PQ_MAX_QUERIES} queries — batch them"
+        )
+    return qpd
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1055,16 +1072,7 @@ def pq_topk(
     narrow ``mapInPandas`` (n_q lookups+adds per row, vectorized across
     the Arrow batch); selection is the shared two-phase top-k
     (per-partition prune to q·k rows, then the exact window)."""
-    qpd = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
-        .limit(PQ_MAX_QUERIES + 1)
-        .toPandas()
-    )
-    if len(qpd) > PQ_MAX_QUERIES:
-        raise ValueError(
-            f"pq_topk collects the query side to the driver; got > "
-            f"{PQ_MAX_QUERIES} queries — batch them or use a symmetric scan"
-        )
+    qpd = _collect_queries(queries, id_col, emb_col, "pq_topk")
     qids = qpd["query_id"].to_numpy()
     qmat = np.vstack([np.asarray(e, dtype=np.float64) for e in qpd["emb"]])
     lut = pq_adc_lut(qmat, books)
@@ -1161,16 +1169,7 @@ def ivf_pq_topk(
     index table bucketed by ``cell`` the join is also partition-pruned
     at the scan. Scoring is m table lookups per candidate against the
     closure-shipped LUT; selection is the shared two-phase top-k."""
-    qpd = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
-        .limit(PQ_MAX_QUERIES + 1)
-        .toPandas()
-    )
-    if len(qpd) > PQ_MAX_QUERIES:
-        raise ValueError(
-            f"ivf_pq_topk collects the query side to the driver; got > "
-            f"{PQ_MAX_QUERIES} queries — batch them"
-        )
+    qpd = _collect_queries(queries, id_col, emb_col, "ivf_pq_topk")
     index = pq_cells_codes(corpus, centroids, books, id_col, emb_col)
     return _adc_topk_over_index(index, qpd, centroids, books, k, n_probe, round_to)
 
@@ -1211,16 +1210,7 @@ def ivf_pq_topk_over_index(
     to exact (query, cell) matches, and ADC scoring + two-phase top-k
     proceed as in the inline path. ``centroids``/``books`` must be the
     arrays the index was built with (persist them beside it)."""
-    qpd = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("emb"))
-        .limit(PQ_MAX_QUERIES + 1)
-        .toPandas()
-    )
-    if len(qpd) > PQ_MAX_QUERIES:
-        raise ValueError(
-            f"ivf_pq_topk_over_index collects the query side to the driver; got > "
-            f"{PQ_MAX_QUERIES} queries — batch them"
-        )
+    qpd = _collect_queries(queries, id_col, emb_col, "ivf_pq_topk_over_index")
     return _adc_topk_over_index(index, qpd, centroids, books, k, n_probe, round_to)
 
 
