@@ -38,6 +38,7 @@ from yadf_spark.operators import (
     retrieval,
     similarity,
     simhash,
+    sketches,
 )
 
 # Portable (md5/sha256) ladder configuration for string payloads — the
@@ -48,6 +49,9 @@ DOC_LADDER = LadderConfig(
 )
 
 EMB_DIM = 64
+
+#: HLL estimate numerator — the SAME Python float the Spark plan embeds
+_HLL_NUM = sketches._ALPHA * 256 * 256 * float(1 << 53)
 STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
 
@@ -817,6 +821,44 @@ def q_strip_html_docs(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), "clean_text", "title", "n_tags"
     ).orderBy("doc_id")
+
+
+def q_hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct users per event type — the bounded-state
+    COUNT(DISTINCT) at 10^12 rows (O(groups × 256) register bytes
+    through the shuffle instead of every distinct value). md5-bucketed
+    and integer-exact up to one division + the ln correction, so the
+    DuckDB oracle replays registers AND estimate bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    return sketches.hll_distinct(e, ["event_type"], "user_id").orderBy("event_type")
+
+
+def q_kmv_distinct_users(spark, sf_dir):
+    """K-minimum-values distinct estimate per event type (k=64) — the
+    mergeable union-top-k sketch; exact integers until one division.
+    Oracle: fully relational replay."""
+    e = _t(spark, sf_dir, "events")
+    return sketches.kmv_distinct(e, ["event_type"], "user_id", k=64).orderBy(
+        "event_type"
+    )
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min sketch over the document token stream: the 20 most
+    frequent exact tokens with their exact and sketch-estimated counts
+    (4 × 256 counters — bounded state regardless of vocabulary; the
+    estimate never underestimates). Pure integer arithmetic — the
+    oracle matches exactly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sketches.cms_counts(toks), top.select("token"))
+    return top.join(est, "token").select("token", "exact_cnt", "est_cnt").orderBy("token")
 
 
 def _bm25_queries(d):
@@ -3488,6 +3530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html_docs": q_strip_html_docs,
         "bm25_topk_docs": q_bm25_topk_docs,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hll_distinct_users": q_hll_distinct_users,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "cms_token_counts": q_cms_token_counts,
         "bpe_merges_docs": q_bpe_merges_docs,
         "canonical_url_docs": q_canonical_url_docs,
         "url_dedup_docs": q_url_dedup_docs,
@@ -4017,6 +4062,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(len(regexp_extract_all(t, '<[^>]+>')), 0) AS BIGINT)
                      AS n_tags
             FROM nb ORDER BY doc_id""",
+        # HLL: registers (md5 bucket + bin-length rho) and the
+        # scaled-integer harmonic sum replayed exactly; the numerator
+        # constant is the SAME Python float the Spark plan embeds
+        "hll_distinct_users": f"""
+            WITH v AS (SELECT event_type,
+                              md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+            r AS (SELECT event_type,
+                         CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
+                         CAST(concat('0x', substr(h, 3, 13)) AS BIGINT) AS w
+                  FROM v),
+            regs AS (SELECT event_type, bucket,
+                            max(CASE WHEN w = 0 THEN 53
+                                     ELSE 53 - length(bin(w)) END) AS m
+                     FROM r GROUP BY event_type, bucket),
+            agg AS (SELECT event_type,
+                           sum(CAST(pow(2, 53 - m) AS BIGINT)) AS s_present,
+                           count(*) AS n_present
+                    FROM regs GROUP BY event_type),
+            est AS (SELECT event_type,
+                           256 - n_present AS zeros,
+                           CAST(s_present
+                                + (256 - n_present)
+                                  * CAST(pow(2, 53) AS BIGINT) AS DOUBLE) AS total
+                    FROM agg)
+            SELECT event_type,
+                   round(CASE WHEN {_HLL_NUM!r} / total <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE {_HLL_NUM!r} / total END, 4) AS est
+            FROM est ORDER BY event_type""",
+        "kmv_distinct_users": """
+            WITH v AS (SELECT DISTINCT event_type,
+                              CAST(concat('0x',
+                                substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                                AS BIGINT) AS h
+                       FROM events),
+            r AS (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rn FROM v),
+            a AS (SELECT event_type, max(h) AS h_k, count(*) AS n
+                  FROM r WHERE rn <= 64 GROUP BY event_type)
+            SELECT event_type,
+                   round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                              ELSE 63.0 / (CAST(h_k AS DOUBLE)
+                                           / 1152921504606846976.0) END, 4) AS est
+            FROM a ORDER BY event_type""",
+        # count-min: cells and probes share the seeded md5 buckets —
+        # pure integer arithmetic, exact match
+        "cms_token_counts": r"""
+            WITH toks AS (SELECT t.term AS token
+                          FROM documents,
+                               unnest(regexp_extract_all(trim(lower(text)), '\S+'))
+                                 AS t(term)),
+            top AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+                    FROM toks GROUP BY token
+                    ORDER BY exact_cnt DESC, token LIMIT 20),
+            seeds AS (SELECT unnest(range(4)) AS seed),
+            cells AS (SELECT s.seed,
+                             CAST(concat('0x',
+                               substr(md5(CAST(s.seed AS VARCHAR) || ':' || t.token),
+                                      1, 6)) AS BIGINT) % 256 AS bucket,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM toks t, seeds s GROUP BY 1, 2),
+            probes AS (SELECT p.token, s.seed,
+                              CAST(concat('0x',
+                                substr(md5(CAST(s.seed AS VARCHAR) || ':' || p.token),
+                                       1, 6)) AS BIGINT) % 256 AS bucket
+                       FROM top p, seeds s),
+            est AS (SELECT p.token, min(c.cnt) AS est_cnt
+                    FROM probes p JOIN cells c USING (seed, bucket)
+                    GROUP BY p.token)
+            SELECT t.token, t.exact_cnt, e.est_cnt
+            FROM top t JOIN est e USING (token) ORDER BY token""",
         # BM25: postings/df/idf/score/rank all re-derived relationally —
         # Lucene-style idf ln(1 + (N - df + .5)/(df + .5)), k1=1.2 b=.75
         "bm25_topk_docs": r"""

@@ -1,0 +1,75 @@
+"""Deterministic sketch semantics: accuracy bounds, mergeability, and
+layout-invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yadf_spark.operators import sketches
+
+
+def _users(spark, n=3000, distinct=300):
+    rows = [(i, f"u{i % distinct}", "a" if i % 2 == 0 else "b") for i in range(n)]
+    return spark.createDataFrame(rows, "i long, user string, seg string")
+
+
+def test_hll_estimate_within_error_bound(spark):
+    df = _users(spark)
+    exact = {r.seg: r.n for r in df.groupBy("seg").agg(
+        F.countDistinct("user").alias("n")).collect()}
+    est = {r.seg: r.est for r in sketches.hll_distinct(df, ["seg"], "user").collect()}
+    # 1.04/sqrt(256) ~ 6.5% RSE; allow 4 sigma
+    bound = 4 * sketches.hll_error_bound()
+    for seg, n in exact.items():
+        assert abs(est[seg] - n) / n < bound, (seg, est[seg], n)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Shard registers max-merged == whole-corpus registers — the
+    property that makes the sketch streaming/rollup-safe."""
+    df = _users(spark)
+    a, b = df.filter("i < 1500"), df.filter("i >= 1500")
+    whole = {
+        (r.seg, r.bucket): r.m
+        for r in sketches.hll_registers(df, ["seg"], "user").collect()
+    }
+    merged: dict = {}
+    for shard in (a, b):
+        for r in sketches.hll_registers(shard, ["seg"], "user").collect():
+            k = (r.seg, r.bucket)
+            merged[k] = max(merged.get(k, 0), r.m)
+    assert merged == whole
+
+
+def test_hll_is_layout_invariant(spark):
+    df = _users(spark)
+    e1 = sorted(map(tuple, sketches.hll_distinct(df, ["seg"], "user").collect()))
+    e2 = sorted(map(tuple, sketches.hll_distinct(df.repartition(13), ["seg"], "user").collect()))
+    assert e1 == e2
+
+
+def test_kmv_exact_below_k_and_bounded_above(spark):
+    df = _users(spark)
+    # k larger than the distinct count -> exact answer
+    exact_mode = {r.seg: r.est for r in sketches.kmv_distinct(df, ["seg"], "user", k=1000).collect()}
+    assert exact_mode == {"a": 150.0, "b": 150.0}
+    est = {r.seg: r.est for r in sketches.kmv_distinct(df, ["seg"], "user", k=64).collect()}
+    for seg, e in est.items():
+        assert abs(e - 150) / 150 < 0.5  # loose: k=64 RSE ~ 12.5%
+
+
+def test_cms_never_underestimates_and_merges_by_sum(spark):
+    df = _users(spark)
+    toks = df.select(F.col("user").alias("token"))
+    cms = sketches.cms_counts(toks)
+    probe = toks.distinct()
+    est = {r.token: r.est_cnt for r in sketches.cms_estimate(cms, probe).collect()}
+    exact = {r.token: r.n for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    assert all(est[t] >= n for t, n in exact.items())
+    # cell-sum merge of two shards == whole-corpus sketch
+    a = sketches.cms_counts(df.filter("i < 1500").select(F.col("user").alias("token")))
+    b = sketches.cms_counts(df.filter("i >= 1500").select(F.col("user").alias("token")))
+    merged = (
+        a.unionByName(b).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, cms.collect()))

@@ -1,0 +1,198 @@
+"""Distributed cardinality / frequency sketches — HyperLogLog, KMV,
+and count-min — made DETERMINISTIC so a relational oracle can replay
+them bit-for-bit.
+
+At 10^12 rows, "how many distinct users per segment" and "how often
+does this token occur" are the queries that turn a narrow partial-agg
+scan into an unshuffleable monster if answered exactly: COUNT(DISTINCT)
+shuffles every distinct value, and per-token exact counts keep
+vocabulary-sized state. Sketches bound both: a fixed-size register set
+per group, built map-side and merged associatively — the shuffle
+carries O(groups × registers) bytes regardless of n.
+
+Library implementations (Spark's ``approx_count_distinct``, DuckDB's
+``approx_distinct``) use incompatible internal hashes, so their
+estimates can never cross-check. These sketches hash with ``md5`` —
+portable, deterministic, layout-independent — so Spark and DuckDB
+derive IDENTICAL register values, and the estimate is a pure function
+both engines compute from the same integers:
+
+* **HLL** buckets on the first 8 md5 bits, takes ``rho`` = leading
+  zeros of the next 52 bits + 1 (an exact integer via the binary-string
+  length, never float log2), and — the portability trick — accumulates
+  the harmonic sum in SCALED INTEGERS: each ``2^-M`` term becomes the
+  BIGINT ``2^(53-M)``, so the only floats in the whole estimate are one
+  division and the small-range ``ln`` correction.
+* **KMV** (k minimum values) keeps the k smallest distinct 60-bit
+  hashes per group; estimate ``(k-1) / u_k`` with ``u_k`` the k-th
+  value normalized — exact integers until one final division.
+* **Count-min** hashes each token through ``depth`` seeded rows of
+  ``width`` counters; an estimate is the MIN of its counters — all
+  integer arithmetic, so the oracle matches exactly, and the
+  overestimate-only guarantee is testable.
+
+All three register sets merge associatively (max / union-top-k / sum),
+which is what makes them streaming- and rollup-safe: shard sketches
+combine without revisiting data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: HLL geometry: 2^8 buckets, 52-bit rho field (md5 chars 3..15)
+HLL_B = 8
+HLL_M = 1 << HLL_B
+_RHO_BITS = 52
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _md5(col):
+    return F.md5(col.cast("string"))
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Per-(group, bucket) max-rho registers —
+    ``(*group_cols, bucket, m)``. One partial-agg groupBy: a shard's
+    registers combine map-side and MERGE BY MAX across shards/batches,
+    so incremental and rollup use never rescans."""
+    h = _md5(F.col(value_col))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    # rho = leading zeros of the 52-bit field + 1; exact via the length
+    # of the binary string (conv drops leading zeros), never float log2
+    rho = F.when(w == 0, F.lit(_RHO_BITS + 1)).otherwise(
+        F.lit(_RHO_BITS + 1) - F.length(F.conv(F.substring(h, 3, 13), 16, 2))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("m"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, round_to: int = 4
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group —
+    ``(*group_cols, est)``.
+
+    The harmonic sum is computed in scaled integers: bucket ``M``
+    contributes ``2^(53-M)`` (a BIGINT; max total 256·2^53 < 2^63), and
+    the ``m - n_present`` empty buckets contribute ``2^53`` each — so
+    the sum is EXACT and engine-order-independent; floats enter only in
+    the final division and the standard small-range correction
+    ``m·ln(m/zeros)``. Estimates round to ``round_to`` so the oracle's
+    libm and the JVM's agree."""
+    regs = hll_registers(df, group_cols, value_col)
+    # 2^(53-M) as BIGINT; pow's double is exact for powers of two
+    scaled = F.pow(F.lit(2.0), F.lit(_RHO_BITS + 1) - F.col("m")).cast("long")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_present")
+    total = F.col("s_present") + zeros * F.lit(1 << (_RHO_BITS + 1)).cast("long")
+    raw = (
+        F.lit(_ALPHA * HLL_M * HLL_M * float(1 << (_RHO_BITS + 1)))
+        / total.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, round_to).alias("est"))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """K-minimum-values distinct estimate per group —
+    ``(*group_cols, est)``: the k smallest distinct 60-bit md5 values;
+    ``est = (k-1) / u_k`` with ``u_k`` the k-th smallest normalized to
+    (0, 1]. Groups with fewer than k distinct hashes report the exact
+    count (every distinct value is in hand). The per-group state is k
+    longs — mergeable by union + re-top-k.
+
+    Scale: distinct-hash dedup and the top-k window both run on the
+    narrow (group, 8-byte hash) projection; the window's per-group sort
+    is bounded by the distinct count, and at 10^12 rows the groups are
+    segments, not the corpus."""
+    h = F.conv(F.substring(_md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
+    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = hashes.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("h").alias("h_k"), F.count("*").alias("n")
+    )
+    scale = float(1 << 60)
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("h_k").cast("double") / F.lit(scale))
+    )
+    return agg.select(*group_cols, F.round(est, round_to).alias("est"))
+
+
+def cms_counts(
+    tokens: DataFrame, token_col: str = "token", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The count-min sketch table for a token stream —
+    ``(seed, bucket, cnt)``: ``depth`` seeded md5 rows of ``width``
+    counters, built by one explode-free partial-agg groupBy over the
+    (already exploded) token frame. ``depth × width`` counters total,
+    regardless of vocabulary size — THE bounded-state frequency
+    structure; merges across shards by summing cells."""
+    rows = None
+    for seed in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(token_col))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        part = tokens.select(F.lit(seed).alias("seed"), bucket.alias("bucket"))
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("seed", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame, probe: DataFrame, token_col: str = "token",
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Estimated occurrence count for each probe token —
+    ``(token, est_cnt)`` = the MIN of its ``depth`` counters. Pure
+    integer arithmetic (never underestimates; collisions only inflate).
+    The probe side is tiny and broadcasts into the d×w sketch."""
+    probes = None
+    for seed in range(depth):
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(token_col))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        part = probe.select(
+            F.col(token_col).alias("token"), F.lit(seed).alias("seed"), bucket.alias("bucket")
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        cms.join(F.broadcast(probes), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def hll_error_bound(m: int = HLL_M) -> float:
+    """The standard HLL relative standard error, ``1.04 / sqrt(m)`` —
+    ~6.5% at the default 256 buckets."""
+    return 1.04 / math.sqrt(m)
