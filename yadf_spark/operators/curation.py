@@ -1686,7 +1686,7 @@ def bpe_merges(
         F.col("cnt"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for it in range(n_merges):
         syms = F.col("syms")
         pairs = F.filter(
             F.transform(syms, lambda s, i: F.struct(s.alias("l"), F.get(syms, i + 1).alias("r"))),
@@ -1719,8 +1719,12 @@ def bpe_merges(
             vocab.select(folded.alias("syms"), "cnt")
             .groupBy("syms")
             .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage every few rounds, not every round: the
+        # per-round eager materialization job costs more than three
+        # rounds of nested fold expressions on the vocab-sized frame
+        if it % 3 == 2:
+            vocab = vocab.localCheckpoint(eager=True)
     spark = df.sparkSession
     return spark.createDataFrame(
         [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
