@@ -823,6 +823,21 @@ def q_strip_html_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_funnel_events(spark, sf_dir):
+    """Sequential funnel: first view -> first click strictly after it
+    -> first purchase strictly after that, per user, with completion
+    depth. Every step is a user-keyed join + conditional-min partial
+    agg (one reusable hash partitioning, per-user state only). Oracle:
+    the three-stage chain replayed relationally."""
+    from yadf_spark.operators import temporal
+
+    e = _t(spark, sf_dir, "events")
+    out = temporal.funnel(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    return out.select(
+        F.col("user").alias("user_id"), "ts_1", "ts_2", "ts_3", "depth"
+    ).orderBy("user_id")
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """HyperLogLog distinct users per event type — the bounded-state
     COUNT(DISTINCT) at 10^12 rows (O(groups × 256) register bytes
@@ -3530,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html_docs": q_strip_html_docs,
         "bm25_topk_docs": q_bm25_topk_docs,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "funnel_events": q_funnel_events,
         "hll_distinct_users": q_hll_distinct_users,
         "kmv_distinct_users": q_kmv_distinct_users,
         "cms_token_counts": q_cms_token_counts,
@@ -4062,6 +4078,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(len(regexp_extract_all(t, '<[^>]+>')), 0) AS BIGINT)
                      AS n_tags
             FROM nb ORDER BY doc_id""",
+        # funnel: three-stage conditional-min chain replayed relationally
+        "funnel_events": """
+            WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS ts_2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.ts_1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS ts_3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+                   GROUP BY e.user_id)
+            SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+                   CAST(1 + CASE WHEN s2.ts_2 IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN s3.ts_3 IS NULL THEN 0 ELSE 1 END AS INT)
+                     AS depth
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            ORDER BY user_id""",
         # HLL: registers (md5 bucket + bin-length rho) and the
         # scaled-integer harmonic sum replayed exactly; the numerator
         # constant is the SAME Python float the Spark plan embeds

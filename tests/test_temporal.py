@@ -143,3 +143,45 @@ def test_sessionize_tie_determinism(spark):
     out = temporal.sessionize(df, "ts", "user_id", 1_800, id_col="event_id")
     got = {r["event_id"]: r["session_idx"] for r in out.collect()}
     assert got == {0: 1, 1: 2, 2: 2}
+
+
+def test_funnel_ordered_semantics(spark):
+    """Only strictly-after completions count: a purchase BEFORE the
+    first view never completes the funnel; stalls leave nulls."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # u1 completes in order
+        (1, t0, "view"), (1, t0 + dt.timedelta(minutes=1), "click"),
+        (1, t0 + dt.timedelta(minutes=2), "purchase"),
+        # u2: purchase happens BEFORE the view -> depth 2 only
+        (2, t0, "purchase"), (2, t0 + dt.timedelta(minutes=1), "view"),
+        (2, t0 + dt.timedelta(minutes=2), "click"),
+        # u3: view only
+        (3, t0, "view"),
+        # u4: never views -> absent
+        (4, t0, "click"), (4, t0 + dt.timedelta(minutes=1), "purchase"),
+        # u5: click at the EXACT view timestamp does not count (strict)
+        (5, t0, "view"), (5, t0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.user: r
+        for r in temporal.funnel(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].depth == 3 and out[1].ts_3 == t0 + dt.timedelta(minutes=2)
+    assert out[2].depth == 2 and out[2].ts_3 is None
+    assert out[3].depth == 1 and out[3].ts_2 is None
+    assert out[5].depth == 1  # strict ordering: simultaneous click ignored
+
+
+def test_funnel_requires_two_steps(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, None, "view")], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        temporal.funnel(df, "user_id", "ts", "event_type", ["view"])

@@ -149,3 +149,57 @@ def sessionize(
     return out.withColumn(
         "session_id", F.concat_ws("-", F.col(by).cast("string"), F.col("session_idx"))
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Sequential funnel completion per user —
+    ``(user, ts_1..ts_n, depth)``: ``ts_i`` is the FIRST time step i
+    completed STRICTLY AFTER step i-1's completion time (the ordered
+    semantics — a purchase logged before the user's first view does not
+    count), null once the user stalls; ``depth`` counts completed
+    steps. Users who never perform step 1 are absent (the funnel's
+    population is step-1 reachers).
+
+    Scale shape: step 1 is one partial-agg min per user; each later
+    step is one join + one conditional-min aggregation, ALL keyed on
+    the user column — the same hash partitioning end to end, so AQE
+    reuses the exchange layout and the per-step state is one row per
+    surviving user (never the event history). n_steps is small and
+    fixed; the event scan is filtered to one step's type per round, so
+    total I/O is one pass over the funnel-relevant events."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    base = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("_t"),
+        F.col(type_col).alias("_y"),
+    )
+    cur = (
+        base.filter(F.col("_y") == steps[0])
+        .groupBy("user")
+        .agg(F.min("_t").alias("ts_1"))
+    )
+    for i, st in enumerate(steps[1:], start=2):
+        ev = base.filter(F.col("_y") == st).select("user", "_t")
+        prev_cols = [c for c in cur.columns if c != "user"]
+        cur = (
+            cur.join(ev, "user", "left")
+            .groupBy("user")
+            .agg(
+                *[F.first(c).alias(c) for c in prev_cols],
+                F.min(
+                    F.when(F.col("_t") > F.col(f"ts_{i - 1}"), F.col("_t"))
+                ).alias(f"ts_{i}"),
+            )
+        )
+    depth = sum(
+        (F.col(f"ts_{i}").isNotNull().cast("int") for i in range(2, len(steps) + 1)),
+        F.lit(1),
+    )
+    return cur.withColumn("depth", depth)
