@@ -121,14 +121,30 @@ def kmv_distinct(
     count (every distinct value is in hand). The per-group state is k
     longs — mergeable by union + re-top-k.
 
-    Scale: distinct-hash dedup and the top-k window both run on the
-    narrow (group, 8-byte hash) projection; the window's per-group sort
-    is bounded by the distinct count, and at 10^12 rows the groups are
-    segments, not the corpus."""
+    Scale: distinct-hash dedup runs on the narrow (group, 8-byte hash)
+    projection with map-side partial dedup; the k-smallest selection is
+    TWO-PHASE (the ``similarity.partial_topk`` discipline): an
+    Arrow-batched per-partition prune keeps k hashes per group per
+    partition, so the exact window sorts k·partitions rows per group —
+    never a one-task sort of a group's every distinct value (a 10^9-
+    distinct segment would otherwise be a straggler)."""
+    import pandas as pd
+
     h = F.conv(F.substring(_md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
     hashes = df.select(*group_cols, h.alias("h")).distinct()
+
+    def prune(batches):
+        acc = None
+        for b in batches:
+            cur = b if acc is None else pd.concat((acc, b), ignore_index=True)
+            cur = cur.sort_values([*group_cols, "h"])
+            acc = cur.groupby(list(group_cols), sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = hashes.mapInPandas(prune, hashes.schema)
     w = Window.partitionBy(*group_cols).orderBy("h")
-    ranked = hashes.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    ranked = pruned.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
     agg = ranked.groupBy(*group_cols).agg(
         F.max("h").alias("h_k"), F.count("*").alias("n")
     )

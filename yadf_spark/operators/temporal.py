@@ -171,8 +171,11 @@ def funnel(
     the user column — the same hash partitioning end to end, so AQE
     reuses the exchange layout and the per-step state is one row per
     surviving user (never the event history). n_steps is small and
-    fixed; the event scan is filtered to one step's type per round, so
-    total I/O is one pass over the funnel-relevant events."""
+    fixed; each round re-scans the events filtered (and, on a
+    type-partitioned table, partition-pruned) to ITS step's type —
+    n_steps column-pruned scans total, each touching only that step's
+    rows; cache the projected event frame when the source is not
+    partitioned by type."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
     base = df.select(
