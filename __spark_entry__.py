@@ -51,7 +51,7 @@ DOC_LADDER = LadderConfig(
 EMB_DIM = 64
 
 #: HLL estimate numerator — the SAME Python float the Spark plan embeds
-_HLL_NUM = sketches._ALPHA * 256 * 256 * float(1 << 53)
+_HLL_NUM = sketches._ALPHA * sketches.HLL_M * sketches.HLL_M * float(1 << 53)
 STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
 
@@ -4101,7 +4101,8 @@ def oracle_sql() -> dict[str, str]:
         # constant is the SAME Python float the Spark plan embeds
         "hll_distinct_users": f"""
             WITH v AS (SELECT event_type,
-                              md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+                              md5(CAST(user_id AS VARCHAR)) AS h FROM events
+                       WHERE user_id IS NOT NULL),
             r AS (SELECT event_type,
                          CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
                          CAST(concat('0x', substr(h, 3, 13)) AS BIGINT) AS w
@@ -4130,7 +4131,7 @@ def oracle_sql() -> dict[str, str]:
                               CAST(concat('0x',
                                 substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                                 AS BIGINT) AS h
-                       FROM events),
+                       FROM events WHERE user_id IS NOT NULL),
             r AS (SELECT event_type, h,
                          row_number() OVER (PARTITION BY event_type
                                             ORDER BY h) AS rn FROM v),

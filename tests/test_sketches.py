@@ -73,3 +73,36 @@ def test_cms_never_underestimates_and_merges_by_sum(spark):
         a.unionByName(b).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, cms.collect()))
+
+
+def test_sketches_ignore_null_values_and_keep_null_groups(spark):
+    """COUNT(DISTINCT) semantics: NULL values contribute nothing to
+    either estimate; a NULL GROUP KEY is a real group in both."""
+    rows = [(f"u{i}", "a") for i in range(50)] + [(None, "a")] + [
+        (f"u{i}", None) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user string, seg string")
+    clean = df.filter("user IS NOT NULL AND seg = 'a'")
+    hll_with = {r.seg: r.est for r in sketches.hll_distinct(df.filter("seg = 'a'"), ["seg"], "user").collect()}
+    hll_wo = {r.seg: r.est for r in sketches.hll_distinct(clean, ["seg"], "user").collect()}
+    assert hll_with == hll_wo  # the NULL value changed nothing
+    kmv = {r.seg: r.est for r in sketches.kmv_distinct(df, ["seg"], "user", k=16).collect()}
+    assert set(kmv) == {"a", None}  # null group present
+    hll = {r.seg: r.est for r in sketches.hll_distinct(df, ["seg"], "user").collect()}
+    assert set(hll) == {"a", None}
+
+
+def test_cms_absent_probe_estimates_from_empty_cells(spark):
+    """A token whose cells were never touched must estimate 0 (and
+    must not vanish from the output)."""
+    toks = spark.createDataFrame([("a",)] * 5, "token string")
+    cms = sketches.cms_counts(toks, width=65536)  # wide -> no collisions
+    probe = spark.createDataFrame([("a",), ("zz_never_seen",)], "token string")
+    est = {r.token: r.est_cnt for r in sketches.cms_estimate(cms, probe, width=65536).collect()}
+    assert est == {"a": 5, "zz_never_seen": 0}
+
+
+def test_cms_counts_scans_the_token_frame_once(spark):
+    toks = spark.createDataFrame([("a",), ("b",)], "token string")
+    plan = sketches.cms_counts(toks)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1, plan

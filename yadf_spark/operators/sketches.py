@@ -58,7 +58,10 @@ def hll_registers(df: DataFrame, group_cols: list[str], value_col: str) -> DataF
     """Per-(group, bucket) max-rho registers —
     ``(*group_cols, bucket, m)``. One partial-agg groupBy: a shard's
     registers combine map-side and MERGE BY MAX across shards/batches,
-    so incremental and rollup use never rescans."""
+    so incremental and rollup use never rescans. NULL values are
+    ignored (COUNT(DISTINCT) semantics); NULL group keys form their
+    own group (GROUP BY semantics)."""
+    df = df.filter(F.col(value_col).isNotNull())
     h = _md5(F.col(value_col))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     w = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
@@ -130,15 +133,24 @@ def kmv_distinct(
     distinct segment would otherwise be a straggler)."""
     import pandas as pd
 
+    # NULL values are ignored (COUNT(DISTINCT) semantics) — and must
+    # be: a NULL hash would sort nulls-first in the window but NaN-last
+    # in the prune, making the estimate layout-dependent
     h = F.conv(F.substring(_md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
-    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
 
     def prune(batches):
         acc = None
         for b in batches:
             cur = b if acc is None else pd.concat((acc, b), ignore_index=True)
             cur = cur.sort_values([*group_cols, "h"])
-            acc = cur.groupby(list(group_cols), sort=False).head(k)
+            # dropna=False: a NULL group key is a group (GROUP BY
+            # semantics), not a row to silently discard
+            acc = cur.groupby(list(group_cols), sort=False, dropna=False).head(k)
         if acc is not None and len(acc):
             yield acc
 
@@ -155,28 +167,47 @@ def kmv_distinct(
     return agg.select(*group_cols, F.round(est, round_to).alias("est"))
 
 
+def _cms_bucket(token_col: str, seed: int, width: int):
+    """The seeded md5 counter index — ONE definition shared by the
+    cell build and the probe side, which must stay bit-identical or
+    every estimate silently breaks."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(token_col))), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
 def cms_counts(
     tokens: DataFrame, token_col: str = "token", depth: int = 4, width: int = 256
 ) -> DataFrame:
     """The count-min sketch table for a token stream —
     ``(seed, bucket, cnt)``: ``depth`` seeded md5 rows of ``width``
-    counters, built by one explode-free partial-agg groupBy over the
-    (already exploded) token frame. ``depth × width`` counters total,
-    regardless of vocabulary size — THE bounded-state frequency
-    structure; merges across shards by summing cells."""
-    rows = None
-    for seed in range(depth):
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(token_col))), 1, 6),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-        part = tokens.select(F.lit(seed).alias("seed"), bucket.alias("bucket"))
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("seed", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+    counters. ONE scan of the (already exploded) token frame: each row
+    explodes to its ``depth`` (seed, bucket) memberships in-plan — a
+    per-seed union would rescan the corpus-sized frame ``depth``
+    times, since Catalyst does not share scans across union branches.
+    ``depth × width`` counters total, regardless of vocabulary size —
+    THE bounded-state frequency structure; merges across shards by
+    summing cells."""
+    memberships = F.array(
+        *[
+            F.struct(
+                F.lit(seed).alias("seed"),
+                _cms_bucket(token_col, seed, width).alias("bucket"),
+            )
+            for seed in range(depth)
+        ]
+    )
+    return (
+        tokens.select(F.explode(memberships).alias("p"))
+        .select("p.seed", "p.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
 
 
 def cms_estimate(
@@ -184,27 +215,23 @@ def cms_estimate(
     depth: int = 4, width: int = 256,
 ) -> DataFrame:
     """Estimated occurrence count for each probe token —
-    ``(token, est_cnt)`` = the MIN of its ``depth`` counters. Pure
-    integer arithmetic (never underestimates; collisions only inflate).
-    The probe side is tiny and broadcasts into the d×w sketch."""
+    ``(token, est_cnt)`` = the MIN of its ``depth`` counters, with an
+    EMPTY counter counting as 0 (so a never-seen token estimates 0 and
+    every probe token gets a row — the sketch table is sparse, storing
+    only touched cells). Pure integer arithmetic (never underestimates;
+    collisions only inflate). The d×w sketch is the broadcast side."""
     probes = None
     for seed in range(depth):
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(token_col))), 1, 6),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
         part = probe.select(
-            F.col(token_col).alias("token"), F.lit(seed).alias("seed"), bucket.alias("bucket")
+            F.col(token_col).alias("token"),
+            F.lit(seed).alias("seed"),
+            _cms_bucket(token_col, seed, width).alias("bucket"),
         )
         probes = part if probes is None else probes.unionByName(part)
     return (
-        cms.join(F.broadcast(probes), ["seed", "bucket"])
+        probes.join(F.broadcast(cms), ["seed", "bucket"], "left")
         .groupBy("token")
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_cnt"))
     )
 
 
