@@ -1186,3 +1186,39 @@ def test_c4_clean_handles_crlf_line_endings(spark):
     assert out[1].clean_text == out[2].clean_text
     assert "\r" not in out[2].clean_text
     assert out[1].n_kept_lines == out[2].n_kept_lines == 2
+
+
+def test_canonical_url_is_idempotent(spark):
+    """Canonicalization must be a projection: applying it twice changes
+    nothing, over every axis the chain touches (and their stacks)."""
+    urls = [
+        "https://www.Example.com:443/Path/?utm_source=a&id=1#f",
+        "HTTP://WWW.A.B:80/x&y?utm_a=1&utm_b=2",
+        "https://ex.com/a/b/c/",
+        "ex.com/no-scheme/?fbclid=zz",
+        "https://ex.com/?utm_medium=m",
+        "http://ex.com",
+        "a.example/x&y",
+        "https://ex.com/x?id=1&gclid=g&id2=2#frag",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    once = curation.canonical_url(F.col("url"))
+    out = df.select(
+        "i", once.alias("c1"),
+    ).withColumn("c2", curation.canonical_url(F.col("c1")))
+    for r in out.collect():
+        assert r.c1 == r.c2, (urls[r.i], r.c1, r.c2)
+
+
+def test_c4_clean_is_idempotent_on_kept_pages(spark):
+    """Re-cleaning a kept page's clean_text is a no-op: every surviving
+    line already satisfies the line rules and a kept document carries
+    none of the gate markers."""
+    first = curation.c4_clean(_pages(spark), "doc_id", "text")
+    kept = first.filter(F.col("keep") == 1).select(
+        F.col("doc").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    second = {r.doc: r for r in curation.c4_clean(kept, "doc_id", "text").collect()}
+    for r in first.filter("keep = 1").collect():
+        assert second[r.doc].clean_text == r.clean_text
+        assert second[r.doc].keep == 1
