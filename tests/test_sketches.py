@@ -106,3 +106,20 @@ def test_cms_counts_scans_the_token_frame_once(spark):
     toks = spark.createDataFrame([("a",), ("b",)], "token string")
     plan = sketches.cms_counts(toks)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1, plan
+
+
+def test_hll_incremental_index_equals_whole_corpus_and_replay_is_idempotent(spark, tmp_path):
+    """Batched register layers, max-merged at read time, must estimate
+    exactly what a whole-corpus pass estimates — and a crash-replayed
+    batch (same batch_id) must change nothing."""
+    df = _users(spark)
+    idx = str(tmp_path / "hll_idx")
+    sketches.hll_index_batch(df.filter("i < 1500"), 0, idx, ["seg"], "user")
+    sketches.hll_index_batch(df.filter("i >= 1500"), 1, idx, ["seg"], "user")
+    inc = sorted(map(tuple, sketches.hll_estimate_from_index(spark, idx, ["seg"]).collect()))
+    whole = sorted(map(tuple, sketches.hll_distinct(df, ["seg"], "user").collect()))
+    assert inc == whole
+    # replay batch 0 -> overwrite same layer -> identical estimates
+    sketches.hll_index_batch(df.filter("i < 1500"), 0, idx, ["seg"], "user")
+    again = sorted(map(tuple, sketches.hll_estimate_from_index(spark, idx, ["seg"]).collect()))
+    assert again == whole

@@ -90,7 +90,19 @@ def hll_distinct(
     the final division and the standard small-range correction
     ``m·ln(m/zeros)``. Estimates round to ``round_to`` so the oracle's
     libm and the JVM's agree."""
-    regs = hll_registers(df, group_cols, value_col)
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col), group_cols, round_to
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], round_to: int = 4
+) -> DataFrame:
+    """The estimate half of ``hll_distinct``, over an already-built
+    register frame — the incremental entry point: registers from many
+    batches/shards union together, max-merge here, and estimate,
+    without ever revisiting the data they summarize."""
+    regs = regs.groupBy(*group_cols, "bucket").agg(F.max("m").cast("int").alias("m"))
     # 2^(53-M) as BIGINT; pow's double is exact for powers of two
     scaled = F.pow(F.lit(2.0), F.lit(_RHO_BITS + 1) - F.col("m")).cast("long")
     agg = regs.groupBy(*group_cols).agg(
@@ -239,3 +251,31 @@ def hll_error_bound(m: int = HLL_M) -> float:
     """The standard HLL relative standard error, ``1.04 / sqrt(m)`` —
     ~6.5% at the default 256 buckets."""
     return 1.04 / math.sqrt(m)
+
+
+def hll_index_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    group_cols: list[str],
+    value_col: str,
+) -> None:
+    """One ``foreachBatch`` tick of an incremental distinct-count
+    index: write this micro-batch's registers under a ``batch_id=``
+    subdirectory (overwrite — a crash-replayed batch lands on the same
+    path, so the index is idempotent, the streaming band index's
+    discipline). The index grows by O(groups × 256) rows per batch and
+    NEVER revisits data; estimates read it back and max-merge."""
+    regs = hll_registers(batch, group_cols, value_col)
+    regs.write.mode("overwrite").parquet(f"{index_dir}/batch_id={int(batch_id)}")
+
+
+def hll_estimate_from_index(
+    spark, index_dir: str, group_cols: list[str], round_to: int = 4
+) -> DataFrame:
+    """Distinct-count estimates from a ``hll_index_batch`` register
+    index: partition-discover the batch layers, max-merge, estimate —
+    identical to a whole-corpus ``hll_distinct`` by the merge-by-max
+    property (pytest-pinned), at the cost of reading registers only."""
+    regs = spark.read.parquet(index_dir).drop("batch_id")
+    return hll_estimate_from_registers(regs, group_cols, round_to)
