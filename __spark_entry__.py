@@ -848,6 +848,21 @@ def q_hll_distinct_users(spark, sf_dir):
     return sketches.hll_distinct(e, ["event_type"], "user_id").orderBy("event_type")
 
 
+def q_hll_rollup_users(spark, sf_dir):
+    """THE point of a mergeable sketch: the grand-total distinct-user
+    estimate is computed from the per-type REGISTERS (max-merged across
+    types), never by rescanning the events — per-type rows plus an
+    'ALL' row from one register frame. Oracle: the same max-merge
+    rollup replayed relationally."""
+    e = _t(spark, sf_dir, "events")
+    regs = sketches.hll_registers(e, ["event_type"], "user_id")
+    per_type = sketches.hll_estimate_from_registers(regs, ["event_type"])
+    grand = sketches.hll_estimate_from_registers(
+        regs.select(F.lit("ALL").alias("event_type"), "bucket", "m"), ["event_type"]
+    )
+    return per_type.unionByName(grand).orderBy("event_type")
+
+
 def q_kmv_distinct_users(spark, sf_dir):
     """K-minimum-values distinct estimate per event type (k=64) — the
     mergeable union-top-k sketch; exact integers until one division.
@@ -856,6 +871,21 @@ def q_kmv_distinct_users(spark, sf_dir):
     return sketches.kmv_distinct(e, ["event_type"], "user_id", k=64).orderBy(
         "event_type"
     )
+
+
+def q_binned_price_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles (p50/p90/p99 of order totals per
+    priority): two partial-agg passes and O(groups × 256) counter
+    cells instead of the exact quantile's per-group sort — the
+    bounded-state percentile at 10^12 rows. Deterministic equi-width
+    arithmetic, so the oracle replays bins, ranks, and the
+    within-bin interpolation exactly (contrast: order_percentiles is
+    the exact/continuous version of this report)."""
+    o = _t(spark, sf_dir, "orders")
+    out = sketches.binned_quantiles(
+        o, ["o_orderpriority"], "o_totalprice", [0.5, 0.9, 0.99]
+    )
+    return out.orderBy("o_orderpriority", "q")
 
 
 def q_cms_token_counts(spark, sf_dir):
@@ -3547,8 +3577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "funnel_events": q_funnel_events,
         "hll_distinct_users": q_hll_distinct_users,
+        "hll_rollup_users": q_hll_rollup_users,
         "kmv_distinct_users": q_kmv_distinct_users,
         "cms_token_counts": q_cms_token_counts,
+        "binned_price_quantiles": q_binned_price_quantiles,
         "bpe_merges_docs": q_bpe_merges_docs,
         "canonical_url_docs": q_canonical_url_docs,
         "url_dedup_docs": q_url_dedup_docs,
@@ -4126,6 +4158,39 @@ def oracle_sql() -> dict[str, str]:
                               THEN 256.0 * ln(256.0 / zeros)
                               ELSE {_HLL_NUM!r} / total END, 4) AS est
             FROM est ORDER BY event_type""",
+        # sketch rollup: the ALL row re-derives from the per-type
+        # registers by bucket-wise max — never from the data
+        "hll_rollup_users": f"""
+            WITH v AS (SELECT event_type,
+                              md5(CAST(user_id AS VARCHAR)) AS h FROM events
+                       WHERE user_id IS NOT NULL),
+            r AS (SELECT event_type,
+                         CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS bucket,
+                         CAST(concat('0x', substr(h, 3, 13)) AS BIGINT) AS w
+                  FROM v),
+            regs AS (SELECT event_type, bucket,
+                            max(CASE WHEN w = 0 THEN 53
+                                     ELSE 53 - length(bin(w)) END) AS m
+                     FROM r GROUP BY event_type, bucket),
+            merged AS (SELECT event_type, bucket, m FROM regs
+                     UNION ALL
+                     SELECT 'ALL' AS event_type, bucket, max(m) AS m
+                     FROM regs GROUP BY bucket),
+            agg AS (SELECT event_type,
+                           sum(CAST(pow(2, 53 - m) AS BIGINT)) AS s_present,
+                           count(*) AS n_present
+                    FROM merged GROUP BY event_type),
+            est AS (SELECT event_type,
+                           256 - n_present AS zeros,
+                           CAST(s_present
+                                + (256 - n_present)
+                                  * CAST(pow(2, 53) AS BIGINT) AS DOUBLE) AS total
+                    FROM agg)
+            SELECT event_type,
+                   round(CASE WHEN {_HLL_NUM!r} / total <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / zeros)
+                              ELSE {_HLL_NUM!r} / total END, 4) AS est
+            FROM est ORDER BY event_type""",
         "kmv_distinct_users": """
             WITH v AS (SELECT DISTINCT event_type,
                               CAST(concat('0x',
@@ -4142,6 +4207,39 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 63.0 / (CAST(h_k AS DOUBLE)
                                            / 1152921504606846976.0) END, 4) AS est
             FROM a ORDER BY event_type""",
+        # histogram quantiles: bins, ranks, and the within-bin
+        # interpolation replayed with identical IEEE arithmetic
+        "binned_price_quantiles": """
+            WITH src AS (SELECT o_orderpriority AS grp,
+                                CAST(o_totalprice AS DOUBLE) AS v
+                         FROM orders WHERE o_totalprice IS NOT NULL),
+            rng AS (SELECT grp, min(v) AS lo, max(v) AS hi,
+                           count(*) AS n FROM src GROUP BY grp),
+            b AS (SELECT s.grp,
+                         CAST(CASE WHEN r.hi = r.lo THEN 0
+                              ELSE least(floor((s.v - r.lo)
+                                               / ((r.hi - r.lo) / 256.0)), 255)
+                              END AS INT) AS bin
+                  FROM src s JOIN rng r USING (grp)),
+            cnts AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin),
+            cum AS (SELECT grp, bin, cnt,
+                           sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum
+                    FROM cnts),
+            qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+            ranks AS (SELECT r.grp, q.q,
+                             CAST(ceil(q.q * r.n) AS BIGINT) AS rnk, r.lo, r.hi
+                      FROM rng r, qs q),
+            cov AS (SELECT k.grp, k.q, k.lo, k.hi, k.rnk, c.bin, c.cnt, c.cum
+                    FROM ranks k JOIN cum c
+                      ON c.grp = k.grp AND c.cum >= k.rnk
+                         AND c.cum - c.cnt < k.rnk)
+            SELECT grp AS o_orderpriority, q,
+                   round(CASE WHEN hi = lo THEN lo
+                         ELSE lo + ((hi - lo) / 256.0)
+                              * (CAST(bin AS DOUBLE)
+                                 + CAST(rnk - (cum - cnt) AS DOUBLE)
+                                   / CAST(cnt AS DOUBLE)) END, 4) AS est
+            FROM cov ORDER BY o_orderpriority, q""",
         # count-min: cells and probes share the seeded md5 buckets —
         # pure integer arithmetic, exact match
         "cms_token_counts": r"""

@@ -123,3 +123,38 @@ def test_hll_incremental_index_equals_whole_corpus_and_replay_is_idempotent(spar
     sketches.hll_index_batch(df.filter("i < 1500"), 0, idx, ["seg"], "user")
     again = sorted(map(tuple, sketches.hll_estimate_from_index(spark, idx, ["seg"]).collect()))
     assert again == whole
+
+
+def test_binned_quantiles_within_one_bin_width_of_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(100, 15, size=5000)
+    df = spark.createDataFrame([(float(v), "g") for v in vals], "x double, g string")
+    est = {r.q: r.est for r in sketches.binned_quantiles(df, ["g"], "x", [0.5, 0.9, 0.99]).collect()}
+    width = (vals.max() - vals.min()) / 256
+    for q in (0.5, 0.9, 0.99):
+        assert abs(est[q] - float(np.quantile(vals, q))) <= width + 1e-9
+
+
+def test_binned_quantiles_constant_group_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(7.0, "c")] * 9, "x double, g string")
+    out = {r.q: r.est for r in sketches.binned_quantiles(df, ["g"], "x", [0.5, 0.99]).collect()}
+    assert out == {0.5: 7.0, 0.99: 7.0}
+    with pytest.raises(ValueError):
+        sketches.binned_quantiles(df, ["g"], "x", [])
+    with pytest.raises(ValueError):
+        sketches.binned_quantiles(df, ["g"], "x", [1.5])
+
+
+def test_binned_quantiles_layout_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [(float(v), f"g{i % 3}") for i, v in enumerate(rng.uniform(0, 50, 900))]
+    df = spark.createDataFrame(rows, "x double, g string")
+    a = sorted(map(tuple, sketches.binned_quantiles(df, ["g"], "x", [0.5, 0.9]).collect()))
+    b = sorted(map(tuple, sketches.binned_quantiles(df.repartition(17), ["g"], "x", [0.5, 0.9]).collect()))
+    assert a == b

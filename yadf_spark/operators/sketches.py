@@ -279,3 +279,83 @@ def hll_estimate_from_index(
     property (pytest-pinned), at the cost of reading registers only."""
     regs = spark.read.parquet(index_dir).drop("batch_id")
     return hll_estimate_from_registers(regs, group_cols, round_to)
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    n_bins: int = 256,
+    round_to: int = 4,
+) -> DataFrame:
+    """Histogram-sketch quantiles per group —
+    ``(*group_cols, q, est)``: an equi-width ``n_bins`` histogram over
+    the group's [min, max] range, quantile ``q`` read off the covering
+    bin with uniform-within-bin interpolation at rank ``ceil(q·n)``.
+
+    The bounded-state quantile at 10^12 rows: two partial-agg passes
+    (min/max, then bin counts — each a narrow ~16 B/row shuffle of
+    O(groups × n_bins) aggregated cells) instead of the exact
+    quantile's per-group sort. Error is bounded by one bin width of
+    the VALUE range per group. Deterministic arithmetic end to end
+    (no sampling, no engine-specific sketch), so a relational oracle
+    replays bins, ranks, and interpolation exactly. NULL values are
+    ignored; a constant group (min == max) reports that constant at
+    every q. Bin-count cells merge by sum (given shared min/max), the
+    same rollup discipline as the other sketches."""
+    if not qs:
+        raise ValueError("binned_quantiles needs at least one q")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    v = F.col(value_col).cast("double")
+    src = df.filter(v.isNotNull()).select(*group_cols, v.alias("_v"))
+    rng = src.groupBy(*group_cols).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi"), F.count("*").alias("_n")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    binned = (
+        src.join(F.broadcast(rng), group_cols)
+        .withColumn(
+            "_bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col("_v") - F.col("_lo")) / width),
+                    F.lit(n_bins - 1),
+                )
+            ).cast("int"),
+        )
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_bin")
+    cum = binned.withColumn("_cum", F.sum("_cnt").over(w))
+    quantiles = None
+    for q in qs:
+        part = rng.select(
+            *group_cols, F.lit(float(q)).alias("q"),
+            F.ceil(F.lit(float(q)) * F.col("_n")).cast("long").alias("_rank"),
+            "_lo", "_hi",
+        )
+        quantiles = part if quantiles is None else quantiles.unionByName(part)
+    width_q = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    est = F.when(F.col("_hi") == F.col("_lo"), F.col("_lo")).otherwise(
+        F.col("_lo")
+        + width_q
+        * (
+            F.col("_bin").cast("double")
+            + (F.col("_rank") - (F.col("_cum") - F.col("_cnt"))).cast("double")
+            / F.col("_cnt").cast("double")
+        )
+    )
+    covering = (
+        F.broadcast(quantiles)
+        .join(cum, group_cols)
+        .filter(
+            (F.col("_cum") >= F.col("_rank"))
+            & ((F.col("_cum") - F.col("_cnt")) < F.col("_rank"))
+        )
+    )
+    return covering.select(
+        *group_cols, "q", F.round(est, round_to).alias("est")
+    )
