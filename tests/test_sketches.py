@@ -158,3 +158,15 @@ def test_binned_quantiles_layout_invariant(spark):
     a = sorted(map(tuple, sketches.binned_quantiles(df, ["g"], "x", [0.5, 0.9]).collect()))
     b = sorted(map(tuple, sketches.binned_quantiles(df.repartition(17), ["g"], "x", [0.5, 0.9]).collect()))
     assert a == b
+
+
+def test_binned_quantiles_broadcasts_stats_never_sorts_the_group(spark):
+    """The per-group range/rank frames must broadcast into the scans —
+    a SortMergeJoin would shuffle the corpus for 5-row statistics."""
+    df = spark.createDataFrame([(float(i), f"g{i % 3}") for i in range(300)], "x double, g string")
+    plan = (
+        sketches.binned_quantiles(df, ["g"], "x", [0.5])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
