@@ -3526,7 +3526,114 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION PLAN (the driver's correctness sweep checks the FIRST 50
+    # entries only; 143 exist, so coverage rotates round-by-round):
+    #   - Rounds 1-3 gave green driver rows to 66 queries; 77 had never
+    #     been driver-checked entering round 4.
+    #   - Round 4 window (entries 1-50 below): exclusively never-checked
+    #     queries, led by the 7 round-2 failures (ann_topk_srp,
+    #     ivf_near_dup, images_exact_dedup, images_near_dup_clusters,
+    #     images_metadata, images_resize, images_embedding_ann), then
+    #     PQ/IVF-PQ/ANN, the image pipeline, audio/video, temporal,
+    #     sketches, kmeans/cluster-prune, winnow, and the clustering
+    #     block.
+    #   - Round 5: promote entries 51-77 (the remaining 27 never-checked
+    #     queries — curation/mix/dsir/vocab/tfidf/denylist/fuzzy-decontam
+    #     and the TPC-H-ish analytics) into the window; after that every
+    #     query has at least one green driver row and the window can
+    #     rotate freely over the whole contract.
+    #   - The 66 previously-green queries sit at the back in their
+    #     original relative order.
     return {
+        # -- round-4 window: the 7 round-2 failures first ------------------
+        "ann_topk_srp": q_ann_topk_srp,
+        "ivf_near_dup": q_ivf_near_dup,
+        "images_exact_dedup": q_images_exact_dedup,
+        "images_near_dup_clusters": q_images_near_dup_clusters,
+        "images_metadata": q_images_metadata,
+        "images_resize": q_images_resize,
+        "images_embedding_ann": q_images_embedding_ann,
+        # -- PQ / IVF-PQ / remaining ANN ----------------------------------
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "ann_recall_report": q_ann_recall_report,
+        "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
+        "embedding_ingest_gate": q_embedding_ingest_gate,
+        # -- image pipeline, never driver-checked -------------------------
+        "images_aspect_buckets": q_images_aspect_buckets,
+        "images_format_audit": q_images_format_audit,
+        "images_quality_filter": q_images_quality_filter,
+        "images_representatives": q_images_representatives,
+        "images_ingest_gate": q_images_ingest_gate,
+        "images_dedup_savings": q_images_dedup_savings,
+        "export_shard_stats": q_export_shard_stats,
+        "images_flip_near_dup": q_images_flip_near_dup,
+        "crop_tile_phashes": q_crop_tile_phashes,
+        "crop_near_dup_pairs": q_crop_near_dup_pairs,
+        "caption_alignment": q_caption_alignment,
+        "phash_band_stats": q_phash_band_stats,
+        # -- audio / video ------------------------------------------------
+        "video_frame_sample": q_video_frame_sample,
+        "video_near_dup": q_video_near_dup,
+        "audio_features": q_audio_features,
+        "audio_segments": q_audio_segments,
+        "audio_near_dup": q_audio_near_dup,
+        # -- temporal -----------------------------------------------------
+        "asof_clicks_last_error": q_asof_clicks_last_error,
+        "sessionized_events": q_sessionized_events,
+        "clicks_within_error_window": q_clicks_within_error_window,
+        # -- sketches -----------------------------------------------------
+        "hll_rollup_users": q_hll_rollup_users,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "cms_token_counts": q_cms_token_counts,
+        "binned_price_quantiles": q_binned_price_quantiles,
+        # -- kmeans / cluster-prune ---------------------------------------
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_clusters": q_kmeans_clusters,
+        "cluster_prune_keep": q_cluster_prune_keep,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        # -- winnowing ----------------------------------------------------
+        "winnow_clusters_docs": q_winnow_clusters_docs,
+        # -- clustering block ---------------------------------------------
+        "cc_components": q_cc_components,
+        "near_dup_clusters_docs": q_near_dup_clusters_docs,
+        "near_dup_representatives": q_near_dup_representatives,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
+        "cluster_safe_split_docs": q_cluster_safe_split_docs,
+        "incremental_clusters_docs": q_incremental_clusters_docs,
+        "ensemble_near_dup": q_ensemble_near_dup,
+        "split_leakage_report": q_split_leakage_report,
+        # -- end of round-4 window (50 entries above) ---------------------
+        # -- round-5 window candidates: still never driver-checked --------
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "bpe_merges_docs": q_bpe_merges_docs,
+        "canonical_url_docs": q_canonical_url_docs,
+        "url_dedup_docs": q_url_dedup_docs,
+        "c4_clean_docs": q_c4_clean_docs,
+        "curation_pipeline_docs": q_curation_pipeline_docs,
+        "repeated_spans_docs": q_repeated_spans_docs,
+        "strip_spans_docs": q_strip_spans_docs,
+        "shuffle_shards_docs": q_shuffle_shards_docs,
+        "quantile_filter_docs": q_quantile_filter_docs,
+        "source_overlap": q_source_overlap,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
+        "vocab_top_tokens": q_vocab_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "lm_score_docs": q_lm_score_docs,
+        "mix_weights_sources": q_mix_weights_sources,
+        "mix_sampled_docs": q_mix_sampled_docs,
+        "denylist_hits_docs": q_denylist_hits_docs,
+        "denylist_clean_docs": q_denylist_clean_docs,
+        "fuzzy_decontaminate_docs": q_fuzzy_decontaminate_docs,
+        "classifier_score_docs": q_classifier_score_docs,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "dsir_resample_docs": q_dsir_resample_docs,
+        "json_props_stats": q_json_props_stats,
+        "label_centroids": q_label_centroids,
+        "embedding_outliers": q_embedding_outliers,
+        # -- previously driver-green (rounds 1-3), original order ---------
         "size_groups": q_size_groups,
         "rfactor_under": q_rfactor_under,
         "rfactor_equal": q_rfactor_equal,
@@ -3577,40 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "funnel_events": q_funnel_events,
         "hll_distinct_users": q_hll_distinct_users,
-        "hll_rollup_users": q_hll_rollup_users,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "cms_token_counts": q_cms_token_counts,
-        "binned_price_quantiles": q_binned_price_quantiles,
-        "bpe_merges_docs": q_bpe_merges_docs,
-        "canonical_url_docs": q_canonical_url_docs,
-        "url_dedup_docs": q_url_dedup_docs,
-        "c4_clean_docs": q_c4_clean_docs,
-        "curation_pipeline_docs": q_curation_pipeline_docs,
-        "repeated_spans_docs": q_repeated_spans_docs,
-        "strip_spans_docs": q_strip_spans_docs,
-        "shuffle_shards_docs": q_shuffle_shards_docs,
-        "quantile_filter_docs": q_quantile_filter_docs,
-        "source_overlap": q_source_overlap,
-        "snapshot_diff_docs": q_snapshot_diff_docs,
-        "incremental_dedup_docs": q_incremental_dedup_docs,
-        "vocab_top_tokens": q_vocab_top_tokens,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "lm_score_docs": q_lm_score_docs,
-        "mix_weights_sources": q_mix_weights_sources,
-        "mix_sampled_docs": q_mix_sampled_docs,
-        "denylist_hits_docs": q_denylist_hits_docs,
-        "denylist_clean_docs": q_denylist_clean_docs,
-        "kmeans_assign": q_kmeans_assign,
-        "kmeans_clusters": q_kmeans_clusters,
-        "cluster_prune_keep": q_cluster_prune_keep,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "fuzzy_decontaminate_docs": q_fuzzy_decontaminate_docs,
-        "classifier_score_docs": q_classifier_score_docs,
-        "dsir_weights_docs": q_dsir_weights_docs,
-        "dsir_resample_docs": q_dsir_resample_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
-        "winnow_clusters_docs": q_winnow_clusters_docs,
         "join_agg": q_join_agg,
         "lineitem_agg": q_lineitem_agg,
         "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -3622,58 +3697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_percentiles": q_order_percentiles,
         "monthly_orders": q_monthly_orders,
         "distinct_users": q_distinct_users,
-        "json_props_stats": q_json_props_stats,
-        "label_centroids": q_label_centroids,
-        "embedding_outliers": q_embedding_outliers,
         "source_name_pairs": q_source_name_pairs,
         "source_stats": q_source_stats,
-        "cc_components": q_cc_components,
-        "near_dup_clusters_docs": q_near_dup_clusters_docs,
-        "near_dup_representatives": q_near_dup_representatives,
-        "dedup_rate_by_source": q_dedup_rate_by_source,
-        "cluster_safe_split_docs": q_cluster_safe_split_docs,
-        "incremental_clusters_docs": q_incremental_clusters_docs,
-        "ensemble_near_dup": q_ensemble_near_dup,
-        "split_leakage_report": q_split_leakage_report,
-        "cluster_size_histogram": q_cluster_size_histogram,
-        "phash_band_stats": q_phash_band_stats,
         "simhash_docs": q_simhash_docs,
-        # video_frame_sample got NO driver verdict in round 2 as the
-        # 51st of 51 entries (the sweep apparently never reached it) —
-        # the cheap fixture queries now run BEFORE the expensive ones,
-        # and the full image pipeline goes last.
-        "video_frame_sample": q_video_frame_sample,
-        "video_near_dup": q_video_near_dup,
-        "audio_features": q_audio_features,
-        "audio_segments": q_audio_segments,
-        "audio_near_dup": q_audio_near_dup,
-        "caption_alignment": q_caption_alignment,
-        "crop_tile_phashes": q_crop_tile_phashes,
-        "crop_near_dup_pairs": q_crop_near_dup_pairs,
-        "asof_clicks_last_error": q_asof_clicks_last_error,
-        "sessionized_events": q_sessionized_events,
-        "clicks_within_error_window": q_clicks_within_error_window,
-        "images_metadata": q_images_metadata,
-        "images_aspect_buckets": q_images_aspect_buckets,
-        "images_format_audit": q_images_format_audit,
-        "images_quality_filter": q_images_quality_filter,
-        "images_resize": q_images_resize,
-        "images_exact_dedup": q_images_exact_dedup,
-        "images_embedding_ann": q_images_embedding_ann,
-        "ann_topk_srp": q_ann_topk_srp,
-        "ann_recall_report": q_ann_recall_report,
-        "ann_topk_srp_multiprobe": q_ann_topk_srp_multiprobe,
-        "ivf_near_dup": q_ivf_near_dup,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "embedding_ingest_gate": q_embedding_ingest_gate,
-        "pq_codes": q_pq_codes,
-        "pq_topk": q_pq_topk,
-        "images_near_dup_clusters": q_images_near_dup_clusters,
-        "images_representatives": q_images_representatives,
-        "images_ingest_gate": q_images_ingest_gate,
-        "images_dedup_savings": q_images_dedup_savings,
-        "export_shard_stats": q_export_shard_stats,
-        "images_flip_near_dup": q_images_flip_near_dup,
     }
 
 
@@ -4204,7 +4230,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM r WHERE rn <= 64 GROUP BY event_type)
             SELECT event_type,
                    round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-                              ELSE 63.0 / (CAST(h_k AS DOUBLE)
+                              ELSE 63.0 / (CAST(greatest(h_k, 1) AS DOUBLE)
                                            / 1152921504606846976.0) END, 4) AS est
             FROM a ORDER BY event_type""",
         # histogram quantiles: bins, ranks, and the within-bin
@@ -4215,12 +4241,13 @@ def oracle_sql() -> dict[str, str]:
                          FROM orders WHERE o_totalprice IS NOT NULL),
             rng AS (SELECT grp, min(v) AS lo, max(v) AS hi,
                            count(*) AS n FROM src GROUP BY grp),
-            b AS (SELECT s.grp,
+            b AS (SELECT s.grp AS grp,
                          CAST(CASE WHEN r.hi = r.lo THEN 0
                               ELSE least(floor((s.v - r.lo)
                                                / ((r.hi - r.lo) / 256.0)), 255)
                               END AS INT) AS bin
-                  FROM src s JOIN rng r USING (grp)),
+                  FROM src s JOIN rng r
+                    ON s.grp IS NOT DISTINCT FROM r.grp),
             cnts AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY grp, bin),
             cum AS (SELECT grp, bin, cnt,
                            sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum
@@ -4231,7 +4258,8 @@ def oracle_sql() -> dict[str, str]:
                       FROM rng r, qs q),
             cov AS (SELECT k.grp, k.q, k.lo, k.hi, k.rnk, c.bin, c.cnt, c.cum
                     FROM ranks k JOIN cum c
-                      ON c.grp = k.grp AND c.cum >= k.rnk
+                      ON c.grp IS NOT DISTINCT FROM k.grp
+                         AND c.cum >= k.rnk
                          AND c.cum - c.cnt < k.rnk)
             SELECT grp AS o_orderpriority, q,
                    round(CASE WHEN hi = lo THEN lo
@@ -4262,8 +4290,8 @@ def oracle_sql() -> dict[str, str]:
                                 substr(md5(CAST(s.seed AS VARCHAR) || ':' || p.token),
                                        1, 6)) AS BIGINT) % 256 AS bucket
                        FROM top p, seeds s),
-            est AS (SELECT p.token, min(c.cnt) AS est_cnt
-                    FROM probes p JOIN cells c USING (seed, bucket)
+            est AS (SELECT p.token, min(coalesce(c.cnt, 0)) AS est_cnt
+                    FROM probes p LEFT JOIN cells c USING (seed, bucket)
                     GROUP BY p.token)
             SELECT t.token, t.exact_cnt, e.est_cnt
             FROM top t JOIN est e USING (token) ORDER BY token""",

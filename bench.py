@@ -239,10 +239,12 @@ def run_image_pipeline(
         t_spent += dt
     # dup-pair recall vs the fixture's planted truth — the north rule's
     # primary gate (>= 0.99), computed on the final run's clusters
-    # (cheap: every stage is already checkpointed)
-    truth = img.truth_dup_pairs(n_images)
-    recall = pl.dup_pair_recall(out["clusters"], truth)
-    precision = pl.dup_pair_precision(out["clusters"], truth)
+    # (cheap: every stage is already checkpointed). Join-side against
+    # the O(n) truth-label frame, so the gate itself scales with the
+    # corpus (VERDICT r3 item 5) — no driver-side pair set or dict.
+    truth = img.truth_df(spark, n_images)
+    recall = pl.dup_pair_recall_distributed(out["clusters"], truth)
+    precision = pl.dup_pair_precision_distributed(out["clusters"], truth)
     # per-stage row counts from the final run's (materialized) lazy
     # checkpoints — the reference's scan-statistics surface; cheap now
     # that every stage's blocks exist
@@ -321,9 +323,9 @@ def run_recall_at(spark, n_images: int) -> tuple[float, float]:
     df = _images_cached(spark, n_images)
     ck = Checkpointer(spark=spark, workdir=None, eager=False)
     out = pl.near_dup_pipeline(df, checkpointer=ck)
-    truth = img.truth_dup_pairs(n_images)
-    recall = pl.dup_pair_recall(out["clusters"], truth)
-    precision = pl.dup_pair_precision(out["clusters"], truth)
+    truth = img.truth_df(spark, n_images)
+    recall = pl.dup_pair_recall_distributed(out["clusters"], truth)
+    precision = pl.dup_pair_precision_distributed(out["clusters"], truth)
     spark.catalog.clearCache()
     return recall, precision
 

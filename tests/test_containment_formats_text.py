@@ -139,6 +139,58 @@ def test_end_to_end_fdupes_from_ladder(spark):
     assert formats.render(groups, "fdupes") == "bar\nfoo"
 
 
+def test_render_refuses_huge_collect(spark):
+    """The driver-side render is bounded: above max_groups it must
+    refuse with a pointer at the distributed writer, for every format
+    (VERDICT r3 item 3 — the EXACT_MAX_ROWS discipline on the sink)."""
+    import pytest
+
+    groups = spark.createDataFrame(
+        [(str(i), [f"p{i}a", f"p{i}b"], 2) for i in range(8)],
+        "group_key string, members array<string>, n long",
+    )
+    for fmt in formats.FORMATS:
+        with pytest.raises(ValueError, match="write it distributed"):
+            formats.render(groups, fmt, max_groups=5)
+        # under the bound the same frame renders fine (csv adds a
+        # header line, hence 9)
+        assert formats.render(groups, fmt, max_groups=9)
+
+
+def test_write_lines_shards_above_threshold(spark, tmp_path):
+    """Planted large output routes around coalesce(1): more than one
+    part file, and concatenating part files in name order reproduces
+    the single-file stream (the renderers' range exchange keeps global
+    order across shards)."""
+    groups = spark.createDataFrame(
+        [(f"k{i:04d}", [f"path{i:04d}"], 1) for i in range(200)],
+        "group_key string, members array<string>, n long",
+    ).repartition(8)
+    lines = formats.ldjson_lines(groups)
+
+    single = tmp_path / "single"
+    assert formats.write_lines(lines, str(single)) == "single"
+    single_parts = sorted(p.name for p in single.iterdir() if p.name.startswith("part-"))
+    assert len(single_parts) == 1
+
+    # AQE would (correctly) fuse this tiny range exchange back into one
+    # partition; disable its coalescing so the sharded layout is
+    # observable at test scale
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        sharded = tmp_path / "sharded"
+        assert formats.write_lines(lines, str(sharded), single_max=50) == "sharded"
+        parts = sorted(p for p in sharded.iterdir() if p.name.startswith("part-"))
+        assert len(parts) > 1
+        concat = [ln for p in parts for ln in p.read_text().splitlines()]
+        want = (single / single_parts[0]).read_text().splitlines()
+        assert concat == want
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+
 def test_write_cluster_assignments(spark, tmp_path):
     clusters = spark.createDataFrame(
         [("a", "a"), ("b", "a"), ("c", "c")], "image_id string, cluster_id string"

@@ -220,6 +220,36 @@ def test_dup_pair_recall_missing_ids_do_not_match(spark):
     assert pipeline.dup_pair_recall(half, truth) == 0.5
 
 
+def test_distributed_metrics_match_driver_reference(result, spark):
+    """The join-side recall/precision (the scalable bench gate, VERDICT
+    r3 item 5) must reproduce the driver dict/union-find reference
+    implementations exactly — on the planted corpus, on an over-merged
+    assignment, and on a half-assigned one."""
+    truth_pairs = images.truth_dup_pairs(N)
+    truth = images.truth_df(spark, N)
+    clusters = result["clusters"]
+    assert pipeline.dup_pair_recall_distributed(clusters, truth) == pipeline.dup_pair_recall(clusters, truth_pairs)
+    assert pipeline.dup_pair_precision_distributed(clusters, truth) == pipeline.dup_pair_precision(clusters, truth_pairs)
+
+    one_cluster = spark.createDataFrame(
+        [(f"img-{i:09d}", "all") for i in range(N)], "image_id string, cluster_id string"
+    )
+    assert pipeline.dup_pair_precision_distributed(one_cluster, truth) == pipeline.dup_pair_precision(one_cluster, truth_pairs)
+    assert pipeline.dup_pair_recall_distributed(one_cluster, truth) == pipeline.dup_pair_recall(one_cluster, truth_pairs) == 1.0
+
+    # missing ids are misses in both implementations
+    lbl = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t2"), ("d", "t2")],
+        "image_id string, true_cluster string",
+    )
+    empty = spark.createDataFrame([], "image_id string, cluster_id string")
+    assert pipeline.dup_pair_recall_distributed(empty, lbl) == 0.0
+    half = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "image_id string, cluster_id string"
+    )
+    assert pipeline.dup_pair_recall_distributed(half, lbl) == 0.5
+
+
 def test_flip_invariant_pipeline_clusters_mirrored_repost(spark):
     """A mirrored re-encode sharing its caption: default config rejects
     it at verification (plain PSNR sees scrambled pixels), while

@@ -92,6 +92,34 @@ def test_sketches_ignore_null_values_and_keep_null_groups(spark):
     assert set(hll) == {"a", None}
 
 
+def test_binned_quantiles_keeps_null_group_keys(spark):
+    """A NULL group KEY is a group here too (ADVICE r3: the internal
+    range/rank joins were equality joins, silently dropping NULL-keyed
+    groups while the sibling sketches preserved them)."""
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        (None, float(i)) for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = sketches.binned_quantiles(df, ["g"], "x", [0.5, 0.9])
+    got = {(r.g, r.q): r.est for r in out.collect()}
+    assert {k[0] for k in got} == {"a", None}
+    # the NULL-keyed group estimates exactly like its named twin
+    for q in (0.5, 0.9):
+        assert got[(None, q)] == got[("a", q)]
+
+
+def test_kmv_zero_hash_guard(spark):
+    """h_k == 0 must not divide by zero (greatest(h_k, 1) guard) — the
+    estimate stays finite even in the 2^-60 all-zero-prefix case."""
+    import math
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "a") for i in range(40)], "user string, seg string"
+    )
+    est = [r.est for r in sketches.kmv_distinct(df, ["seg"], "user", k=16).collect()]
+    assert all(math.isfinite(e) for e in est)
+
+
 def test_cms_absent_probe_estimates_from_empty_cells(spark):
     """A token whose cells were never touched must estimate 0 (and
     must not vanish from the output)."""

@@ -176,6 +176,30 @@ def truth_pdf(n: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def truth_df(spark, n: int, partitions: int | None = None):
+    """Distributed ground-truth labels ``(image_id, true_cluster)`` —
+    the O(n) transitive-closure encoding of :func:`truth_dup_pairs`
+    (two ids are a truth pair iff they share ``true_cluster``),
+    generated the ``images_df`` way so the recall/precision gates can
+    run join-side without ever materializing a driver-side pair set."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield pd.DataFrame(
+                    {
+                        "image_id": [f"img-{int(i):09d}" for i in ids],
+                        "true_cluster": [plan_row(int(i)).cluster for i in ids],
+                    }
+                )
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema="image_id string, true_cluster string"
+    )
+
+
 def truth_dup_pairs(n: int) -> set[tuple[str, str]]:
     """All ground-truth duplicate pairs (canonical order) — the
     denominator of the dup-pair recall >= 0.99 gate."""

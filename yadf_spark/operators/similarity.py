@@ -1031,6 +1031,14 @@ def pq_encode(
 #: path instead.
 PQ_MAX_QUERIES = 10_000
 
+#: Row bound per yielded score frame in ``pq_topk``'s kernel. The score
+#: is a queries × batch-rows cross product; without a cap the worst case
+#: is PQ_MAX_QUERIES × arrow-batch-rows ≈ 10^8 rows (~2.4 GB) in ONE
+#: pandas frame — an executor OOM far below the advertised query bound.
+#: Chunking the query axis keeps every materialized frame ≤ this many
+#: rows (~48 MB at 24 B/row) regardless of query count or batch size.
+PQ_SCORE_YIELD_ROWS = 2_000_000
+
 
 def _collect_queries(queries, id_col: str, emb_col: str, caller: str):
     """Driver-side query collection shared by the ADC paths, bounded by
@@ -1085,16 +1093,22 @@ def pq_topk(
             if not len(b):
                 continue
             cmat = np.vstack(b["code"].to_numpy())
-            # lut[q, s, code[r, s]] summed over s → (n_q, rows)
-            d = np.round(lut[:, sub, cmat].sum(axis=2), round_to)
             n_rows = len(b)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, n_rows),
-                    "neighbor_id": np.tile(b["id"].to_numpy(), len(qids)),
-                    "adist": d.reshape(-1),
-                }
-            )
+            ids = b["id"].to_numpy()
+            # chunk the query axis so each yielded cross-product frame
+            # stays ≤ PQ_SCORE_YIELD_ROWS rows (see constant above)
+            q_step = max(1, PQ_SCORE_YIELD_ROWS // n_rows)
+            for q0 in range(0, len(qids), q_step):
+                qs = qids[q0 : q0 + q_step]
+                # lut[q, s, code[r, s]] summed over s → (len(qs), rows)
+                d = np.round(lut[q0 : q0 + q_step, sub, cmat].sum(axis=2), round_to)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qs, n_rows),
+                        "neighbor_id": np.tile(ids, len(qs)),
+                        "adist": d.reshape(-1),
+                    }
+                )
 
     scored = codes.mapInPandas(
         score, "query_id long, neighbor_id long, adist double"

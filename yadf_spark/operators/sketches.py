@@ -38,6 +38,7 @@ combine without revisiting data.
 
 from __future__ import annotations
 
+import functools
 import math
 
 from pyspark.sql import DataFrame, Window
@@ -173,8 +174,11 @@ def kmv_distinct(
         F.max("h").alias("h_k"), F.count("*").alias("n")
     )
     scale = float(1 << 60)
+    # greatest(h_k, 1): h_k == 0 (an all-zero md5 prefix, p = 2^-60) would
+    # otherwise divide by zero and report Infinity
     est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
-        F.lit(float(k - 1)) / (F.col("h_k").cast("double") / F.lit(scale))
+        F.lit(float(k - 1))
+        / (F.greatest(F.col("h_k"), F.lit(1)).cast("double") / F.lit(scale))
     )
     return agg.select(*group_cols, F.round(est, round_to).alias("est"))
 
@@ -301,9 +305,12 @@ def binned_quantiles(
     the VALUE range per group. Deterministic arithmetic end to end
     (no sampling, no engine-specific sketch), so a relational oracle
     replays bins, ranks, and interpolation exactly. NULL values are
-    ignored; a constant group (min == max) reports that constant at
-    every q. Bin-count cells merge by sum (given shared min/max), the
-    same rollup discipline as the other sketches."""
+    ignored, but a NULL group KEY is a group (GROUP BY semantics — the
+    sibling sketches preserve NULL keys, so the internal joins here
+    are null-safe to match); a constant group (min == max) reports
+    that constant at every q. Bin-count cells merge by sum (given
+    shared min/max), the same rollup discipline as the other
+    sketches."""
     if not qs:
         raise ValueError("binned_quantiles needs at least one q")
     if any(not 0.0 < q <= 1.0 for q in qs):
@@ -313,9 +320,16 @@ def binned_quantiles(
     rng = src.groupBy(*group_cols).agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi"), F.count("*").alias("_n")
     )
+    # null-safe join keys: NULL group keys must survive the round trip
+    # through the broadcast range/rank frames, not silently vanish
+    _on = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_g{i}")) for i, c in enumerate(group_cols)],
+    )
+    _gkeys = [F.col(c).alias(f"_g{i}") for i, c in enumerate(group_cols)]
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
     binned = (
-        src.join(F.broadcast(rng), group_cols)
+        src.join(F.broadcast(rng.select(*_gkeys, "_lo", "_hi")), _on)
         .withColumn(
             "_bin",
             F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
@@ -350,7 +364,7 @@ def binned_quantiles(
     )
     covering = (
         F.broadcast(quantiles)
-        .join(cum, group_cols)
+        .join(cum.select(*_gkeys, "_bin", "_cnt", "_cum"), _on)
         .filter(
             (F.col("_cum") >= F.col("_rank"))
             & ((F.col("_cum") - F.col("_cnt")) < F.col("_rank"))

@@ -93,24 +93,76 @@ def csv_lines(groups: DataFrame, header: bool = True) -> DataFrame:
     return head.unionByName(body)
 
 
-def render(groups: DataFrame, fmt: str) -> str:
-    """Driver-side full render (small outputs / golden tests)."""
+#: ``render()`` collects every group to the driver (CLI stdout parity).
+#: Above this many groups the collect itself is the scale bug — the
+#: EXACT_MAX_ROWS discipline (similarity.py) applied to the sink side.
+RENDER_MAX_GROUPS = 1_000_000
+
+
+def _collect_bounded(lines: DataFrame, max_groups: int) -> list:
+    rows = lines.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"render() collects the full output to the driver and this result "
+            f"exceeds {max_groups:,} rows — write it distributed instead "
+            "(--output-dir on the CLI / write_lines)"
+        )
+    return rows
+
+
+def render(groups: DataFrame, fmt: str, max_groups: int = RENDER_MAX_GROUPS) -> str:
+    """Driver-side full render (small outputs / golden tests). Refuses
+    results above ``max_groups`` rows — route large outputs through
+    ``write_lines`` (CLI: ``--output-dir``)."""
     if fmt == "fdupes":
-        return "\n\n".join(r["value"] for r in fdupes_lines(groups).collect())
+        return "\n\n".join(
+            r["value"] for r in _collect_bounded(fdupes_lines(groups), max_groups)
+        )
     if fmt == "machine":
-        return "\n".join(r["value"] for r in machine_lines(groups).collect())
+        return "\n".join(
+            r["value"] for r in _collect_bounded(machine_lines(groups), max_groups)
+        )
     if fmt in ("json", "json-pretty"):
-        data = [list(r["members"]) for r in _ordered(groups).collect()]
+        data = [
+            list(r["members"])
+            for r in _collect_bounded(_ordered(groups), max_groups)
+        ]
         return json.dumps(data, indent=2 if fmt == "json-pretty" else None)
     if fmt == "ld-json":
-        return "\n".join(r["value"] for r in ldjson_lines(groups).collect())
+        return "\n".join(
+            r["value"] for r in _collect_bounded(ldjson_lines(groups), max_groups)
+        )
     if fmt == "csv":
-        return "\n".join(r["value"] for r in csv_lines(groups).collect())
+        return "\n".join(
+            r["value"] for r in _collect_bounded(csv_lines(groups), max_groups)
+        )
     raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
 
 
-def write_lines(lines: DataFrame, path: str) -> None:
+#: Above this many lines ``write_lines`` stops funnelling through one
+#: writer task. ~1 GB of typical path listings per task is fine; a
+#: 10^9-group listing is not.
+WRITE_SINGLE_FILE_MAX = 10_000_000
+
+
+def write_lines(
+    lines: DataFrame, path: str, single_max: int = WRITE_SINGLE_FILE_MAX
+) -> str:
+    """Reference parity is ONE text stream (stdout, src/main.rs:27-43),
+    so outputs up to ``single_max`` lines coalesce to a single part
+    file. Above that, one writer task would serialize the whole output;
+    the sharded path writes with the upstream partitioning intact — the
+    renderers all end in ``orderBy(group_key)``, whose range exchange
+    leaves part files globally ordered, so concatenating them in
+    filename order reproduces the single-file byte stream (AQE sizes
+    the shards by bytes at runtime). Returns the routing taken,
+    ``"single"`` or ``"sharded"``."""
+    n = lines.limit(single_max + 1).count()
+    if n > single_max:
+        lines.write.mode("overwrite").text(path)
+        return "sharded"
     lines.coalesce(1).write.mode("overwrite").text(path)
+    return "single"
 
 
 def write_cluster_assignments(
