@@ -249,6 +249,33 @@ def test_distributed_metrics_match_driver_reference(result, spark):
     )
     assert pipeline.dup_pair_recall_distributed(half, lbl) == 0.5
 
+    # NULL cluster_id is a miss, exactly like the driver dict's
+    # `is not None` check — two NULL-assigned truth twins must not
+    # co-cluster via the NULL group
+    nullc = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "x"), ("d", "x")],
+        "image_id string, cluster_id string",
+    )
+    truth_pairs_small = {("a", "b"), ("c", "d")}
+    assert (
+        pipeline.dup_pair_recall_distributed(nullc, lbl)
+        == pipeline.dup_pair_recall(nullc, truth_pairs_small)
+        == 0.5
+    )
+
+    # precision: a truth cluster NAMED like a member id must not absorb
+    # an untruthed row with that id (tag-namespace separation)
+    lbl_idname = spark.createDataFrame(
+        [("x", "img-1"), ("y", "img-1")], "image_id string, true_cluster string"
+    )
+    cl = spark.createDataFrame(
+        [("x", "c1"), ("y", "c1"), ("img-1", "c1")],
+        "image_id string, cluster_id string",
+    )
+    got = pipeline.dup_pair_precision_distributed(cl, lbl_idname)
+    want = pipeline.dup_pair_precision(cl, {("x", "y")})
+    assert got == want == 1 / 3
+
 
 def test_flip_invariant_pipeline_clusters_mirrored_repost(spark):
     """A mirrored re-encode sharing its caption: default config rejects

@@ -109,15 +109,21 @@ def test_binned_quantiles_keeps_null_group_keys(spark):
 
 
 def test_kmv_zero_hash_guard(spark):
-    """h_k == 0 must not divide by zero (greatest(h_k, 1) guard) — the
-    estimate stays finite even in the 2^-60 all-zero-prefix case."""
+    """h_k == 0 must not divide by zero (greatest(h_k, 1) guard): inject
+    the 2^-60 all-zero-prefix state directly — unreachable through real
+    hashing, so the estimate expression is driven from a planted state
+    frame. Reverting the guard makes this row Infinity."""
     import math
 
-    df = spark.createDataFrame(
-        [(f"u{i}", "a") for i in range(40)], "user string, seg string"
+    state = spark.createDataFrame(
+        [("z", 0, 16), ("a", 1 << 59, 16), ("small", 7, 3)],
+        "seg string, h_k long, n long",
     )
-    est = [r.est for r in sketches.kmv_distinct(df, ["seg"], "user", k=16).collect()]
-    assert all(math.isfinite(e) for e in est)
+    out = {r.seg: r.est for r in sketches.kmv_estimate_from_state(state, ["seg"], k=16).collect()}
+    assert all(math.isfinite(v) for v in out.values()), out
+    assert out["z"] == round(15.0 / (1.0 / float(1 << 60)), 4)  # guard denominator
+    assert out["a"] == 30.0  # (k-1) / 0.5
+    assert out["small"] == 3.0  # below-k exact count
 
 
 def test_cms_absent_probe_estimates_from_empty_cells(spark):

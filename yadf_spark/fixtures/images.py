@@ -167,11 +167,14 @@ def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     return spark.range(0, n, 1, parts).mapInPandas(gen, schema=SCHEMA)
 
 
-def truth_pdf(n: int) -> pd.DataFrame:
+def truth_pdf(n: int, offset: int = 0) -> pd.DataFrame:
     """Ground-truth cluster assignment (the manifest's full
-    image_id -> cluster_id mapping, gen-corpus.py:102-119)."""
+    image_id -> cluster_id mapping, gen-corpus.py:102-119). ``offset``
+    is the images_pdf slicing contract, so the distributed ``truth_df``
+    reuses this one row construction."""
     rows = [
-        {"image_id": f"img-{i:09d}", "true_cluster": plan_row(i).cluster} for i in range(n)
+        {"image_id": f"img-{i:09d}", "true_cluster": plan_row(i).cluster}
+        for i in range(offset, offset + n)
     ]
     return pd.DataFrame(rows)
 
@@ -188,12 +191,7 @@ def truth_df(spark, n: int, partitions: int | None = None):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):
-                yield pd.DataFrame(
-                    {
-                        "image_id": [f"img-{int(i):09d}" for i in ids],
-                        "true_cluster": [plan_row(int(i)).cluster for i in ids],
-                    }
-                )
+                yield truth_pdf(len(ids), offset=int(ids[0]))
 
     return spark.range(0, n, 1, parts).mapInPandas(
         gen, schema="image_id string, true_cluster string"

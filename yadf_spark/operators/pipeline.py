@@ -439,11 +439,16 @@ def near_dup_pipeline(
 
 
 def _pairs_sum(counts: DataFrame, k_col: str) -> int:
-    """Σ C(k, 2) over a count frame — one scalar to the driver."""
-    row = counts.agg(
-        F.sum(F.col(k_col) * (F.col(k_col) - F.lit(1)) / F.lit(2)).alias("p")
-    ).collect()[0]
-    return int(row["p"] or 0)
+    """Σ C(k, 2) over a count frame — one scalar to the driver.
+
+    Summed as ``decimal(38,0)`` and halved in exact Python integer
+    arithmetic: ``k·(k-1)`` wraps a long at k ≈ 3.04e9 members and a
+    double division loses exactness above 2^53 pairs — both reachable
+    at the corpus sizes this gate exists for, and a silently perturbed
+    sum is precisely what a 0.99-threshold gate cannot absorb."""
+    k = F.col(k_col).cast("decimal(38,0)")
+    row = counts.agg(F.sum(k * (k - F.lit(1))).alias("p")).collect()[0]
+    return int(row["p"] or 0) // 2
 
 
 def dup_pair_recall_distributed(clusters: DataFrame, truth_labels: DataFrame) -> float:
@@ -455,8 +460,11 @@ def dup_pair_recall_distributed(clusters: DataFrame, truth_labels: DataFrame) ->
 
     Semantics match :func:`dup_pair_recall` exactly: the denominator is
     Σ C(k, 2) over truth clusters; a pair counts only when BOTH ids
-    appear in ``clusters`` with the same cluster_id (an id the pipeline
-    dropped can never match, so an empty assignment scores 0). Both
+    appear in ``clusters`` with the same NON-NULL cluster_id (an id the
+    pipeline dropped — or emitted with a NULL assignment — can never
+    match, so an empty assignment scores 0; the driver dict's
+    ``is not None`` check, mirrored). Assumes one row per image_id in
+    ``clusters``, like every assignment frame the pipeline emits. Both
     aggregates shuffle O(groups) narrow count rows; only two scalars
     reach the driver."""
     sizes = truth_labels.groupBy("true_cluster").agg(F.count("*").alias("k"))
@@ -464,7 +472,8 @@ def dup_pair_recall_distributed(clusters: DataFrame, truth_labels: DataFrame) ->
     if total == 0:
         return 1.0
     co = (
-        clusters.join(truth_labels, "image_id")
+        clusters.filter(F.col("cluster_id").isNotNull())
+        .join(truth_labels, "image_id")
         .groupBy("true_cluster", "cluster_id")
         .agg(F.count("*").alias("k"))
     )
@@ -477,24 +486,34 @@ def dup_pair_precision_distributed(
     """Join-side dup-pair precision against the truth's transitive
     closure (same label-frame contract as
     :func:`dup_pair_recall_distributed`; ids absent from
-    ``truth_labels`` are their own singleton component — label values
-    must therefore not collide with raw image ids). Emitted pairs are
-    Σ C(n, 2) per emitted cluster, correct pairs Σ C(k, 2) per
+    ``truth_labels`` are their own singleton component). Emitted pairs
+    are Σ C(n, 2) per emitted cluster, correct pairs Σ C(k, 2) per
     (cluster, truth-component) cell — the same arithmetic as
-    :func:`dup_pair_precision`'s driver union-find, computed with two
-    narrow count aggregations instead of a full collect."""
+    :func:`dup_pair_precision`'s driver union-find, derived from ONE
+    scan: the (cluster, comp) cell counts are aggregated once, then
+    both sums read that small frame (per-cluster n = Σ of its cells).
+    Truth labels and raw ids live in disjoint tag namespaces (``t:`` /
+    ``s:`` prefixes), so a truth cluster named after a member id can
+    never absorb an untruthed row with that id."""
     labeled = clusters.join(truth_labels, "image_id", "left").select(
         "cluster_id",
-        F.coalesce(F.col("true_cluster"), F.col("image_id")).alias("comp"),
+        F.coalesce(
+            F.concat(F.lit("t:"), F.col("true_cluster")),
+            F.concat(F.lit("s:"), F.col("image_id")),
+        ).alias("comp"),
     )
-    emitted = _pairs_sum(
-        labeled.groupBy("cluster_id").agg(F.count("*").alias("n")), "n"
+    cells = (
+        labeled.groupBy("cluster_id", "comp").agg(F.count("*").alias("k")).persist()
     )
-    if emitted == 0:
-        return 1.0
-    correct = _pairs_sum(
-        labeled.groupBy("cluster_id", "comp").agg(F.count("*").alias("k")), "k"
-    )
+    try:
+        emitted = _pairs_sum(
+            cells.groupBy("cluster_id").agg(F.sum("k").alias("n")), "n"
+        )
+        if emitted == 0:
+            return 1.0
+        correct = _pairs_sum(cells, "k")
+    finally:
+        cells.unpersist()
     return correct / emitted
 
 

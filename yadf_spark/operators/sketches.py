@@ -173,6 +173,16 @@ def kmv_distinct(
     agg = ranked.groupBy(*group_cols).agg(
         F.max("h").alias("h_k"), F.count("*").alias("n")
     )
+    return kmv_estimate_from_state(agg, group_cols, k, round_to)
+
+
+def kmv_estimate_from_state(
+    agg: DataFrame, group_cols: list[str], k: int, round_to: int = 4
+) -> DataFrame:
+    """The KMV estimate from its per-group state frame
+    ``(*group_cols, h_k, n)`` — split out so the h_k == 0 guard is
+    unit-testable with an injected state row (the 2^-60 all-zero-prefix
+    case is unreachable through real hashing)."""
     scale = float(1 << 60)
     # greatest(h_k, 1): h_k == 0 (an all-zero md5 prefix, p = 2^-60) would
     # otherwise divide by zero and report Infinity

@@ -151,18 +151,27 @@ def write_lines(
     """Reference parity is ONE text stream (stdout, src/main.rs:27-43),
     so outputs up to ``single_max`` lines coalesce to a single part
     file. Above that, one writer task would serialize the whole output;
-    the sharded path writes with the upstream partitioning intact — the
-    renderers all end in ``orderBy(group_key)``, whose range exchange
-    leaves part files globally ordered, so concatenating them in
-    filename order reproduces the single-file byte stream (AQE sizes
-    the shards by bytes at runtime). Returns the routing taken,
+    the sharded path writes with the upstream partitioning intact.
+    Cross-file order: the fdupes/machine/ld-json renderers end in
+    ``orderBy(group_key)``, whose range exchange leaves part files
+    globally ordered, so concatenating them in filename order
+    reproduces the single-file byte stream (AQE sizes the shards by
+    bytes at runtime); ``csv_lines`` is a header-first union whose
+    1-partition header precedes the ordered body — correct today, but
+    by union partition order, not the sort invariant. The routing
+    count and the write are two actions over the same (sorted) plan,
+    so ``lines`` is persisted across them. Returns the routing taken,
     ``"single"`` or ``"sharded"``."""
-    n = lines.limit(single_max + 1).count()
-    if n > single_max:
-        lines.write.mode("overwrite").text(path)
-        return "sharded"
-    lines.coalesce(1).write.mode("overwrite").text(path)
-    return "single"
+    lines = lines.persist()
+    try:
+        n = lines.limit(single_max + 1).count()
+        if n > single_max:
+            lines.write.mode("overwrite").text(path)
+            return "sharded"
+        lines.coalesce(1).write.mode("overwrite").text(path)
+        return "single"
+    finally:
+        lines.unpersist()
 
 
 def write_cluster_assignments(
