@@ -3090,6 +3090,23 @@ def q_near_dup_clusters_docs(spark, sf_dir):
     return _doc_clusters(spark, sf_dir).orderBy("id")
 
 
+def q_cluster_quality_docs(spark, sf_dir):
+    """Clustering-evaluation report (pair-confusion + Rand/ARI) of the
+    caption near-dup closure against the exact-duplicate truth labeling
+    (md5(text) groups) — the planted-truth quality gate made a
+    first-class distributed operator: contingency cells only, nothing
+    O(n) on the driver (reference analog: gen-corpus.py's manifest
+    check of planted dup groups). Evaluated over the clustered
+    (edge-bearing) docs; the oracle replays cells, marginals, and both
+    indices relationally on the same recursive-CTE closure."""
+    from yadf_spark.operators import evaluation
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = _doc_clusters(spark, sf_dir)
+    truth = d.select(F.col("doc_id").alias("id"), F.md5("text").alias("true_cluster"))
+    return evaluation.cluster_quality(clusters, truth)
+
+
 def q_dedup_rate_by_source(spark, sf_dir):
     """Per-source duplication report — the dashboard row a corpus
     pipeline publishes after a dedup run: how many of each source's
@@ -3527,7 +3544,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION PLAN (the driver's correctness sweep checks the FIRST 50
-    # entries only; 143 exist, so coverage rotates round-by-round):
+    # entries only; 144 exist, so coverage rotates round-by-round):
     #   - Rounds 1-3 gave green driver rows to 66 queries; 77 had never
     #     been driver-checked entering round 4.
     #   - Round 4 window (entries 1-50 below): exclusively never-checked
@@ -3537,11 +3554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     PQ/IVF-PQ/ANN, the image pipeline, audio/video, temporal,
     #     sketches, kmeans/cluster-prune, winnow, and the clustering
     #     block.
-    #   - Round 5: promote entries 51-77 (the remaining 27 never-checked
-    #     queries — curation/mix/dsir/vocab/tfidf/denylist/fuzzy-decontam
-    #     and the TPC-H-ish analytics) into the window; after that every
-    #     query has at least one green driver row and the window can
-    #     rotate freely over the whole contract.
+    #   - Round 5: promote entries 51-78 (the remaining never-checked
+    #     queries — curation/mix/dsir/vocab/tfidf/denylist/fuzzy-decontam,
+    #     the TPC-H-ish analytics, and the round-4 addition
+    #     cluster_quality_docs) into the window; after that every query
+    #     has at least one green driver row and the window can rotate
+    #     freely over the whole contract.
     #   - The 66 previously-green queries sit at the back in their
     #     original relative order.
     return {
@@ -3633,6 +3651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "label_centroids": q_label_centroids,
         "embedding_outliers": q_embedding_outliers,
+        # new round-4 additions join the never-checked queue here (behind
+        # the pre-existing backlog, ahead of the already-green block)
+        "cluster_quality_docs": q_cluster_quality_docs,
         # -- previously driver-green (rounds 1-3), original order ---------
         "size_groups": q_size_groups,
         "rfactor_under": q_rfactor_under,
@@ -5029,6 +5050,60 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id)
             SELECT id, min(lab) AS cluster_id
             FROM reach GROUP BY id ORDER BY id""",
+        # clustering-evaluation report over the same closure: the
+        # (cluster, truth) contingency cells, doubled pair counts
+        # (k*(k-1), halved only at the end), and the pair-confusion
+        # Rand/ARI identities — float enters only in the two final
+        # ratios, mirrored expression-for-expression.
+        "cluster_quality_docs": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            tl AS (SELECT doc_id AS id, md5(text) AS t FROM documents),
+            cells AS (SELECT cl.cluster_id AS c, tl.t, count(*) AS n
+                      FROM cl JOIN tl USING (id) GROUP BY 1, 2),
+            s AS (SELECT CAST(coalesce(sum(n * (n - 1)), 0) AS HUGEINT) AS tp2,
+                         CAST(coalesce(sum(n), 0) AS HUGEINT) AS n_items
+                  FROM cells),
+            a AS (SELECT CAST(coalesce(sum(na * (na - 1)), 0) AS HUGEINT) AS pred2
+                  FROM (SELECT sum(n) AS na FROM cells GROUP BY c)),
+            b AS (SELECT CAST(coalesce(sum(nb * (nb - 1)), 0) AS HUGEINT) AS true2
+                  FROM (SELECT sum(n) AS nb FROM cells GROUP BY t)),
+            x AS (SELECT n_items, tp2,
+                         pred2 - tp2 AS fp2, true2 - tp2 AS fn2,
+                         n_items * (n_items - 1) - pred2 - true2 + tp2 AS tn2
+                  FROM s, a, b)
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(tp2 // 2 AS BIGINT) AS tp,
+                   CAST(fp2 // 2 AS BIGINT) AS fp,
+                   CAST(fn2 // 2 AS BIGINT) AS fn,
+                   CAST(tn2 // 2 AS BIGINT) AS tn,
+                   round(CASE WHEN CAST(n_items * (n_items - 1) AS DOUBLE) = 0
+                         THEN 1.0
+                         ELSE (CAST(tp2 AS DOUBLE) + CAST(tn2 AS DOUBLE))
+                              / CAST(n_items * (n_items - 1) AS DOUBLE)
+                         END, 6) AS rand_index,
+                   round(CASE WHEN (CAST(tp2 AS DOUBLE) + CAST(fp2 AS DOUBLE))
+                                   * (CAST(fp2 AS DOUBLE) + CAST(tn2 AS DOUBLE))
+                                   + (CAST(tp2 AS DOUBLE) + CAST(fn2 AS DOUBLE))
+                                   * (CAST(fn2 AS DOUBLE) + CAST(tn2 AS DOUBLE)) = 0
+                         THEN 1.0
+                         ELSE 2.0 * (CAST(tp2 AS DOUBLE) * CAST(tn2 AS DOUBLE)
+                                     - CAST(fn2 AS DOUBLE) * CAST(fp2 AS DOUBLE))
+                              / ((CAST(tp2 AS DOUBLE) + CAST(fp2 AS DOUBLE))
+                                 * (CAST(fp2 AS DOUBLE) + CAST(tn2 AS DOUBLE))
+                                 + (CAST(tp2 AS DOUBLE) + CAST(fn2 AS DOUBLE))
+                                 * (CAST(fn2 AS DOUBLE) + CAST(tn2 AS DOUBLE)))
+                         END, 6) AS ari
+            FROM x""",
         # per-source duplication report over the same closure: clustered
         # (= edge-bearing, size >= 2) docs counted per source.
         "dedup_rate_by_source": f"""

@@ -1,0 +1,105 @@
+"""Distributed clustering-evaluation metrics — pair-confusion counts
+and (Adjusted) Rand Index between a predicted cluster assignment and a
+ground-truth labeling.
+
+The reference ships a planted-truth corpus generator and checks its
+dup groups against the plan (gen-corpus.py manifest; scripts/bench.sh
+correctness gate); this module is that evaluation made first-class and
+distributed: at 10^12 rows a pair LIST is quadratic in cluster size
+and a driver-side dict is O(corpus), but the full confusion table is
+derivable from the (cluster, truth) CONTINGENCY CELLS — one narrow
+count aggregation, O(distinct label pairs) rows, three scalar-sized
+frames to combine.
+
+Arithmetic discipline: every pair count is summed DOUBLED
+(``k·(k-1)``, never halved in-plan) as ``decimal(38,0)`` — ``k·(k-1)``
+wraps a long at k ≈ 3.04e9 and double summation loses exactness above
+2^53 — and halved exactly at the end. The Rand/ARI ratios are
+scale-invariant in the doubled counts, so floating point enters only
+in the final division, with an expression shape a relational oracle
+replays bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _pairs2_sum(col: str):
+    """Σ k·(k-1) — TWICE the Σ C(k,2) pair count, exact in decimal."""
+    c = F.col(col).cast(_DEC)
+    return F.coalesce(F.sum(c * (c - F.lit(1))), F.lit(0).cast(_DEC))
+
+
+def cluster_quality(
+    clusters: DataFrame,
+    truth_labels: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "true_cluster",
+    round_to: int = 6,
+) -> DataFrame:
+    """ONE-row clustering quality report —
+    ``(n_items, tp, fp, fn, tn, rand_index, ari)``:
+
+    * evaluated over the INNER join of the two frames (items labeled by
+      both sides; one row per id expected in each),
+    * ``tp`` pairs together in both labelings, ``fp`` together only in
+      the prediction, ``fn`` together only in the truth, ``tn`` apart
+      in both (all exact integers),
+    * ``rand_index`` = (tp+tn)/all-pairs, ``ari`` the
+      Hubert-Arabie adjusted form via the pair-confusion identity
+      ``2·(tp·tn − fn·fp) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn))`` —
+      computed from the doubled counts (the ratio is scale-invariant),
+      with the degenerate zero denominator reported as 1.0 (both
+      labelings trivially agree).
+
+    Scale shape: one (cluster, truth) cell aggregation over the joined
+    frame (narrow rows, O(cells) state), then per-side marginals read
+    the CELLS, never the corpus; three single-row aggregates cross-join
+    into the report. Nothing O(n) reaches the driver."""
+    both = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
+    ).join(
+        truth_labels.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t")),
+        "_id",
+    )
+    cells = both.groupBy("_c", "_t").agg(F.count("*").alias("n"))
+    base = cells.agg(
+        _pairs2_sum("n").alias("tp2"),
+        F.coalesce(F.sum("n").cast(_DEC), F.lit(0).cast(_DEC)).alias("n_items"),
+    )
+    pred = cells.groupBy("_c").agg(F.sum("n").alias("na")).agg(
+        _pairs2_sum("na").alias("pred2")
+    )
+    true = cells.groupBy("_t").agg(F.sum("n").alias("nb")).agg(
+        _pairs2_sum("nb").alias("true2")
+    )
+    j = base.crossJoin(pred).crossJoin(true)
+    n = F.col("n_items")
+    total2 = n * (n - F.lit(1))
+    fp2 = F.col("pred2") - F.col("tp2")
+    fn2 = F.col("true2") - F.col("tp2")
+    tn2 = total2 - F.col("pred2") - F.col("true2") + F.col("tp2")
+    tp_d = F.col("tp2").cast("double")
+    fp_d, fn_d, tn_d = fp2.cast("double"), fn2.cast("double"), tn2.cast("double")
+    denom = (tp_d + fp_d) * (fp_d + tn_d) + (tp_d + fn_d) * (fn_d + tn_d)
+    ari = F.when(denom == F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(2.0) * (tp_d * tn_d - fn_d * fp_d) / denom
+    )
+    ri = F.when(total2.cast("double") == F.lit(0.0), F.lit(1.0)).otherwise(
+        (tp_d + tn_d) / total2.cast("double")
+    )
+    half = lambda c: F.floor(c / F.lit(2)).cast("long")  # noqa: E731 — counts are even
+    return j.select(
+        n.cast("long").alias("n_items"),
+        half(F.col("tp2")).alias("tp"),
+        half(fp2).alias("fp"),
+        half(fn2).alias("fn"),
+        half(tn2).alias("tn"),
+        F.round(ri, round_to).alias("rand_index"),
+        F.round(ari, round_to).alias("ari"),
+    )
