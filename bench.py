@@ -85,6 +85,7 @@ HEADLINE = [
     "images_format_audit",
     "strip_spans_docs",
     "strip_html_docs",
+    "cluster_quality_docs",
 ]
 
 
@@ -246,6 +247,18 @@ def run_image_pipeline(
     clusters = out["clusters"]  # already checkpointed stage output
     recall = pl.dup_pair_recall_distributed(clusters, truth)
     precision = pl.dup_pair_precision_distributed(clusters, truth)
+    # full pair-confusion quality report (same contingency cells, plus
+    # Rand/ARI) — the gate's summary statistic; 1.0 on a perfect run
+    from yadf_spark.operators import evaluation as ev
+
+    quality = (
+        ev.cluster_quality(
+            clusters.withColumnRenamed("image_id", "id"),
+            truth.withColumnRenamed("image_id", "id"),
+        )
+        .collect()[0]
+        .asDict()
+    )
     # per-stage row counts from the final run's (materialized) lazy
     # checkpoints — the reference's scan-statistics surface; cheap now
     # that every stage's blocks exist
@@ -253,7 +266,7 @@ def run_image_pipeline(
         m["stage"]: m["rows"] for m in out["metrics_fn"]() if m["rows"] >= 0
     } if "metrics_fn" in out else {}
     spark.catalog.clearCache()
-    return min(rounds), recall, precision, rounds, stage_rows
+    return min(rounds), recall, precision, rounds, stage_rows, quality
 
 
 #: large corpus size for the ladder's marginal-throughput measurement
@@ -476,7 +489,7 @@ def main() -> None:
         t_large = min(t_large, t)
         extra += 1
     # full near-dup pipeline throughput, on the last large session
-    t_pipeline, recall, precision, pipeline_rounds, stage_rows = run_image_pipeline(spark, N_IMAGES)
+    t_pipeline, recall, precision, pipeline_rounds, stage_rows, quality = run_image_pipeline(spark, N_IMAGES)
     recall2, precision2 = run_recall_at(spark, RECALL_2_IMAGES)
 
     efficiency = (t_small * SMALL_CORES) / (t_large * LARGE_CORES)
@@ -532,6 +545,8 @@ def main() -> None:
             # precision vs the planted truth's transitive closure: the
             # verify stage (caption + PSNR) is what makes LSH candidates
             # safe to merge, and this is its measured output quality
+            # full confusion + Rand/ARI from the same contingency cells
+            "cluster_quality": quality,
             "dup_pair_precision": round(precision, 6),
             "dup_pair_precision_by_size": {
                 str(N_IMAGES): round(precision, 6),
