@@ -982,3 +982,35 @@ def test_curate_cli_mode_writes_split_partitioned_corpus(spark, tmp_path):
             ),
             spark=spark,
         )
+
+
+def test_cli_cluster_quality_mode(spark, tmp_path):
+    """--mode cluster-quality: one JSON report line from two parquet
+    assignment tables, no corpus scan; missing inputs exit early."""
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2"), ("e", "c3")],
+        "image_id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t2"), ("d", "t3"), ("e", "t2")],
+        "image_id string, true_cluster string",
+    )
+    cpath, tpath = str(tmp_path / "cl"), str(tmp_path / "tr")
+    clusters.write.parquet(cpath)
+    truth.write.parquet(tpath)
+    out = _cli(
+        spark,
+        ["--mode", "cluster-quality", "--eval-clusters", cpath, "--eval-truth", tpath],
+    )
+    rep = json.loads(out)
+    # the hand-computed case from test_evaluation.py
+    assert rep == {
+        "n_items": 5, "tp": 1, "fp": 1, "fn": 1, "tn": 7,
+        "rand_index": 0.8, "ari": 0.375,
+    }
+
+    with pytest.raises(SystemExit, match="eval-clusters"):
+        run(
+            build_parser().parse_args(["--mode", "cluster-quality"]),
+            spark=spark,
+        )

@@ -94,14 +94,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--payload-col", default="bytes")
     p.add_argument(
         "--mode", default="exact",
-        choices=["exact", "near-dup", "audio-near-dup", "text-near-dup", "curate"],
+        choices=[
+            "exact", "near-dup", "audio-near-dup", "text-near-dup", "curate",
+            "cluster-quality",
+        ],
         help="exact: the reference's dup-group scan; audio-near-dup: energy-"
         "fingerprint Hamming bands over audio payloads; near-dup: phash bands + "
         "MinHash LSH + PSNR verify + connected components (north_rule); "
         "text-near-dup: MinHash LSH over shingles of --text-col (or UTF-8 "
         "decoded payloads) verified at exact Jaccard >= --jaccard; "
         "curate: the composed C4-clean -> exact-dedup -> split -> pack text "
-        "recipe, written to --curated-table partitioned by split",
+        "recipe, written to --curated-table partitioned by split; "
+        "cluster-quality: pair-confusion + Rand/ARI of --eval-clusters "
+        "against --eval-truth (one JSON line on stdout)",
+    )
+    p.add_argument(
+        "--eval-clusters", default=None,
+        help="(--mode cluster-quality) parquet of the predicted assignment "
+        "(--id-col, cluster_id) — e.g. a --cluster-table from a prior run",
+    )
+    p.add_argument(
+        "--eval-truth", default=None,
+        help="(--mode cluster-quality) parquet of the ground-truth labeling "
+        "(--id-col, true_cluster)",
     )
     p.add_argument(
         "--text-col", default="caption",
@@ -473,6 +488,26 @@ def run(args: argparse.Namespace, spark=None) -> int:
             "deduped hand-off is --novel-table"
         )
     spark = spark or get_spark(app_name="yadf-spark-cli", cores=args.cores)
+
+    if args.mode == "cluster-quality":
+        # evaluation of two existing assignment tables — no corpus scan
+        import json as _json
+
+        from yadf_spark.operators import evaluation
+
+        if not (args.eval_clusters and args.eval_truth):
+            raise SystemExit(
+                "--mode cluster-quality requires --eval-clusters and --eval-truth"
+            )
+        clusters = spark.read.parquet(args.eval_clusters).withColumnRenamed(
+            args.id_col, "id"
+        )
+        truth = spark.read.parquet(args.eval_truth).withColumnRenamed(
+            args.id_col, "id"
+        )
+        rep = evaluation.cluster_quality(clusters, truth).collect()[0].asDict()
+        print(_json.dumps(rep))
+        return 0
 
     min_size = 1 if (args.no_empty and args.min is None) else args.min
     if args.table:
