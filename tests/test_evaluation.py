@@ -101,3 +101,58 @@ def test_cluster_quality_consistent_with_pair_gates(spark):
     )
     assert got["tp"] / (got["tp"] + got["fn"]) == recall
     assert got["tp"] / (got["tp"] + got["fp"]) == precision
+
+
+# --- property: agreement with an independent pair-counting reference --------
+
+def _ref_quality(assign: dict[str, str], truth: dict[str, str]):
+    """Pure-python pair counting over the id intersection — an
+    independent implementation (no contingency cells) to property-check
+    the distributed one against."""
+    ids = sorted(set(assign) & set(truth))
+    tp = fp = fn = tn = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            same_pred = assign[a] == assign[b]
+            same_true = truth[a] == truth[b]
+            tp += same_pred and same_true
+            fp += same_pred and not same_true
+            fn += (not same_pred) and same_true
+            tn += (not same_pred) and (not same_true)
+    denom = (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)
+    ari = 1.0 if denom == 0 else 2.0 * (tp * tn - fn * fp) / denom
+    total = tp + fp + fn + tn
+    ri = 1.0 if total == 0 else (tp + tn) / total
+    return len(ids), tp, fp, fn, tn, round(ri, 6), round(ari, 6)
+
+
+def test_cluster_quality_matches_pair_counting_reference(spark):
+    """Deterministic sweep of labelings (all pairs of partition shapes
+    over 6 items, plus partial overlap) against the brute-force pair
+    counter."""
+    import itertools
+
+    shapes = [
+        [0, 0, 0, 1, 1, 2],
+        [0, 1, 2, 3, 4, 5],
+        [0, 0, 0, 0, 0, 0],
+        [0, 0, 1, 1, 2, 2],
+        [0, 1, 0, 1, 0, 1],
+    ]
+    ids = [f"i{k}" for k in range(6)]
+    for pred, true in itertools.product(shapes, repeat=2):
+        assign = {i: f"c{v}" for i, v in zip(ids, pred)}
+        truth = {i: f"t{v}" for i, v in zip(ids, true)}
+        cdf = spark.createDataFrame(
+            list(assign.items()), "id string, cluster_id string"
+        )
+        tdf = spark.createDataFrame(
+            list(truth.items()), "id string, true_cluster string"
+        )
+        got = _one(evaluation.cluster_quality(cdf, tdf))
+        want = _ref_quality(assign, truth)
+        assert (
+            got["n_items"], got["tp"], got["fp"], got["fn"], got["tn"],
+            got["rand_index"], got["ari"],
+        ) == want, (pred, true)
