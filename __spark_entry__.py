@@ -983,6 +983,75 @@ def _bpe_truth_merges_parquet(n_merges: int = 15) -> str:
     return path
 
 
+def _bpe_truth_encode_parquet(n_merges: int = 15) -> str:
+    """Single-process replay of train-then-encode over the contract-sf
+    documents: the same word counts and ``curation.bpe_train_kernel``
+    as ``_bpe_truth_merges_parquet``, then ``curation.bpe_encode_kernel``
+    (the pure-python twin of the JVM fold) applied per distinct word
+    and reassembled per document — stored as
+    ``(doc_id, n_subwords, head_subwords)`` parquet. The oracle built
+    on it checks the distributed vocab encode folds, the word join,
+    and the pos-ordered reassembly against a sequential run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/yadf_contract_bpe_encode_{_sf_slug()}_{n_merges}.parquet"
+    if not os.path.exists(path):
+        t = pq.read_table(
+            f"{CONTRACT_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        wc: dict[str, int] = {}
+        for txt in texts:
+            for w in (txt or "").lower().split():
+                wc[w] = wc.get(w, 0) + 1
+        merges = [
+            (left, right)
+            for left, right, _ in curation.bpe_train_kernel(wc, n_merges)
+        ]
+        cache: dict[str, list[str]] = {}
+        n_out: list[int] = []
+        head_out: list[str] = []
+        for txt in texts:
+            subs: list[str] = []
+            for w in (txt or "").lower().split():
+                if w not in cache:
+                    cache[w] = curation.bpe_encode_kernel(w, merges)
+                subs.extend(cache[w])
+            n_out.append(len(subs))
+            head_out.append("\x1f".join(subs[:8]))
+        table = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_subwords": pa.array(n_out, pa.int64()),
+                "head_subwords": pa.array(head_out, pa.string()),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_bpe_encode_docs(spark, sf_dir):
+    """Train-then-encode: the 15 merges from ``bpe_merges`` applied
+    back to the corpus by ``bpe_encode`` — subword count + the first 8
+    subwords per document. Every per-merge fold runs over the
+    DISTINCT-WORD frame (O(vocab), pure JVM); the merge table itself
+    is a 15-row collect. Oracle: stored-truth replay of the identical
+    train+encode kernels."""
+    d = _t(spark, sf_dir, "documents")
+    rows = curation.bpe_merges(d, "doc_id", "text", n_merges=15).orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in rows]
+    enc = curation.bpe_encode(d, merges, "doc_id", "text")
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_subwords",
+        F.array_join(F.slice("subwords", 1, 8), "\x1f").alias("head_subwords"),
+    ).orderBy("doc_id")
+
+
 def q_bpe_merges_docs(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): 15
     greedy merges learned over the documents corpus. The corpus is
@@ -3544,7 +3613,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION PLAN (the driver's correctness sweep checks the FIRST 50
-    # entries only; 144 exist, so coverage rotates round-by-round):
+    # entries only; 145 exist, so coverage rotates round-by-round):
     #   - Rounds 1-3 gave green driver rows to 66 queries; 77 had never
     #     been driver-checked entering round 4.
     #   - Round 4 window (entries 1-50 below): exclusively never-checked
@@ -3554,12 +3623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     PQ/IVF-PQ/ANN, the image pipeline, audio/video, temporal,
     #     sketches, kmeans/cluster-prune, winnow, and the clustering
     #     block.
-    #   - Round 5: promote entries 51-78 (the remaining never-checked
+    #   - Round 5: promote entries 51-79 (the remaining never-checked
     #     queries — curation/mix/dsir/vocab/tfidf/denylist/fuzzy-decontam,
-    #     the TPC-H-ish analytics, and the round-4 addition
-    #     cluster_quality_docs) into the window; after that every query
-    #     has at least one green driver row and the window can rotate
-    #     freely over the whole contract.
+    #     the TPC-H-ish analytics, and the round-4 additions
+    #     cluster_quality_docs / bpe_encode_docs) into the window; after
+    #     that every query has at least one green driver row and the
+    #     window can rotate freely over the whole contract.
     #   - The 66 previously-green queries sit at the back in their
     #     original relative order.
     return {
@@ -3654,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-4 additions join the never-checked queue here (behind
         # the pre-existing backlog, ahead of the already-green block)
         "cluster_quality_docs": q_cluster_quality_docs,
+        "bpe_encode_docs": q_bpe_encode_docs,
         # -- previously driver-green (rounds 1-3), original order ---------
         "size_groups": q_size_groups,
         "rfactor_under": q_rfactor_under,
@@ -4409,6 +4479,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank, "left", "right", freq
             FROM read_parquet('{_bpe_truth_merges_parquet()}')
             ORDER BY rank""",
+        "bpe_encode_docs": f"""
+            SELECT doc_id, n_subwords, head_subwords
+            FROM read_parquet('{_bpe_truth_encode_parquet()}')
+            ORDER BY doc_id""",
         # URL canonicalization chain — the exact regexp_replace ladder
         # of curation.canonical_url (RE2 subset; 'g' only where Spark's
         # always-global replace can match more than once)

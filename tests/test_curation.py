@@ -1115,6 +1115,32 @@ def test_bpe_merges_empty_corpus_and_exhaustion(spark):
     assert curation.bpe_merges(empty, "doc_id", "text", n_merges=3).count() == 0
 
 
+def test_bpe_encode_matches_reference_kernel(spark):
+    """The distributed encoder (distinct-word JVM folds + pos-ordered
+    reassembly) must reproduce the sequential kernel per document,
+    including empty and whitespace-only docs (0 subwords)."""
+    rows = [
+        (1, "low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wider wide new"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    trained = curation.bpe_merges(df, "doc_id", "text", n_merges=6).orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in trained]
+    got = {
+        r.id: (r.n_subwords, list(r.subwords))
+        for r in curation.bpe_encode(df, merges, "doc_id", "text").collect()
+    }
+    for doc_id, text in rows:
+        subs: list[str] = []
+        for w in text.lower().split():
+            subs.extend(curation.bpe_encode_kernel(w, merges))
+        assert got[doc_id] == (len(subs), subs), (doc_id, merges)
+    assert got[4] == (0, [])
+    assert merges, "trained merge table must be non-empty"
+
+
 def test_c4_clean_null_text_is_an_empty_page(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = curation.c4_clean(df, "doc_id", "text").collect()[0]

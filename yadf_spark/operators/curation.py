@@ -1612,6 +1612,101 @@ def c4_clean(
     )
 
 
+def _bpe_fold(syms_col, left: str, right: str):
+    """ONE greedy left-to-right merge pass over a symbol array as a
+    pure JVM ``aggregate`` fold — the expression the trainer's merge
+    step and the encoder both apply, so a word encodes exactly as
+    training segmented it."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode_kernel(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference BPE encoding of one word: the trainer's greedy
+    left-to-right merge pass applied once per merge IN RANK ORDER
+    (subword-nmt's sequential apply) — the pure-python twin of
+    ``_bpe_fold``, for oracles and tests."""
+    syms = list(word) + ["</w>"]
+    for left, right in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus —
+    ``(id, n_subwords, subwords)``, ``subwords`` the document's full
+    in-order subword sequence (docs with no tokens report 0 / empty).
+
+    Scale shape mirrors training (``bpe_merges``): each DISTINCT word
+    is encoded once — the per-merge folds are pure JVM array
+    expressions over the vocab-sized frame (zero Python), re-
+    checkpointed every third merge so the plan stays shallow across
+    long merge tables — then the corpus's (id, pos, word) rows join to
+    their subword arrays and a pos-ordered aggregation reassembles
+    each document. The corpus text is scanned once; every per-merge
+    pass is O(vocab), not O(corpus)."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(T.tokens(text)).alias("pos", "w")
+    )
+    vocab = (
+        exploded.select("w")
+        .distinct()
+        .select(
+            "w", F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for it, (left, right) in enumerate(merges):
+        vocab = vocab.select("w", _bpe_fold(F.col("syms"), left, right).alias("syms"))
+        if it % 3 == 2:
+            vocab = vocab.localCheckpoint(eager=True)
+    per_doc = (
+        exploded.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda st: st["syms"],
+                )
+            ).alias("subwords")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.size("subwords"), F.lit(0)).cast("long").alias("n_subwords"),
+            F.coalesce("subwords", F.array().cast("array<string>")).alias("subwords"),
+        )
+    )
+
+
 def bpe_train_kernel(
     word_counts: dict[str, int], n_merges: int
 ) -> list[tuple[str, str, int]]:
@@ -1705,17 +1800,7 @@ def bpe_merges(
             break
         left, right, freq = top[0].l, top[0].r, int(top[0].freq)
         merges.append((left, right, freq))
-        merged = F.lit(left + right)
-        folded = F.aggregate(
-            syms,
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        folded = _bpe_fold(syms, left, right)
         vocab = (
             vocab.select(folded.alias("syms"), "cnt")
             .groupBy("syms")
