@@ -949,6 +949,16 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     return out.orderBy("query_id", "rank")
 
 
+def _bpe_ascii_words(txt: str | None) -> list[str]:
+    """The BPE truth replays' tokenizer: split on JAVA ``\\s`` (ASCII
+    whitespace only — python ``str.split`` also splits U+00A0 etc.,
+    which Spark's ``split(text, '\\s+')`` does not), drop empties
+    (mirroring the operators' empty-token filter)."""
+    import re
+
+    return [w for w in re.split(r"[ \t\r\n\x0b\x0c]+", (txt or "").lower()) if w]
+
+
 def _bpe_truth_merges_parquet(n_merges: int = 15) -> str:
     """Single-process replay of BPE training over the contract-sf
     documents (the same tokenization and the same pure
@@ -966,7 +976,7 @@ def _bpe_truth_merges_parquet(n_merges: int = 15) -> str:
         t = pq.read_table(f"{CONTRACT_SF_DIR}/documents.parquet", columns=["text"])
         wc: dict[str, int] = {}
         for txt in t.column("text").to_pylist():
-            for w in (txt or "").lower().split():
+            for w in _bpe_ascii_words(txt):
                 wc[w] = wc.get(w, 0) + 1
         merges = curation.bpe_train_kernel(wc, n_merges)
         table = pa.table(
@@ -1004,7 +1014,7 @@ def _bpe_truth_encode_parquet(n_merges: int = 15) -> str:
         texts = t.column("text").to_pylist()
         wc: dict[str, int] = {}
         for txt in texts:
-            for w in (txt or "").lower().split():
+            for w in _bpe_ascii_words(txt):
                 wc[w] = wc.get(w, 0) + 1
         merges = [
             (left, right)
@@ -1015,7 +1025,7 @@ def _bpe_truth_encode_parquet(n_merges: int = 15) -> str:
         head_out: list[str] = []
         for txt in texts:
             subs: list[str] = []
-            for w in (txt or "").lower().split():
+            for w in _bpe_ascii_words(txt):
                 if w not in cache:
                     cache[w] = curation.bpe_encode_kernel(w, merges)
                 subs.extend(cache[w])
@@ -5141,7 +5151,8 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
             cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
-            tl AS (SELECT doc_id AS id, md5(text) AS t FROM documents),
+            tl AS (SELECT doc_id AS id, md5(text) AS t FROM documents
+                   WHERE text IS NOT NULL),
             cells AS (SELECT cl.cluster_id AS c, tl.t, count(*) AS n
                       FROM cl JOIN tl USING (id) GROUP BY 1, 2),
             s AS (SELECT CAST(coalesce(sum(n * (n - 1)), 0) AS HUGEINT) AS tp2,
@@ -5156,10 +5167,10 @@ def oracle_sql() -> dict[str, str]:
                          n_items * (n_items - 1) - pred2 - true2 + tp2 AS tn2
                   FROM s, a, b)
             SELECT CAST(n_items AS BIGINT) AS n_items,
-                   CAST(tp2 // 2 AS BIGINT) AS tp,
-                   CAST(fp2 // 2 AS BIGINT) AS fp,
-                   CAST(fn2 // 2 AS BIGINT) AS fn,
-                   CAST(tn2 // 2 AS BIGINT) AS tn,
+                   CAST(tp2 // 2 AS DECIMAL(38,0)) AS tp,
+                   CAST(fp2 // 2 AS DECIMAL(38,0)) AS fp,
+                   CAST(fn2 // 2 AS DECIMAL(38,0)) AS fn,
+                   CAST(tn2 // 2 AS DECIMAL(38,0)) AS tn,
                    round(CASE WHEN CAST(n_items * (n_items - 1) AS DOUBLE) = 0
                          THEN 1.0
                          ELSE (CAST(tp2 AS DOUBLE) + CAST(tn2 AS DOUBLE))

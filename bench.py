@@ -248,17 +248,26 @@ def run_image_pipeline(
     recall = pl.dup_pair_recall_distributed(clusters, truth)
     precision = pl.dup_pair_precision_distributed(clusters, truth)
     # full pair-confusion quality report (same contingency cells, plus
-    # Rand/ARI) — the gate's summary statistic; 1.0 on a perfect run
+    # Rand/ARI) — a SUPPLEMENTARY summary, not a replacement for the
+    # two gates above: cluster_quality evaluates common items only, so
+    # deriving recall as tp/(tp+fn) would stop counting truth pairs
+    # whose members the pipeline DROPPED (the recall gate's whole
+    # point). Three aggregation jobs over checkpointed/persisted
+    # frames, untimed.
+    import decimal as _dec
+
     from yadf_spark.operators import evaluation as ev
 
-    quality = (
-        ev.cluster_quality(
+    quality = {
+        k: (int(v) if isinstance(v, _dec.Decimal) else v)
+        for k, v in ev.cluster_quality(
             clusters.withColumnRenamed("image_id", "id"),
             truth.withColumnRenamed("image_id", "id"),
         )
         .collect()[0]
         .asDict()
-    )
+        .items()
+    }
     # per-stage row counts from the final run's (materialized) lazy
     # checkpoints — the reference's scan-statistics surface; cheap now
     # that every stage's blocks exist

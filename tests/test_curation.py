@@ -1124,6 +1124,10 @@ def test_bpe_encode_matches_reference_kernel(spark):
         (2, "new newer newest low"),
         (3, "wider wide new"),
         (4, "   "),
+        # trailing non-space whitespace: Spark's split emits a '' token
+        # here (trim strips 0x20 only) — the operators filter it, so
+        # the kernel twin (whitespace split, no empties) must agree
+        (5, "tail newline\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     trained = curation.bpe_merges(df, "doc_id", "text", n_merges=6).orderBy("rank").collect()

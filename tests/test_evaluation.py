@@ -8,9 +8,14 @@ from yadf_spark.operators import evaluation
 
 
 def _one(df):
+    import decimal
+
     rows = df.collect()
     assert len(rows) == 1
-    return rows[0].asDict()
+    return {
+        k: (int(v) if isinstance(v, decimal.Decimal) else v)
+        for k, v in rows[0].asDict().items()
+    }
 
 
 def test_cluster_quality_hand_computed(spark):
@@ -73,6 +78,26 @@ def test_cluster_quality_perfect_and_degenerate(spark):
         "tn": 0,
         "rand_index": 1.0,
         "ari": 1.0,
+    }
+
+
+def test_cluster_quality_excludes_null_labels(spark):
+    """NULL on either side means 'unassigned', not a cluster — the
+    gates' isNotNull discipline. Without the filter, two NULL-assigned
+    ids would count as a co-clustered pair (a phantom mega-cluster)."""
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", None), ("y", None)],
+        "id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("x", "t2"), ("y", None)],
+        "id string, true_cluster string",
+    )
+    got = _one(evaluation.cluster_quality(clusters, truth))
+    # only a and b survive both filters: one true co-clustered pair
+    assert got == {
+        "n_items": 2, "tp": 1, "fp": 0, "fn": 0, "tn": 0,
+        "rand_index": 1.0, "ari": 1.0,
     }
 
 

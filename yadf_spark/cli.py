@@ -466,6 +466,11 @@ def run(args: argparse.Namespace, spark=None) -> int:
         )
     if args.novel_table and not args.against:
         raise SystemExit("--novel-table requires --against")
+    if args.mode == "cluster-quality" and not (args.eval_clusters and args.eval_truth):
+        # fail before the JVM spins up — the mode needs both tables
+        raise SystemExit(
+            "--mode cluster-quality requires --eval-clusters and --eval-truth"
+        )
     if args.collapse_history and not (args.against and args.mode == "near-dup"):
         # the text gate keys on document content directly and has no
         # image-class collapse; silently ignoring the flag would let
@@ -491,21 +496,24 @@ def run(args: argparse.Namespace, spark=None) -> int:
 
     if args.mode == "cluster-quality":
         # evaluation of two existing assignment tables — no corpus scan
+        import decimal as _dec
         import json as _json
 
         from yadf_spark.operators import evaluation
 
-        if not (args.eval_clusters and args.eval_truth):
-            raise SystemExit(
-                "--mode cluster-quality requires --eval-clusters and --eval-truth"
-            )
         clusters = spark.read.parquet(args.eval_clusters).withColumnRenamed(
             args.id_col, "id"
         )
         truth = spark.read.parquet(args.eval_truth).withColumnRenamed(
             args.id_col, "id"
         )
-        rep = evaluation.cluster_quality(clusters, truth).collect()[0].asDict()
+        rep = {
+            k: (int(v) if isinstance(v, _dec.Decimal) else v)
+            for k, v in evaluation.cluster_quality(clusters, truth)
+            .collect()[0]
+            .asDict()
+            .items()
+        }
         print(_json.dumps(rep))
         return 0
 

@@ -1669,9 +1669,10 @@ def bpe_encode(
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
+    # same empty-token filter as bpe_merges (trailing-whitespace docs)
     exploded = df.select(
         F.col(id_col).alias("id"), F.posexplode(T.tokens(text)).alias("pos", "w")
-    )
+    ).filter(F.col("w") != "")
     vocab = (
         exploded.select("w")
         .distinct()
@@ -1772,8 +1773,13 @@ def bpe_merges(
     text = F.col(text_col)
     if lowercase:
         text = F.lower(text)
+    # filter the empty token T.tokens emits for text ending in
+    # non-space whitespace (trim strips 0x20 only, so 'x\n' splits to
+    # ['x','']) — an empty word is not a vocab entry, and the pure
+    # kernels' whitespace split never produces one
     words = (
         df.select(F.explode(T.tokens(text)).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )

@@ -46,10 +46,20 @@ def cluster_quality(
     ``(n_items, tp, fp, fn, tn, rand_index, ari)``:
 
     * evaluated over the INNER join of the two frames (items labeled by
-      both sides; one row per id expected in each),
+      both sides; one row per id expected in each). Like every
+      common-items clustering index, it says nothing about ids one side
+      DROPPED — coverage is the recall gate's job
+      (``pipeline.dup_pair_recall_distributed`` counts a dropped
+      truth-pair member as a miss; this report never sees it),
+    * rows whose label is NULL on either side are excluded — the
+      gates' ``isNotNull`` discipline; a NULL label is "unassigned",
+      not a cluster, and grouping NULLs would weld every unassigned id
+      into one phantom mega-cluster,
     * ``tp`` pairs together in both labelings, ``fp`` together only in
       the prediction, ``fn`` together only in the truth, ``tn`` apart
-      in both (all exact integers),
+      in both — exact integers, emitted as ``decimal(38,0)``: ``tn``
+      is ~n²/2, past long range (and ANSI-mode CAST_OVERFLOW) above
+      ~4.3e9 evaluated items,
     * ``rand_index`` = (tp+tn)/all-pairs, ``ari`` the
       Hubert-Arabie adjusted form via the pair-confusion identity
       ``2·(tp·tn − fn·fp) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn))`` —
@@ -61,11 +71,15 @@ def cluster_quality(
     frame (narrow rows, O(cells) state), then per-side marginals read
     the CELLS, never the corpus; three single-row aggregates cross-join
     into the report. Nothing O(n) reaches the driver."""
-    both = clusters.select(
-        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
-    ).join(
-        truth_labels.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t")),
-        "_id",
+    both = (
+        clusters.filter(F.col(cluster_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+        .join(
+            truth_labels.filter(F.col(truth_col).isNotNull()).select(
+                F.col(id_col).alias("_id"), F.col(truth_col).alias("_t")
+            ),
+            "_id",
+        )
     )
     cells = both.groupBy("_c", "_t").agg(F.count("*").alias("n"))
     base = cells.agg(
@@ -93,7 +107,10 @@ def cluster_quality(
     ri = F.when(total2.cast("double") == F.lit(0.0), F.lit(1.0)).otherwise(
         (tp_d + tn_d) / total2.cast("double")
     )
-    half = lambda c: F.floor(c / F.lit(2)).cast("long")  # noqa: E731 — counts are even
+    # counts stay decimal(38,0): tn ~ n²/2 exceeds long (and would
+    # CAST_OVERFLOW under ANSI mode) above ~4.3e9 evaluated items; the
+    # doubled values are even, so the /2 floor is exact
+    half = lambda c: F.floor(c / F.lit(2)).cast(_DEC)  # noqa: E731
     return j.select(
         n.cast("long").alias("n_items"),
         half(F.col("tp2")).alias("tp"),
