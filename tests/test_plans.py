@@ -353,3 +353,48 @@ def test_cross_corpus_pairs_single_shuffle_no_join_when_small(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "sig" not in ln.split("[")[0], ln
+
+
+def test_bpe_encode_scans_are_merge_count_independent(spark, docs):
+    """bpe_encode's per-merge folds must run over the (checkpointed)
+    distinct-word frame, never rescanning the corpus: the number of
+    parquet scans in the physical plan is small and IDENTICAL for 2
+    merges and 8 merges — a per-merge corpus rescan would grow it
+    linearly and be catastrophic at 100 TB."""
+    from yadf_spark.operators import curation
+
+    def scans(n_merges):
+        merges = [("e", "</w>"), ("t", "h"), ("a", "n"), ("i", "s"),
+                  ("o", "n"), ("e", "r"), ("a", "l"), ("t", "e")][:n_merges]
+        out = curation.bpe_encode(docs, merges, "doc_id", "text")
+        plan = _formatted(out)
+        return plan.count("Scan parquet")
+
+    two, eight = scans(2), scans(8)
+    assert two == eight, (two, eight)
+    # constant small scan count (explode, join probe, id spine — the
+    # vocab side reads its eager checkpoint, not parquet)
+    assert two <= 4, two
+
+
+def test_cluster_quality_no_corpus_collect_and_single_cell_agg(spark, docs):
+    """The evaluation report aggregates contingency CELLS — the joined
+    frame is grouped once and the marginals read the cell aggregates
+    (HashAggregate chain), with only 1-row frames cross-joined; no
+    collect_list / window over the corpus anywhere."""
+    from yadf_spark.operators import evaluation
+
+    clusters = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 50).cast("string").alias("cluster_id"),
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 40).cast("string").alias("true_cluster"),
+    )
+    plan = _formatted(evaluation.cluster_quality(clusters, truth))
+    assert "collect_list" not in plan, plan
+    assert "Window" not in plan, plan
+    # cross-joins of the single-row aggregates are the only nested-loop
+    # joins; the id join itself must be a real equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
