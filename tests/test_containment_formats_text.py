@@ -191,6 +191,33 @@ def test_write_lines_shards_above_threshold(spark, tmp_path):
         spark.conf.set(coalesce_key, prev)
 
 
+def test_write_lines_sharded_csv_header_leads(spark, tmp_path):
+    """Sharded csv output: the ``count,files`` header must be the very
+    first line of the first part file and the body globally ordered —
+    guaranteed by csv_lines' sentinel sort key (ADVICE r4 item 3), not
+    union partition order, so filename-order concatenation reproduces
+    the single-file stream."""
+    groups = spark.createDataFrame(
+        [(f"k{i:04d}", [f"path{i:04d}"], 1) for i in range(200)],
+        "group_key string, members array<string>, n long",
+    ).repartition(8)
+    lines = formats.csv_lines(groups)
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        sharded = tmp_path / "sharded_csv"
+        assert formats.write_lines(lines, str(sharded), single_max=50) == "sharded"
+        parts = sorted(p for p in sharded.iterdir() if p.name.startswith("part-"))
+        assert len(parts) > 1
+        concat = [ln for p in parts for ln in p.read_text().splitlines()]
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert concat[0] == "count,files"
+    assert concat[1:] == [f"1,path{i:04d}" for i in range(200)]
+
+
 def test_write_cluster_assignments(spark, tmp_path):
     clusters = spark.createDataFrame(
         [("a", "a"), ("b", "a"), ("c", "c")], "image_id string, cluster_id string"

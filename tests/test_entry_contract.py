@@ -31,44 +31,35 @@ def test_every_query_has_callable_and_oracle_keys_subset():
 
 def test_rotation_window_covers_never_driver_checked_queries():
     """The driver's correctness sweep checks only the FIRST 50 entries
-    of queries(); the round-4 rotation promises that window to queries
-    with no prior green driver verdict (VERDICT r3 item 1). Pin it as
-    an invariant against the committed CORRECTNESS_r0{1,2,3}.json so an
-    accidental reorder can't silently re-spend the window on
-    already-verified entries."""
+    of queries(); the round-5 rotation promises that window to (a)
+    every query with NO driver verdict in CORRECTNESS_r01-r04 and (b)
+    pq_codes, round 4's one red row (output shape, since reshaped).
+    Pin both against the committed records so an accidental reorder
+    can't silently leave a never-checked query outside the window."""
     import json
     import os
 
     repo = os.path.dirname(os.path.abspath(entrymod.__file__))
-    greens: set[str] = set()
-    for r in (1, 2, 3):
+    checked: set[str] = set()
+    for r in (1, 2, 3, 4):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if not os.path.exists(path):
             pytest.skip("prior-round correctness records not present")
         with open(path) as f:
-            for k, v in json.load(f).items():
-                if (
-                    v.get("rows_match")
-                    and v.get("schema_match")
-                    and v.get("hash_match") is not False
-                ):
-                    greens.add(k)
-    window = list(entrymod.queries())[:50]
-    already_green = [k for k in window if k in greens]
-    assert not already_green, (
-        "driver window slots spent on already-verified queries: "
-        f"{already_green}"
+            checked.update(json.load(f))
+    qs = list(entrymod.queries())
+    window = qs[:50]
+    never_checked = [k for k in qs if k not in checked]
+    missed = [k for k in never_checked if k not in window]
+    assert not missed, (
+        f"never-driver-checked queries outside the 50-entry window: {missed}"
     )
-    # the 7 round-2 failures lead the window
-    assert window[:7] == [
-        "ann_topk_srp",
-        "ivf_near_dup",
-        "images_exact_dedup",
-        "images_near_dup_clusters",
-        "images_metadata",
-        "images_resize",
-        "images_embedding_ann",
-    ]
+    # round 4's red row must be re-checked this round
+    assert "pq_codes" in window
+    # never-checked queries lead the window so a driver that checks
+    # fewer than 50 still hits them first
+    n = len(never_checked)
+    assert set(window[:n]) == set(never_checked)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -190,12 +190,12 @@ def test_dup_pair_precision_helper(result, spark):
     verify stage rejects every decoy), and strictly below 1.0 on a
     deliberately over-merged assignment."""
     truth = images.truth_dup_pairs(N)
-    assert pipeline.dup_pair_precision(result["clusters"], truth) == 1.0
+    assert pipeline.dup_pair_precision_driver_reference(result["clusters"], truth) == 1.0
 
     one_cluster = spark.createDataFrame(
         [(f"img-{i:09d}", "all") for i in range(N)], "image_id string, cluster_id string"
     )
-    p = pipeline.dup_pair_precision(one_cluster, truth)
+    p = pipeline.dup_pair_precision_driver_reference(one_cluster, truth)
     assert 0.0 < p < 0.01, f"one-giant-cluster precision should be ~0, got {p}"
 
     # transitive credit: closure pairs count as correct even when not
@@ -204,7 +204,7 @@ def test_dup_pair_precision_helper(result, spark):
     perfect = spark.createDataFrame(
         [("a", "x"), ("b", "x"), ("c", "x")], "image_id string, cluster_id string"
     )
-    assert pipeline.dup_pair_precision(perfect, planted) == 1.0
+    assert pipeline.dup_pair_precision_driver_reference(perfect, planted) == 1.0
 
 
 def test_dup_pair_recall_missing_ids_do_not_match(spark):
@@ -213,11 +213,11 @@ def test_dup_pair_recall_missing_ids_do_not_match(spark):
     pipeline pass the >= 0.99 recall gate with recall 1.0."""
     truth = {("a", "b"), ("c", "d")}
     empty = spark.createDataFrame([], "image_id string, cluster_id string")
-    assert pipeline.dup_pair_recall(empty, truth) == 0.0
+    assert pipeline.dup_pair_recall_driver_reference(empty, truth) == 0.0
     half = spark.createDataFrame(
         [("a", "x"), ("b", "x")], "image_id string, cluster_id string"
     )
-    assert pipeline.dup_pair_recall(half, truth) == 0.5
+    assert pipeline.dup_pair_recall_driver_reference(half, truth) == 0.5
 
 
 def test_distributed_metrics_match_driver_reference(result, spark):
@@ -228,14 +228,14 @@ def test_distributed_metrics_match_driver_reference(result, spark):
     truth_pairs = images.truth_dup_pairs(N)
     truth = images.truth_df(spark, N)
     clusters = result["clusters"]
-    assert pipeline.dup_pair_recall_distributed(clusters, truth) == pipeline.dup_pair_recall(clusters, truth_pairs)
-    assert pipeline.dup_pair_precision_distributed(clusters, truth) == pipeline.dup_pair_precision(clusters, truth_pairs)
+    assert pipeline.dup_pair_recall_distributed(clusters, truth) == pipeline.dup_pair_recall_driver_reference(clusters, truth_pairs)
+    assert pipeline.dup_pair_precision_distributed(clusters, truth) == pipeline.dup_pair_precision_driver_reference(clusters, truth_pairs)
 
     one_cluster = spark.createDataFrame(
         [(f"img-{i:09d}", "all") for i in range(N)], "image_id string, cluster_id string"
     )
-    assert pipeline.dup_pair_precision_distributed(one_cluster, truth) == pipeline.dup_pair_precision(one_cluster, truth_pairs)
-    assert pipeline.dup_pair_recall_distributed(one_cluster, truth) == pipeline.dup_pair_recall(one_cluster, truth_pairs) == 1.0
+    assert pipeline.dup_pair_precision_distributed(one_cluster, truth) == pipeline.dup_pair_precision_driver_reference(one_cluster, truth_pairs)
+    assert pipeline.dup_pair_recall_distributed(one_cluster, truth) == pipeline.dup_pair_recall_driver_reference(one_cluster, truth_pairs) == 1.0
 
     # missing ids are misses in both implementations
     lbl = spark.createDataFrame(
@@ -259,8 +259,20 @@ def test_distributed_metrics_match_driver_reference(result, spark):
     truth_pairs_small = {("a", "b"), ("c", "d")}
     assert (
         pipeline.dup_pair_recall_distributed(nullc, lbl)
-        == pipeline.dup_pair_recall(nullc, truth_pairs_small)
+        == pipeline.dup_pair_recall_driver_reference(nullc, truth_pairs_small)
         == 0.5
+    )
+
+    # precision: NULL-assigned rows emit NO pairs (ADVICE r4 item 1 —
+    # Spark's groupBy keeps NULL as a group, so without the isNotNull
+    # filter the two NULL twins above would form a phantom emitted
+    # cluster). Here the only emitted pairs come from the real 'x'
+    # cluster and both are correct → precision exactly 1.0 in both
+    # implementations; the phantom NULL pair would have made it 0.5.
+    assert (
+        pipeline.dup_pair_precision_distributed(nullc, lbl)
+        == pipeline.dup_pair_precision_driver_reference(nullc, truth_pairs_small)
+        == 1.0
     )
 
     # precision: a truth cluster NAMED like a member id must not absorb
@@ -273,7 +285,7 @@ def test_distributed_metrics_match_driver_reference(result, spark):
         "image_id string, cluster_id string",
     )
     got = pipeline.dup_pair_precision_distributed(cl, lbl_idname)
-    want = pipeline.dup_pair_precision(cl, {("x", "y")})
+    want = pipeline.dup_pair_precision_driver_reference(cl, {("x", "y")})
     assert got == want == 1 / 3
 
 

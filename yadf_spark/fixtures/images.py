@@ -191,6 +191,17 @@ def truth_df(spark, n: int, partitions: int | None = None):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):
+                # offset=ids[0] assumes this Arrow batch is a contiguous
+                # ascending id slice — true for spark.range partitions,
+                # but a repartitioned/reordered feed would silently
+                # mislabel the truth frame; fail loudly instead
+                # (ADVICE r4 item 4)
+                if int(ids[-1]) - int(ids[0]) + 1 != len(ids):
+                    raise ValueError(
+                        "truth_df batch is not a contiguous id range "
+                        f"[{int(ids[0])}, {int(ids[-1])}] with {len(ids)} rows "
+                        "— feed it an unrepartitioned spark.range"
+                    )
                 yield truth_pdf(len(ids), offset=int(ids[0]))
 
     return spark.range(0, n, 1, parts).mapInPandas(

@@ -458,7 +458,8 @@ def dup_pair_recall_distributed(clusters: DataFrame, truth_labels: DataFrame) ->
     (a 10^12-row corpus's truth pairs would OOM any driver dict; the
     label encoding is what a production evaluation job would persist).
 
-    Semantics match :func:`dup_pair_recall` exactly: the denominator is
+    Semantics match :func:`dup_pair_recall_driver_reference` exactly:
+    the denominator is
     Σ C(k, 2) over truth clusters; a pair counts only when BOTH ids
     appear in ``clusters`` with the same NON-NULL cluster_id (an id the
     pipeline dropped — or emitted with a NULL assignment — can never
@@ -489,13 +490,21 @@ def dup_pair_precision_distributed(
     ``truth_labels`` are their own singleton component). Emitted pairs
     are Σ C(n, 2) per emitted cluster, correct pairs Σ C(k, 2) per
     (cluster, truth-component) cell — the same arithmetic as
-    :func:`dup_pair_precision`'s driver union-find, derived from ONE
-    scan: the (cluster, comp) cell counts are aggregated once, then
-    both sums read that small frame (per-cluster n = Σ of its cells).
-    Truth labels and raw ids live in disjoint tag namespaces (``t:`` /
-    ``s:`` prefixes), so a truth cluster named after a member id can
-    never absorb an untruthed row with that id."""
-    labeled = clusters.join(truth_labels, "image_id", "left").select(
+    :func:`dup_pair_precision_driver_reference`'s union-find, derived
+    from ONE scan: the (cluster, comp) cell counts are aggregated once,
+    then both sums read that small frame (per-cluster n = Σ of its
+    cells). Truth labels and raw ids live in disjoint tag namespaces
+    (``t:`` / ``s:`` prefixes), so a truth cluster named after a member
+    id can never absorb an untruthed row with that id.
+
+    NULL ``cluster_id`` means UNASSIGNED — those rows emit no pairs,
+    mirroring the recall gate's ``isNotNull`` filter. Without the
+    filter, Spark's groupBy would pool every NULL-assigned row into one
+    phantom cluster whose pairs deflate precision."""
+    labeled = (
+        clusters.filter(F.col("cluster_id").isNotNull())
+        .join(truth_labels, "image_id", "left")
+    ).select(
         "cluster_id",
         F.coalesce(
             F.concat(F.lit("t:"), F.col("true_cluster")),
@@ -517,12 +526,16 @@ def dup_pair_precision_distributed(
     return correct / emitted
 
 
-def dup_pair_recall(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> float:
+def dup_pair_recall_driver_reference(
+    clusters: DataFrame, truth_pairs: set[tuple[str, str]]
+) -> float:
     """Fraction of ground-truth duplicate pairs co-clustered — the
-    driver's recall >= 0.99 gate (BASELINE.json). Driver-side reference
-    implementation over an explicit pair set; the bench gate runs
-    :func:`dup_pair_recall_distributed`, which scales to corpora whose
-    assignments don't fit a driver dict."""
+    driver's recall >= 0.99 gate (BASELINE.json). DRIVER-SIDE REFERENCE
+    ONLY (it collects the full assignment into a dict — O(corpus)
+    driver memory, a scale trap on a real cluster): the bench gate and
+    every product path run :func:`dup_pair_recall_distributed`; this
+    exists solely as the equality oracle in
+    tests/test_pipeline.py::test_distributed_metrics_match_driver_reference."""
     assign = {r["image_id"]: r["cluster_id"] for r in clusters.collect()}
     if not truth_pairs:
         return 1.0
@@ -535,17 +548,24 @@ def dup_pair_recall(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> f
     return hit / len(truth_pairs)
 
 
-def dup_pair_precision(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -> float:
+def dup_pair_precision_driver_reference(
+    clusters: DataFrame, truth_pairs: set[tuple[str, str]]
+) -> float:
     """Fraction of co-clustered pairs that are true duplicates, judged
     against the TRANSITIVE CLOSURE of the planted pairs (a pipeline that
     co-clusters a-b and b-c has also asserted a-c; the closure is what
     makes that assertion correct rather than a false positive).
+    DRIVER-SIDE REFERENCE ONLY (collects the full assignment — see
+    :func:`dup_pair_recall_driver_reference`); product paths use
+    :func:`dup_pair_precision_distributed`.
 
     Counted without materializing any pair list: a union-find over the
     planted pairs labels each id with its truth component, then per
     emitted cluster the correct pairs are sum-over-components C(k, 2)
     and the emitted pairs C(n, 2) — linear in corpus size even when a
-    (buggy) pipeline emits one giant cluster."""
+    (buggy) pipeline emits one giant cluster. Rows with a NULL
+    ``cluster_id`` are unassigned and emit no pairs, mirroring the
+    distributed implementation."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -562,7 +582,8 @@ def dup_pair_precision(clusters: DataFrame, truth_pairs: set[tuple[str, str]]) -
 
     by_cluster: dict = {}
     for r in clusters.collect():
-        by_cluster.setdefault(r["cluster_id"], []).append(r["image_id"])
+        if r["cluster_id"] is not None:
+            by_cluster.setdefault(r["cluster_id"], []).append(r["image_id"])
 
     emitted = 0
     correct = 0

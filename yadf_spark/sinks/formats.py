@@ -80,17 +80,33 @@ def ldjson_lines(groups: DataFrame) -> DataFrame:
 
 def csv_lines(groups: DataFrame, header: bool = True) -> DataFrame:
     """Header ``count,files``; flexible rows ``n,path,path,...``
-    (src/main.rs:236-250)."""
-    body = _ordered(groups).select(
-        F.concat_ws(",", F.col("n").cast("string"), F.array_join("members", ",")).alias(
-            "value"
-        )
-    )
+    (src/main.rs:236-250).
+
+    The header is ordered ahead of the body by an explicit sentinel
+    sort key (``_hdr`` 0/1) rather than union partition order, so the
+    header-first property rests on the same final-``orderBy`` range
+    exchange that makes every renderer's sharded part files globally
+    ordered (``write_lines``) — a planner/AQE change reordering union
+    legs cannot interleave it (ADVICE r4 item 3)."""
+    value = F.concat_ws(
+        ",", F.col("n").cast("string"), F.array_join("members", ",")
+    ).alias("value")
     if not header:
-        return body
-    spark = groups.sparkSession
-    head = spark.createDataFrame([("count,files",)], "value string")
-    return head.unionByName(body)
+        return _ordered(groups).select(value)
+    body = groups.select(
+        F.lit(1).alias("_hdr"), F.col("group_key").alias("_key"), value
+    )
+    key_type = body.schema["_key"].dataType
+    head = groups.sparkSession.range(1).select(
+        F.lit(0).alias("_hdr"),
+        F.lit(None).cast(key_type).alias("_key"),
+        F.lit("count,files").alias("value"),
+    )
+    return (
+        head.unionByName(body)
+        .orderBy(F.col("_hdr"), F.col("_key"))
+        .select("value")
+    )
 
 
 #: ``render()`` collects every group to the driver (CLI stdout parity).
@@ -152,13 +168,11 @@ def write_lines(
     so outputs up to ``single_max`` lines coalesce to a single part
     file. Above that, one writer task would serialize the whole output;
     the sharded path writes with the upstream partitioning intact.
-    Cross-file order: the fdupes/machine/ld-json renderers end in
-    ``orderBy(group_key)``, whose range exchange leaves part files
-    globally ordered, so concatenating them in filename order
-    reproduces the single-file byte stream (AQE sizes the shards by
-    bytes at runtime); ``csv_lines`` is a header-first union whose
-    1-partition header precedes the ordered body — correct today, but
-    by union partition order, not the sort invariant. The routing
+    Cross-file order: every renderer — ``csv_lines`` included, via its
+    header sentinel sort key — ends in a global ``orderBy``, whose
+    range exchange leaves part files globally ordered, so concatenating
+    them in filename order reproduces the single-file byte stream (AQE
+    sizes the shards by bytes at runtime). The routing
     count and the write are two actions over the same (sorted) plan,
     so ``lines`` is persisted across them. Returns the routing taken,
     ``"single"`` or ``"sharded"``."""
