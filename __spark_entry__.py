@@ -3235,6 +3235,23 @@ def q_cluster_quality_docs(spark, sf_dir):
     return evaluation.cluster_quality(clusters, truth)
 
 
+def q_cluster_quality_ext_docs(spark, sf_dir):
+    """Element/entropy clustering report over the same closure-vs-md5
+    contingency as cluster_quality_docs: purity, B-cubed
+    precision/recall/F1 (size-weighted per-item averages — a viral
+    mis-merge can't hide behind pair amortization) and
+    homogeneity/completeness/V-measure via the log-moment identities.
+    Same O(cells) shape: marginals join back to the cells, never the
+    corpus; the oracle replays every sum and both entropy reductions
+    relationally."""
+    from yadf_spark.operators import evaluation
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = _doc_clusters(spark, sf_dir)
+    truth = d.select(F.col("doc_id").alias("id"), F.md5("text").alias("true_cluster"))
+    return evaluation.cluster_quality_extended(clusters, truth)
+
+
 def q_dedup_rate_by_source(spark, sf_dir):
     """Per-source duplication report — the dashboard row a corpus
     pipeline publishes after a dedup run: how many of each source's
@@ -3721,6 +3738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "cluster_quality_docs": q_cluster_quality_docs,
         "bpe_encode_docs": q_bpe_encode_docs,
+        # round-5 addition: element/entropy clustering report
+        "cluster_quality_ext_docs": q_cluster_quality_ext_docs,
         # -- pq_codes re-check: r4's one red row, output now reshaped -----
         "pq_codes": q_pq_codes,
         # -- 20 durability re-confirmations (oldest greens, round 1) ------
@@ -3743,7 +3762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "cross_corpus_near_dup_pairs": q_cross_corpus_near_dup_pairs,
         # -- end of round-5 window (50 entries above) ---------------------
         # -- round-4 window (all green r04), original order ---------------
         "ann_topk_srp": q_ann_topk_srp,
@@ -3796,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_near_dup": q_ensemble_near_dup,
         "split_leakage_report": q_split_leakage_report,
         # -- previously driver-green (rounds 1-3), original order ---------
+        "cross_corpus_near_dup_pairs": q_cross_corpus_near_dup_pairs,
         "cross_corpus_dedup_survivors": q_cross_corpus_dedup_survivors,
         "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
         "normalized_dedup_docs": q_normalized_dedup_docs,
@@ -5230,6 +5249,75 @@ def oracle_sql() -> dict[str, str]:
                                  * (CAST(fn2 AS DOUBLE) + CAST(tn2 AS DOUBLE)))
                          END, 6) AS ari
             FROM x""",
+        # element/entropy report over the same closure: purity and the
+        # B-cubed sums replay per-cell, the V-measure entropies via the
+        # same three log-moment reductions (A, B, L) the Spark
+        # aggregate computes — float enters per-cell exactly where the
+        # operator's doubles do, rounded to the same 6dp
+        "cluster_quality_ext_docs": f"""
+            WITH RECURSIVE {SHINGLE_CTE},
+            e AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+            bidir AS (
+              SELECT id_a AS u, id_b AS v FROM e
+              UNION
+              SELECT id_b AS u, id_a AS v FROM e),
+            reach(id, lab) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+              UNION
+              SELECT b.v, r.lab FROM reach r JOIN bidir b ON b.u = r.id),
+            cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            tl AS (SELECT doc_id AS id, md5(text) AS t FROM documents
+                   WHERE text IS NOT NULL),
+            cells AS (SELECT cl.cluster_id AS c, tl.t, count(*) AS n
+                      FROM cl JOIN tl USING (id) GROUP BY 1, 2),
+            am AS (SELECT c, sum(n) AS av FROM cells GROUP BY c),
+            bm AS (SELECT t, sum(n) AS bv FROM cells GROUP BY t),
+            m AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS n_items,
+                         coalesce(sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                      / CAST(av AS DOUBLE)), 0) AS prec_sum,
+                         coalesce(sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                      / CAST(bv AS DOUBLE)), 0) AS rec_sum,
+                         coalesce(sum(CAST(n AS DOUBLE)
+                                      * ln(CAST(n AS DOUBLE))), 0) AS l_sum,
+                         coalesce(sum(CAST(n AS DOUBLE)
+                                      * ln(CAST(av AS DOUBLE))), 0) AS a_sum,
+                         coalesce(sum(CAST(n AS DOUBLE)
+                                      * ln(CAST(bv AS DOUBLE))), 0) AS b_sum
+                  FROM cells JOIN am USING (c) JOIN bm USING (t)),
+            p AS (SELECT CAST(coalesce(sum(mx), 0) AS HUGEINT) AS pur_num
+                  FROM (SELECT max(n) AS mx FROM cells GROUP BY c)),
+            r AS (SELECT m.*, p.pur_num,
+                         CAST(n_items AS DOUBLE) AS nd FROM m, p),
+            sc AS (SELECT n_items, nd, pur_num,
+                          CASE WHEN nd = 0 THEN 1.0
+                               ELSE prec_sum / nd END AS prec,
+                          CASE WHEN nd = 0 THEN 1.0
+                               ELSE rec_sum / nd END AS rec,
+                          (a_sum - l_sum) / nd AS htc_num,
+                          (b_sum - l_sum) / nd AS hct_num,
+                          ln(nd) - a_sum / nd AS hc,
+                          ln(nd) - b_sum / nd AS ht
+                   FROM r),
+            sc2 AS (SELECT n_items, nd, pur_num, prec, rec,
+                           CASE WHEN nd = 0 OR ht <= 0 THEN 1.0
+                                ELSE 1.0 - htc_num / ht END AS hom,
+                           CASE WHEN nd = 0 OR hc <= 0 THEN 1.0
+                                ELSE 1.0 - hct_num / hc END AS com
+                    FROM sc)
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   round(CASE WHEN nd = 0 THEN 1.0
+                         ELSE CAST(pur_num AS DOUBLE) / nd END, 6) AS purity,
+                   round(prec, 6) AS bcubed_precision,
+                   round(rec, 6) AS bcubed_recall,
+                   round(CASE WHEN prec + rec = 0 THEN 0.0
+                         ELSE 2.0 * prec * rec / (prec + rec) END, 6)
+                     AS bcubed_f1,
+                   round(hom, 6) AS homogeneity,
+                   round(com, 6) AS completeness,
+                   round(CASE WHEN hom + com = 0 THEN 0.0
+                         ELSE 2.0 * hom * com / (hom + com) END, 6)
+                     AS v_measure
+            FROM sc2""",
         # per-source duplication report over the same closure: clustered
         # (= edge-bearing, size >= 2) docs counted per source.
         "dedup_rate_by_source": f"""

@@ -268,6 +268,18 @@ def run_image_pipeline(
         .asDict()
         .items()
     }
+    # element/entropy view of the same contingency (purity, B-cubed,
+    # V-measure) — all 1.0 on a perfect assignment; B-cubed is the one
+    # that degrades visibly if a viral cluster ever over-merges
+    quality.update(
+        ev.cluster_quality_extended(
+            clusters.withColumnRenamed("image_id", "id"),
+            truth.withColumnRenamed("image_id", "id"),
+        )
+        .drop("n_items")
+        .collect()[0]
+        .asDict()
+    )
     # per-stage row counts from the final run's (materialized) lazy
     # checkpoints — the reference's scan-statistics surface; cheap now
     # that every stage's blocks exist
@@ -321,8 +333,19 @@ def run_exact_ladder(spark, n_images: int, repeats: int = 2) -> dict:
         # same-size samples would let one window bias a single size
         rounds["small"].append(round(run(df_small), 3))
         rounds["large"].append(round(run(df_large), 3))
-    df_large.unpersist()
     t_n, t_4n = min(rounds["small"]), min(rounds["large"])
+    # a 4x-row job cannot genuinely finish under the 1x job (both pay
+    # the same ~2.5 s fixed cost; the marginal term only adds) — an
+    # inverted ordering is a noise-window signature that would null the
+    # marginal quotient. Take up to two more interleaved pairs; the
+    # per-size min over more rounds only ever sharpens the estimate.
+    extra = 0
+    while t_4n <= t_n and extra < 2:
+        rounds["small"].append(round(run(df_small), 3))
+        rounds["large"].append(round(run(df_large), 3))
+        t_n, t_4n = min(rounds["small"]), min(rounds["large"])
+        extra += 1
+    df_large.unpersist()
     marginal = (
         round((LADDER_4X_IMAGES - n_images) / (t_4n - t_n), 1) if t_4n > t_n else None
     )

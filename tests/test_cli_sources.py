@@ -1003,11 +1003,17 @@ def test_cli_cluster_quality_mode(spark, tmp_path):
         ["--mode", "cluster-quality", "--eval-clusters", cpath, "--eval-truth", tpath],
     )
     rep = json.loads(out)
-    # the hand-computed case from test_evaluation.py
-    assert rep == {
+    # the hand-computed case from test_evaluation.py — pair view plus
+    # the element/entropy view in one report line
+    pair_part = {k: rep[k] for k in (
+        "n_items", "tp", "fp", "fn", "tn", "rand_index", "ari"
+    )}
+    assert pair_part == {
         "n_items": 5, "tp": 1, "fp": 1, "fn": 1, "tn": 7,
         "rand_index": 0.8, "ari": 0.375,
     }
+    assert rep["purity"] == rep["bcubed_precision"] == rep["bcubed_recall"] == 0.8
+    assert rep["homogeneity"] == rep["completeness"] == rep["v_measure"]
 
     with pytest.raises(SystemExit, match="eval-clusters"):
         run(

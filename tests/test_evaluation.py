@@ -181,3 +181,140 @@ def test_cluster_quality_matches_pair_counting_reference(spark):
             got["n_items"], got["tp"], got["fp"], got["fn"], got["tn"],
             got["rand_index"], got["ari"],
         ) == want, (pred, true)
+
+
+def _ref_extended(rows):
+    """Independent driver-side reference for the extended report:
+    (id, cluster, truth) triples -> the element/entropy metrics, from
+    the textbook formulas (Bagga & Baldwin B-cubed; Rosenberg &
+    Hirschberg V-measure), O(n) dicts — test-scale only."""
+    import math
+    from collections import Counter
+
+    cells = Counter((c, t) for _, c, t in rows)
+    a, b = Counter(), Counter()
+    for (c, t), k in cells.items():
+        a[c] += k
+        b[t] += k
+    n = sum(cells.values())
+    if n == 0:
+        return {
+            "n_items": 0, "purity": 1.0, "bcubed_precision": 1.0,
+            "bcubed_recall": 1.0, "bcubed_f1": 1.0, "homogeneity": 1.0,
+            "completeness": 1.0, "v_measure": 1.0,
+        }
+    best = Counter()
+    for (c, _t), k in cells.items():
+        best[c] = max(best[c], k)
+    purity = sum(best.values()) / n
+    prec = sum(k * k / a[c] for (c, _t), k in cells.items()) / n
+    rec = sum(k * k / b[t] for (_c, t), k in cells.items()) / n
+    f1 = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+    A = sum(v * math.log(v) for v in a.values())
+    B = sum(v * math.log(v) for v in b.values())
+    L = sum(v * math.log(v) for v in cells.values())
+    ht = math.log(n) - B / n
+    hc = math.log(n) - A / n
+    hom = 1.0 if ht <= 0 else 1.0 - (A - L) / n / ht
+    com = 1.0 if hc <= 0 else 1.0 - (B - L) / n / hc
+    v = 0.0 if hom + com == 0 else 2 * hom * com / (hom + com)
+    return {
+        "n_items": n, "purity": purity, "bcubed_precision": prec,
+        "bcubed_recall": rec, "bcubed_f1": f1, "homogeneity": hom,
+        "completeness": com, "v_measure": v,
+    }
+
+
+def _assert_close(got, want):
+    assert got["n_items"] == want["n_items"]
+    for k in (
+        "purity", "bcubed_precision", "bcubed_recall", "bcubed_f1",
+        "homogeneity", "completeness", "v_measure",
+    ):
+        assert abs(got[k] - want[k]) <= 1.1e-6, (k, got[k], want[k])
+
+
+def test_cluster_quality_extended_hand_computed(spark):
+    """The 5-item contingency from the pair test: purity, B-cubed
+    precision and recall all come out to exactly 0.8 by hand; the
+    entropy metrics are checked against the reference formulas."""
+    rows = [
+        ("a", "c1", "t1"), ("b", "c1", "t1"), ("c", "c2", "t2"),
+        ("d", "c2", "t3"), ("e", "c3", "t2"),
+    ]
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "id string, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "id string, true_cluster string"
+    )
+    got = _one(evaluation.cluster_quality_extended(clusters, truth))
+    assert got["purity"] == got["bcubed_precision"] == got["bcubed_recall"] == 0.8
+    _assert_close(got, _ref_extended(rows))
+    # A = B here (symmetric marginals), so hom == com == v
+    assert got["homogeneity"] == got["completeness"] == got["v_measure"]
+
+
+def test_cluster_quality_extended_perfect_and_degenerate(spark):
+    rows = [("a", "x", "g1"), ("b", "x", "g1"), ("c", "y", "g2")]
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "id string, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "id string, true_cluster string"
+    )
+    got = _one(evaluation.cluster_quality_extended(clusters, truth))
+    for k in (
+        "purity", "bcubed_precision", "bcubed_recall", "bcubed_f1",
+        "homogeneity", "completeness", "v_measure",
+    ):
+        assert got[k] == 1.0, (k, got[k])
+
+    # single truth class: H(T)=0 -> homogeneity 1.0 by convention
+    truth1 = spark.createDataFrame(
+        [("a", "g"), ("b", "g"), ("c", "g")], "id string, true_cluster string"
+    )
+    got = _one(evaluation.cluster_quality_extended(clusters, truth1))
+    assert got["homogeneity"] == 1.0
+    _assert_close(got, _ref_extended([("a", "x", "g"), ("b", "x", "g"), ("c", "y", "g")]))
+
+    # empty intersection
+    other = spark.createDataFrame([("zz", "u")], "id string, true_cluster string")
+    got = _one(evaluation.cluster_quality_extended(clusters, other))
+    assert got["n_items"] == 0 and got["v_measure"] == 1.0
+
+
+def test_cluster_quality_extended_excludes_null_labels(spark):
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", None), ("y", None)],
+        "id string, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("x", "t2"), ("y", None)],
+        "id string, true_cluster string",
+    )
+    got = _one(evaluation.cluster_quality_extended(clusters, truth))
+    assert got["n_items"] == 2 and got["purity"] == 1.0
+
+
+def test_cluster_quality_extended_matches_reference_on_skewed_corpus(spark):
+    """A viral-cluster shape (one 40-member cluster absorbing three
+    truth groups + a tail of small clusters): the distributed report
+    must match the textbook reference, and B-cubed precision must
+    punish the mis-merge harder than purity does."""
+    rows = []
+    for i in range(40):  # viral cluster spanning 3 truth groups
+        rows.append((f"v{i}", "big", f"t{i % 3}"))
+    for g in range(10):  # clean tail
+        for i in range(3):
+            rows.append((f"s{g}-{i}", f"c{g}", f"u{g}"))
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c, _ in rows], "id string, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "id string, true_cluster string"
+    )
+    got = _one(evaluation.cluster_quality_extended(clusters, truth))
+    want = _ref_extended(rows)
+    _assert_close(got, want)
+    assert got["bcubed_precision"] < got["purity"]

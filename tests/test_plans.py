@@ -398,3 +398,25 @@ def test_cluster_quality_no_corpus_collect_and_single_cell_agg(spark, docs):
     # cross-joins of the single-row aggregates are the only nested-loop
     # joins; the id join itself must be a real equi-join
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cluster_quality_extended_no_corpus_collect(spark, docs):
+    """The element/entropy report has the same shape discipline as the
+    pair report: one (cluster, truth) cell aggregation, marginals
+    joined back to the CELLS (equi-joins), 1-row aggregates
+    cross-joined — no collect_list, no window, nothing O(corpus) on
+    the driver."""
+    from yadf_spark.operators import evaluation
+
+    clusters = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 50).cast("string").alias("cluster_id"),
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 40).cast("string").alias("true_cluster"),
+    )
+    plan = _formatted(evaluation.cluster_quality_extended(clusters, truth))
+    assert "collect_list" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan

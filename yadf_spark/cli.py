@@ -105,8 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
         "decoded payloads) verified at exact Jaccard >= --jaccard; "
         "curate: the composed C4-clean -> exact-dedup -> split -> pack text "
         "recipe, written to --curated-table partitioned by split; "
-        "cluster-quality: pair-confusion + Rand/ARI of --eval-clusters "
-        "against --eval-truth (one JSON line on stdout)",
+        "cluster-quality: pair-confusion + Rand/ARI plus purity/B-cubed/"
+        "V-measure of --eval-clusters against --eval-truth (one JSON "
+        "line on stdout)",
     )
     p.add_argument(
         "--eval-clusters", default=None,
@@ -514,6 +515,15 @@ def run(args: argparse.Namespace, spark=None) -> int:
             .asDict()
             .items()
         }
+        # one report line: pair view (tp/fp/fn/tn, Rand/ARI) merged
+        # with the element/entropy view (purity, B-cubed, V-measure)
+        ext = (
+            evaluation.cluster_quality_extended(clusters, truth)
+            .drop("n_items")
+            .collect()[0]
+            .asDict()
+        )
+        rep.update(ext)
         print(_json.dumps(rep))
         return 0
 

@@ -120,3 +120,111 @@ def cluster_quality(
         F.round(ri, round_to).alias("rand_index"),
         F.round(ari, round_to).alias("ari"),
     )
+
+
+def cluster_quality_extended(
+    clusters: DataFrame,
+    truth_labels: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "true_cluster",
+    round_to: int = 6,
+) -> DataFrame:
+    """ONE-row element/entropy clustering report — the complement of
+    :func:`cluster_quality`'s pair view: ``(n_items, purity,
+    bcubed_precision, bcubed_recall, bcubed_f1, homogeneity,
+    completeness, v_measure)``.
+
+    * **purity** = (Σ per-cluster max truth-cell) / n — the "is each
+      cluster mostly one thing" dashboard number; numerator summed
+      EXACTLY as decimal, float enters in the one final division,
+    * **B-cubed** (Bagga & Baldwin 1998) precision / recall / F1 —
+      per-item averages, size-weighted so a 10M-copy viral cluster
+      can't hide a mis-merge the pair indices amortize away:
+      precision = (1/n)·Σ_cells n_ct²/a_c, recall with b_t,
+    * **homogeneity / completeness / V-measure** (Rosenberg &
+      Hirschberg 2007) via the entropy identities — every conditional
+      entropy reduces to three log-moment sums over the cells and
+      marginals: A = Σ a_c·ln a_c, B = Σ b_t·ln b_t,
+      L = Σ n_ct·ln n_ct, then H(T|C) = (A−L)/n, H(C|T) = (B−L)/n,
+      H(C) = ln n − A/n, H(T) = ln n − B/n. Degenerate zero entropies
+      score 1.0 (sklearn's convention).
+
+    Same frame contract and NULL discipline as :func:`cluster_quality`
+    (inner join on ids labeled by both sides, NULL labels excluded).
+    Scale shape: one (cluster, truth) cell aggregation, marginals
+    joined back to the CELLS (never the corpus), one aggregate row per
+    side, a cross-join of 1-row frames. The per-cell ratio/log terms
+    accumulate as doubles — unlike the pair counts they have no exact
+    integer form — with ~1e-16·cells relative error, far below the
+    ``round_to`` reporting precision; n and the purity numerator stay
+    exact decimal."""
+    both = (
+        clusters.filter(F.col(cluster_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+        .join(
+            truth_labels.filter(F.col(truth_col).isNotNull()).select(
+                F.col(id_col).alias("_id"), F.col(truth_col).alias("_t")
+            ),
+            "_id",
+        )
+    )
+    cells = both.groupBy("_c", "_t").agg(F.count("*").alias("n"))
+    a = cells.groupBy("_c").agg(F.sum("n").alias("a"))
+    b = cells.groupBy("_t").agg(F.sum("n").alias("b"))
+    nd = F.col("n").cast("double")
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    main = (
+        cells.join(a, "_c")
+        .join(b, "_t")
+        .agg(
+            F.coalesce(F.sum(F.col("n").cast(_DEC)), F.lit(0).cast(_DEC)).alias(
+                "n_items"
+            ),
+            F.coalesce(F.sum(nd * nd / ad), F.lit(0.0)).alias("prec_sum"),
+            F.coalesce(F.sum(nd * nd / bd), F.lit(0.0)).alias("rec_sum"),
+            F.coalesce(F.sum(nd * F.log(nd)), F.lit(0.0)).alias("l_sum"),
+            # Σ_t n_ct·ln a_c = a_c·ln a_c per cluster, but summing the
+            # cell-local form avoids a second scan of the marginals
+            F.coalesce(F.sum(nd * F.log(ad)), F.lit(0.0)).alias("a_sum"),
+            F.coalesce(F.sum(nd * F.log(bd)), F.lit(0.0)).alias("b_sum"),
+        )
+    )
+    pur = cells.groupBy("_c").agg(F.max("n").alias("m")).agg(
+        F.coalesce(F.sum(F.col("m").cast(_DEC)), F.lit(0).cast(_DEC)).alias(
+            "pur_num"
+        )
+    )
+    j = main.crossJoin(pur)
+    n = F.col("n_items").cast("double")
+    prec = F.when(n == 0.0, F.lit(1.0)).otherwise(F.col("prec_sum") / n)
+    rec = F.when(n == 0.0, F.lit(1.0)).otherwise(F.col("rec_sum") / n)
+    f1 = F.when(prec + rec == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * prec * rec / (prec + rec)
+    )
+    purity = F.when(n == 0.0, F.lit(1.0)).otherwise(
+        F.col("pur_num").cast("double") / n
+    )
+    h_t_given_c = (F.col("a_sum") - F.col("l_sum")) / n
+    h_c_given_t = (F.col("b_sum") - F.col("l_sum")) / n
+    h_c = F.log(n) - F.col("a_sum") / n
+    h_t = F.log(n) - F.col("b_sum") / n
+    hom = F.when((n == 0.0) | (h_t <= 0.0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_t_given_c / h_t
+    )
+    com = F.when((n == 0.0) | (h_c <= 0.0), F.lit(1.0)).otherwise(
+        F.lit(1.0) - h_c_given_t / h_c
+    )
+    v = F.when(hom + com == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * hom * com / (hom + com)
+    )
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(purity, round_to).alias("purity"),
+        F.round(prec, round_to).alias("bcubed_precision"),
+        F.round(rec, round_to).alias("bcubed_recall"),
+        F.round(f1, round_to).alias("bcubed_f1"),
+        F.round(hom, round_to).alias("homogeneity"),
+        F.round(com, round_to).alias("completeness"),
+        F.round(v, round_to).alias("v_measure"),
+    )
