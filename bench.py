@@ -258,9 +258,14 @@ def run_image_pipeline(
 
     from yadf_spark.operators import evaluation as ev
 
+    # pair view (tp/fp/fn/tn, Rand/ARI) + element/entropy view (purity,
+    # B-cubed, V-measure — all 1.0 on a perfect assignment; B-cubed is
+    # the one that degrades visibly if a viral cluster ever over-merges)
+    # in ONE action: the combined plan's shared contingency subplan is
+    # computed once via AQE exchange reuse
     quality = {
         k: (int(v) if isinstance(v, _dec.Decimal) else v)
-        for k, v in ev.cluster_quality(
+        for k, v in ev.cluster_quality_report(
             clusters.withColumnRenamed("image_id", "id"),
             truth.withColumnRenamed("image_id", "id"),
         )
@@ -268,18 +273,6 @@ def run_image_pipeline(
         .asDict()
         .items()
     }
-    # element/entropy view of the same contingency (purity, B-cubed,
-    # V-measure) — all 1.0 on a perfect assignment; B-cubed is the one
-    # that degrades visibly if a viral cluster ever over-merges
-    quality.update(
-        ev.cluster_quality_extended(
-            clusters.withColumnRenamed("image_id", "id"),
-            truth.withColumnRenamed("image_id", "id"),
-        )
-        .drop("n_items")
-        .collect()[0]
-        .asDict()
-    )
     # per-stage row counts from the final run's (materialized) lazy
     # checkpoints — the reference's scan-statistics surface; cheap now
     # that every stage's blocks exist

@@ -709,3 +709,32 @@ def test_collapse_splits_classes_on_divergent_table_phash(spark):
     )
     reps = pipeline.collapse_to_representatives(df, exact.exact_assignments(df))
     assert sorted(r["image_id"] for r in reps.collect()) == ["p1", "p2"]
+
+
+def test_fixture_generators_reject_non_contiguous_batches(spark):
+    """Both fixture generators fabricate rows from (offset, length)
+    alone, so a repartitioned feed must fail loudly instead of
+    silently emitting rows for the wrong ids (ADVICE r4 item 4,
+    extended to images_df by the round-5 review)."""
+    import pytest as _pytest
+
+    from yadf_spark.fixtures.images import _batch_offset
+
+    class _Ids:
+        def __init__(self, vals):
+            self._v = vals
+
+        def min(self):
+            return min(self._v)
+
+        def max(self):
+            return max(self._v)
+
+        def __len__(self):
+            return len(self._v)
+
+    # contiguous (any order) passes and returns the true start
+    assert _batch_offset(_Ids([3, 5, 4, 6])) == 3
+    # a gap is caught even when first/last happen to look contiguous
+    with _pytest.raises(ValueError, match="contiguous"):
+        _batch_offset(_Ids([2, 0, 1, 5]))

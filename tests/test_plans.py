@@ -420,3 +420,31 @@ def test_cluster_quality_extended_no_corpus_collect(spark, docs):
     assert "collect_list" not in plan, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cluster_quality_report_reuses_contingency_exchange(spark, docs):
+    """The combined pair+element report must compute the corpus-sized
+    id-join/cell-aggregation ONCE: after execution the AQE-final plan
+    shows ReusedExchange nodes for the shared contingency subplan (two
+    separate collects — the shape the CLI and bench previously had —
+    would run it twice)."""
+    import contextlib
+    import io
+
+    from yadf_spark.operators import evaluation
+
+    clusters = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 50).cast("string").alias("cluster_id"),
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 40).cast("string").alias("true_cluster"),
+    )
+    rep = evaluation.cluster_quality_report(clusters, truth)
+    row = rep.collect()[0]
+    assert row["n_items"] > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rep.explain("formatted")
+    assert buf.getvalue().count("ReusedExchange") >= 1, buf.getvalue()

@@ -508,22 +508,17 @@ def run(args: argparse.Namespace, spark=None) -> int:
         truth = spark.read.parquet(args.eval_truth).withColumnRenamed(
             args.id_col, "id"
         )
+        # one report line, one action: pair view (tp/fp/fn/tn, Rand/ARI)
+        # and the element/entropy view (purity, B-cubed, V-measure) in a
+        # single plan, whose shared id-join + contingency-cell subplan
+        # AQE computes once (ReusedExchange)
         rep = {
             k: (int(v) if isinstance(v, _dec.Decimal) else v)
-            for k, v in evaluation.cluster_quality(clusters, truth)
+            for k, v in evaluation.cluster_quality_report(clusters, truth)
             .collect()[0]
             .asDict()
             .items()
         }
-        # one report line: pair view (tp/fp/fn/tn, Rand/ARI) merged
-        # with the element/entropy view (purity, B-cubed, V-measure)
-        ext = (
-            evaluation.cluster_quality_extended(clusters, truth)
-            .drop("n_items")
-            .collect()[0]
-            .asDict()
-        )
-        rep.update(ext)
         print(_json.dumps(rep))
         return 0
 

@@ -151,6 +151,26 @@ def images_pdf(n: int, seed: int = 42, offset: int = 0) -> pd.DataFrame:
     return pdf
 
 
+def _batch_offset(ids) -> int:
+    """Validate that an Arrow batch from ``spark.range`` is a slice of
+    the contiguous id range and return its start. Both fixture
+    generators fabricate rows for ``offset..offset+len-1`` from the
+    batch LENGTH alone, so a repartitioned/reordered/filtered feed
+    would silently emit rows for the wrong ids — corrupting the planted
+    corpus or its truth labels with no error (ADVICE r4 item 4). The
+    min/max span check is exact: ``spark.range`` ids are distinct, so
+    span == len implies the batch is exactly the contiguous range
+    (within-batch order is irrelevant — rows are derived per-id)."""
+    lo, hi = int(ids.min()), int(ids.max())
+    if hi - lo + 1 != len(ids):
+        raise ValueError(
+            f"fixture batch is not a contiguous id range [{lo}, {hi}] "
+            f"with {len(ids)} rows — feed it an unrepartitioned "
+            "spark.range"
+        )
+    return lo
+
+
 def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     """Distributed generation: ``spark.range`` hands each task a
     perfectly balanced contiguous id range (an earlier round-robin
@@ -162,7 +182,7 @@ def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):
-                yield images_pdf(len(ids), seed=seed, offset=int(ids[0]))
+                yield images_pdf(len(ids), seed=seed, offset=_batch_offset(ids))
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, schema=SCHEMA)
 
@@ -191,18 +211,7 @@ def truth_df(spark, n: int, partitions: int | None = None):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             if len(ids):
-                # offset=ids[0] assumes this Arrow batch is a contiguous
-                # ascending id slice — true for spark.range partitions,
-                # but a repartitioned/reordered feed would silently
-                # mislabel the truth frame; fail loudly instead
-                # (ADVICE r4 item 4)
-                if int(ids[-1]) - int(ids[0]) + 1 != len(ids):
-                    raise ValueError(
-                        "truth_df batch is not a contiguous id range "
-                        f"[{int(ids[0])}, {int(ids[-1])}] with {len(ids)} rows "
-                        "— feed it an unrepartitioned spark.range"
-                    )
-                yield truth_pdf(len(ids), offset=int(ids[0]))
+                yield truth_pdf(len(ids), offset=_batch_offset(ids))
 
     return spark.range(0, n, 1, parts).mapInPandas(
         gen, schema="image_id string, true_cluster string"

@@ -228,3 +228,30 @@ def cluster_quality_extended(
         F.round(com, round_to).alias("completeness"),
         F.round(v, round_to).alias("v_measure"),
     )
+
+
+def cluster_quality_report(
+    clusters: DataFrame,
+    truth_labels: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "true_cluster",
+    round_to: int = 6,
+) -> DataFrame:
+    """Both views — :func:`cluster_quality`'s pair confusion and
+    :func:`cluster_quality_extended`'s element/entropy metrics — as ONE
+    single-row frame, for callers that want the whole report (CLI
+    ``--mode cluster-quality``, the bench gate).
+
+    Collected in one action, the combined physical plan contains the
+    identical id-join + (cluster, truth) cell-aggregation subplan on
+    every branch, so Catalyst's exchange reuse computes the only
+    corpus-sized stage ONCE (ReusedExchange — pinned by the plan
+    suite); two separate collects would run it twice."""
+    pair = cluster_quality(
+        clusters, truth_labels, id_col, cluster_col, truth_col, round_to
+    )
+    ext = cluster_quality_extended(
+        clusters, truth_labels, id_col, cluster_col, truth_col, round_to
+    )
+    return pair.crossJoin(ext.drop("n_items"))
