@@ -318,3 +318,40 @@ def test_cluster_quality_extended_matches_reference_on_skewed_corpus(spark):
     want = _ref_extended(rows)
     _assert_close(got, want)
     assert got["bcubed_precision"] < got["purity"]
+
+
+def test_cluster_quality_extended_random_labelings_match_reference(spark):
+    """Seeded sweep: six random (clustering, truth) shapes — balanced,
+    skewed, singleton-heavy, nested, independent, identical — must all
+    match the textbook reference within rounding. Catches identity
+    mistakes (e.g. swapped homogeneity/completeness) that symmetric
+    hand cases cannot."""
+    import numpy as np
+
+    rng = np.random.default_rng(2026)
+    shapes = [
+        ("balanced", lambda i: f"c{i % 7}", lambda i: f"t{i % 5}"),
+        ("skewed", lambda i: "c0" if i < 80 else f"c{i}", lambda i: f"t{i % 9}"),
+        ("singletons", lambda i: f"c{i}", lambda i: f"t{i % 4}"),
+        ("nested", lambda i: f"c{i % 12}", lambda i: f"t{(i % 12) // 3}"),
+        (
+            "random",
+            lambda i, r=rng.integers(0, 6, 120): f"c{r[i]}",
+            lambda i, r=rng.integers(0, 6, 120): f"t{r[i]}",
+        ),
+        ("identical", lambda i: f"g{i % 8}", lambda i: f"g{i % 8}"),
+    ]
+    for name, cf, tf in shapes:
+        rows = [(f"id{i}", cf(i), tf(i)) for i in range(120)]
+        cl = spark.createDataFrame(
+            [(i, c) for i, c, _ in rows], "id string, cluster_id string"
+        )
+        tr = spark.createDataFrame(
+            [(i, t) for i, _, t in rows], "id string, true_cluster string"
+        )
+        got = _one(evaluation.cluster_quality_extended(cl, tr))
+        want = _ref_extended(rows)
+        try:
+            _assert_close(got, want)
+        except AssertionError as e:
+            raise AssertionError(f"shape {name}: {e}") from e
