@@ -3691,7 +3691,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION PLAN (the driver's correctness sweep checks the FIRST 50
-    # entries only; 145 exist, so coverage rotates round-by-round):
+    # entries only; 146 exist, so coverage rotates round-by-round):
     #   - Rounds 1-3 gave green driver rows to 66 queries; round 4's
     #     window covered 50 of the 79 never-checked (49 green; pq_codes
     #     red on output SHAPE only — array<int> crashed the driver's
@@ -5296,10 +5296,10 @@ def oracle_sql() -> dict[str, str]:
                                ELSE prec_sum / nd END AS prec,
                           CASE WHEN nd = 0 THEN 1.0
                                ELSE rec_sum / nd END AS rec,
-                          (a_sum - l_sum) / nd AS htc_num,
-                          (b_sum - l_sum) / nd AS hct_num,
-                          ln(nd) - a_sum / nd AS hc,
-                          ln(nd) - b_sum / nd AS ht
+                          (a_sum - l_sum) / nullif(nd, 0) AS htc_num,
+                          (b_sum - l_sum) / nullif(nd, 0) AS hct_num,
+                          ln(nullif(nd, 0)) - a_sum / nullif(nd, 0) AS hc,
+                          ln(nullif(nd, 0)) - b_sum / nullif(nd, 0) AS ht
                    FROM r),
             sc2 AS (SELECT n_items, nd, pur_num, prec, rec,
                            CASE WHEN nd = 0 OR ht <= 0 THEN 1.0

@@ -40,26 +40,33 @@ def test_rotation_window_covers_never_driver_checked_queries():
     import os
 
     repo = os.path.dirname(os.path.abspath(entrymod.__file__))
-    checked: set[str] = set()
+    greens: set[str] = set()
     for r in (1, 2, 3, 4):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if not os.path.exists(path):
             pytest.skip("prior-round correctness records not present")
         with open(path) as f:
-            checked.update(json.load(f))
+            for k, v in json.load(f).items():
+                if (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match") is not False
+                ):
+                    greens.add(k)
     qs = list(entrymod.queries())
     window = qs[:50]
-    never_checked = [k for k in qs if k not in checked]
-    missed = [k for k in never_checked if k not in window]
+    # never GREEN, not merely never present: a red row that was never
+    # re-greened (pq_codes in r04) must stay inside the window until a
+    # green verdict exists
+    never_green = [k for k in qs if k not in greens]
+    missed = [k for k in never_green if k not in window]
     assert not missed, (
-        f"never-driver-checked queries outside the 50-entry window: {missed}"
+        f"queries without a green driver verdict outside the window: {missed}"
     )
-    # round 4's red row must be re-checked this round
-    assert "pq_codes" in window
-    # never-checked queries lead the window so a driver that checks
-    # fewer than 50 still hits them first
-    n = len(never_checked)
-    assert set(window[:n]) == set(never_checked)
+    # never-green queries lead the window so a driver that checks fewer
+    # than 50 still hits them first
+    n = len(never_green)
+    assert set(window[:n]) == set(never_green)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
