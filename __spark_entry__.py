@@ -5250,7 +5250,14 @@ def oracle_sql() -> dict[str, str]:
                                  * (CAST(fp2 AS DOUBLE) + CAST(tn2 AS DOUBLE))
                                  + (CAST(tp2 AS DOUBLE) + CAST(fn2 AS DOUBLE))
                                  * (CAST(fn2 AS DOUBLE) + CAST(tn2 AS DOUBLE)))
-                         END, 6) AS ari
+                         END, 6) AS ari,
+                   round(CASE WHEN (CAST(tp2 AS DOUBLE) + CAST(fp2 AS DOUBLE))
+                                   * (CAST(tp2 AS DOUBLE) + CAST(fn2 AS DOUBLE)) = 0
+                         THEN 1.0
+                         ELSE CAST(tp2 AS DOUBLE)
+                              / sqrt((CAST(tp2 AS DOUBLE) + CAST(fp2 AS DOUBLE))
+                                     * (CAST(tp2 AS DOUBLE) + CAST(fn2 AS DOUBLE)))
+                         END, 6) AS fowlkes_mallows
             FROM x""",
         # element/entropy report over the same closure: purity and the
         # B-cubed sums replay per-cell, the V-measure entropies via the

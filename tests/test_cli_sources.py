@@ -1006,11 +1006,12 @@ def test_cli_cluster_quality_mode(spark, tmp_path):
     # the hand-computed case from test_evaluation.py — pair view plus
     # the element/entropy view in one report line
     pair_part = {k: rep[k] for k in (
-        "n_items", "tp", "fp", "fn", "tn", "rand_index", "ari"
+        "n_items", "tp", "fp", "fn", "tn", "rand_index", "ari",
+        "fowlkes_mallows",
     )}
     assert pair_part == {
         "n_items": 5, "tp": 1, "fp": 1, "fn": 1, "tn": 7,
-        "rand_index": 0.8, "ari": 0.375,
+        "rand_index": 0.8, "ari": 0.375, "fowlkes_mallows": 0.5,
     }
     assert rep["purity"] == rep["bcubed_precision"] == rep["bcubed_recall"] == 0.8
     assert rep["homogeneity"] == rep["completeness"] == rep["v_measure"]

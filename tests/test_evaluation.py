@@ -40,6 +40,8 @@ def test_cluster_quality_hand_computed(spark):
         "tn": 7,
         "rand_index": 0.8,
         "ari": 0.375,
+        # FM = tp / sqrt((tp+fp)(tp+fn)) = 1 / sqrt(2*2)
+        "fowlkes_mallows": 0.5,
     }
 
 
@@ -53,6 +55,7 @@ def test_cluster_quality_perfect_and_degenerate(spark):
     got = _one(evaluation.cluster_quality(clusters, same))
     assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (1, 0, 0, 2)
     assert got["rand_index"] == 1.0 and got["ari"] == 1.0
+    assert got["fowlkes_mallows"] == 1.0
 
     # all-singletons on both sides: zero denominator -> trivial agreement
     singles = spark.createDataFrame(
@@ -63,7 +66,9 @@ def test_cluster_quality_perfect_and_degenerate(spark):
     )
     got = _one(evaluation.cluster_quality(singles, strue))
     assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (0, 0, 0, 1)
-    assert got["ari"] == 1.0
+    # all-singleton: zero FM denominator -> 1.0 by the module's
+    # trivial-agreement convention (sklearn reports 0.0 here)
+    assert got["ari"] == 1.0 and got["fowlkes_mallows"] == 1.0
 
     # empty intersection: all-zero counts, indices report 1.0
     other = spark.createDataFrame(
@@ -78,6 +83,7 @@ def test_cluster_quality_perfect_and_degenerate(spark):
         "tn": 0,
         "rand_index": 1.0,
         "ari": 1.0,
+        "fowlkes_mallows": 1.0,
     }
 
 
@@ -97,7 +103,7 @@ def test_cluster_quality_excludes_null_labels(spark):
     # only a and b survive both filters: one true co-clustered pair
     assert got == {
         "n_items": 2, "tp": 1, "fp": 0, "fn": 0, "tn": 0,
-        "rand_index": 1.0, "ari": 1.0,
+        "rand_index": 1.0, "ari": 1.0, "fowlkes_mallows": 1.0,
     }
 
 

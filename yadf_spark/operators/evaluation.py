@@ -62,10 +62,14 @@ def cluster_quality(
       ~4.3e9 evaluated items,
     * ``rand_index`` = (tp+tn)/all-pairs, ``ari`` the
       Hubert-Arabie adjusted form via the pair-confusion identity
-      ``2·(tp·tn − fn·fp) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn))`` —
-      computed from the doubled counts (the ratio is scale-invariant),
-      with the degenerate zero denominator reported as 1.0 (both
-      labelings trivially agree).
+      ``2·(tp·tn − fn·fp) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn))``, and
+      ``fowlkes_mallows`` = tp/√((tp+fp)(tp+fn)) (the geometric mean
+      of pair precision and pair recall, Fowlkes & Mallows 1983) — all
+      computed from the doubled counts (the ratios are
+      scale-invariant), with degenerate zero denominators reported as
+      1.0 (both labelings trivially agree — the module's convention,
+      matching RI/ARI on all-singleton inputs; sklearn reports FM 0.0
+      there).
 
     Scale shape: one (cluster, truth) cell aggregation over the joined
     frame (narrow rows, O(cells) state), then per-side marginals read
@@ -107,6 +111,10 @@ def cluster_quality(
     ri = F.when(total2.cast("double") == F.lit(0.0), F.lit(1.0)).otherwise(
         (tp_d + tn_d) / total2.cast("double")
     )
+    fm_denom = (tp_d + fp_d) * (tp_d + fn_d)
+    fm = F.when(fm_denom == F.lit(0.0), F.lit(1.0)).otherwise(
+        tp_d / F.sqrt(fm_denom)
+    )
     # counts stay decimal(38,0): tn ~ n²/2 exceeds long (and would
     # CAST_OVERFLOW under ANSI mode) above ~4.3e9 evaluated items; the
     # doubled values are even, so the /2 floor is exact
@@ -119,6 +127,7 @@ def cluster_quality(
         half(tn2).alias("tn"),
         F.round(ri, round_to).alias("rand_index"),
         F.round(ari, round_to).alias("ari"),
+        F.round(fm, round_to).alias("fowlkes_mallows"),
     )
 
 
